@@ -1,0 +1,59 @@
+"""Pipeline configuration — the LogConf analog.
+
+llogtail is driven end-to-end by one JSON config (LogConf,
+log_collector.go:22-28; example/collector.json) naming the watched
+dir/pattern, line separator, sink, and watcher intervals. The rebuild
+keeps the config-file-drives-everything shape:
+
+{
+  "input_path":  ".../sequences",        # was dir+pattern
+  "lookup_path": ".../lookup_sources.parquet",
+  "workdir":     ".../work",             # manifest lives here (was offset/)
+  "grok":        "^%{LOGLEVEL:level} %{WORD:component} %{GREEDYDATA:msg}$",
+  "sinks": [ {"name": "...", "predicate": "...", "path": "...",
+              "format": "parquet"}, ... ],
+  "enrich_defaults": {"facility": "unknown", "team": "unassigned",
+                      "min_level": 0},
+  "scan_strategy": "persist"             # persist | recompute
+}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from llogtail_spark.operators.route import SinkRule, load_rules
+
+DEFAULT_GROK = r"^%{LOGLEVEL:level} %{WORD:component} %{GREEDYDATA:msg}$"
+
+
+@dataclass
+class PipelineConf:
+    input_path: str
+    lookup_path: str | None
+    workdir: str
+    sinks: list[SinkRule]
+    grok: str = DEFAULT_GROK
+    enrich_defaults: dict = field(
+        default_factory=lambda: {"facility": "unknown", "team": "unassigned", "min_level": 0}
+    )
+    # persist: parse once, keep MEMORY_AND_DISK, K filtered writes.
+    # recompute: re-scan+re-parse per sink (no caching footprint; each
+    #   scan gets its own pushed-down predicate) — the right choice
+    #   when sinks select tiny disjoint slices of a huge table.
+    scan_strategy: str = "persist"
+    committed_at: str = "1970-01-01T00:00:00Z"  # injected, deterministic tests
+    validate_on_start: bool = False
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.workdir, "manifest")
+
+
+def load_config(path: str) -> PipelineConf:
+    with open(path) as f:
+        raw = json.load(f)
+    raw["sinks"] = load_rules(raw["sinks"])
+    return PipelineConf(**raw)
