@@ -1,0 +1,60 @@
+"""Manifest protocol units (no Spark): atomic commit, read-back,
+validate truth table, invalidate."""
+
+from llogtail_spark import manifest as mf
+
+
+def _entry(sink="s", part="p-0", rc=10, cks=123, irc=20, icks=456):
+    return mf.ManifestEntry(
+        sink=sink, part=part, row_count=rc, tok_total=100, checksum=cks,
+        watermark_offset=irc, committed_at="1970-01-01T00:00:00Z",
+        in_row_count=irc, in_checksum=icks,
+    )
+
+
+def test_commit_and_read_roundtrip(tmp_path):
+    d = str(tmp_path / "m")
+    e = _entry()
+    mf.commit(d, e)
+    assert mf.read_all(d) == [e]
+
+
+def test_commit_overwrites_atomically(tmp_path):
+    d = str(tmp_path / "m")
+    mf.commit(d, _entry(rc=1))
+    mf.commit(d, _entry(rc=2))
+    entries = mf.read_all(d)
+    assert len(entries) == 1 and entries[0].row_count == 2
+    # no temp droppings left behind
+    import os
+    assert all(f.endswith(".json") for f in os.listdir(d))
+
+
+def test_committed_parts_per_sink(tmp_path):
+    d = str(tmp_path / "m")
+    mf.commit(d, _entry(sink="a", part="p-0"))
+    mf.commit(d, _entry(sink="a", part="p-1"))
+    mf.commit(d, _entry(sink="b", part="p-0"))
+    assert mf.committed_parts(d, "a") == {"p-0", "p-1"}
+    assert mf.committed_parts(d, "b") == {"p-0"}
+    assert mf.committed_parts(d, "c") == set()
+
+
+def test_validate_truth_table():
+    e = _entry(irc=20, icks=456)
+    assert mf.validate(e, 20, 456)
+    assert not mf.validate(e, 21, 456)  # input grew -> reprocess
+    assert not mf.validate(e, 20, 999)  # content changed -> reprocess
+
+
+def test_invalidate_removes_only_target(tmp_path):
+    d = str(tmp_path / "m")
+    mf.commit(d, _entry(sink="a", part="p-0"))
+    mf.commit(d, _entry(sink="a", part="p-1"))
+    mf.invalidate(d, "a", "p-0")
+    assert mf.committed_parts(d, "a") == {"p-1"}
+    mf.invalidate(d, "a", "never-existed")  # no-op, no raise
+
+
+def test_read_missing_dir_is_empty(tmp_path):
+    assert mf.read_all(str(tmp_path / "nope")) == []

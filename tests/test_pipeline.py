@@ -1,0 +1,129 @@
+"""End-to-end golden equality + crash/resume — the rebuild of
+log_collector_test.go's e2e suite (100-append equality :138-167 and
+the commented-out restart test :102-135, which we make real).
+
+Oracle: pure pandas recompute from the seeded generator (conftest),
+never Spark."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llogtail_spark import manifest as mf
+from llogtail_spark.config import PipelineConf
+from llogtail_spark.operators.route import SinkRule
+from llogtail_spark.pipeline import read_sink, run_pipeline, validate_manifest
+
+
+def make_conf(data_dir, workdir) -> PipelineConf:
+    return PipelineConf(
+        input_path=os.path.join(data_dir, "sequences"),
+        lookup_path=os.path.join(data_dir, "lookup_sources.parquet"),
+        workdir=str(workdir),
+        sinks=[
+            SinkRule("errors", "level_num >= 40", os.path.join(str(workdir), "out/errors")),
+            SinkRule("warnings", "level_num >= 30 AND level_num < 40",
+                     os.path.join(str(workdir), "out/warnings")),
+            SinkRule("firehose", "true", os.path.join(str(workdir), "out/firehose")),
+        ],
+    )
+
+
+def _expected(oracle_pdf):
+    return {
+        "errors": oracle_pdf[oracle_pdf["level_num"] >= 40],
+        "warnings": oracle_pdf[(oracle_pdf["level_num"] >= 30) & (oracle_pdf["level_num"] < 40)],
+        "firehose": oracle_pdf,
+    }
+
+
+def _assert_sink_equals_oracle(spark, conf, sink, want_pdf):
+    got = read_sink(spark, conf, sink).select("doc_id", "tokens", "n_tok", "source").toPandas()
+    assert len(got) == len(want_pdf), sink
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want_pdf.sort_values("doc_id").reset_index(drop=True)
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["n_tok"].to_numpy() == want["n_tok"].to_numpy()).all()
+    # token-array equality per doc_id — the per-row invariant
+    for g, w in zip(got["tokens"].to_numpy(), want["tokens"].to_numpy()):
+        assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_e2e_golden_equality(spark, data_dir, oracle_pdf, tmp_path):
+    conf = make_conf(data_dir, tmp_path / "w1")
+    res = run_pipeline(spark, conf)
+    assert all(len(v) == 6 for v in res.processed.values())
+    for sink, want in _expected(oracle_pdf).items():
+        _assert_sink_equals_oracle(spark, conf, sink, want)
+    # metrics agree with the oracle
+    m = {r["sink"]: r.asDict() for r in res.metrics.collect()}
+    for sink, want in _expected(oracle_pdf).items():
+        assert m[sink]["row_count"] == len(want)
+        assert m[sink]["tok_total"] == int(want["n_tok"].sum())
+
+
+def test_rerun_is_noop(spark, data_dir, tmp_path):
+    conf = make_conf(data_dir, tmp_path / "w2")
+    run_pipeline(spark, conf)
+    res2 = run_pipeline(spark, conf)
+    assert all(len(v) == 0 for v in res2.processed.values())
+    assert all(len(v) == 6 for v in res2.skipped.values())
+    assert res2.metrics is None
+
+
+class Boom(Exception):
+    pass
+
+
+@pytest.mark.parametrize("stage", ["before_commit", "after_commit"])
+def test_crash_resume_effectively_once(spark, data_dir, oracle_pdf, tmp_path, stage):
+    """Kill between sink write and manifest commit (and just after a
+    commit); rerun; outputs must equal the oracle exactly — no dupes,
+    no loss — and committed partitions must be skipped."""
+    conf = make_conf(data_dir, tmp_path / f"w3{stage}")
+    calls = {"n": 0}
+
+    def failpoint(s, sink, part):
+        if s == stage and sink == "warnings":
+            if calls["n"] == 2:
+                raise Boom()
+            calls["n"] += 1
+
+    with pytest.raises(Boom):
+        run_pipeline(spark, conf, failpoint=failpoint)
+
+    committed_before = {
+        r.name: len(mf.committed_parts(conf.manifest_dir, r.name)) for r in conf.sinks
+    }
+    # errors sink finished; warnings crashed mid-commit; firehose never ran
+    assert committed_before["errors"] == 6
+    assert committed_before["warnings"] < 6
+    assert committed_before["firehose"] == 0
+
+    res = run_pipeline(spark, conf)  # resume
+    assert len(res.skipped["errors"]) == 6
+    assert len(res.processed["warnings"]) == 6 - committed_before["warnings"]
+    assert len(res.processed["firehose"]) == 6
+
+    for sink, want in _expected(oracle_pdf).items():
+        _assert_sink_equals_oracle(spark, conf, sink, want)
+
+
+def test_validate_detects_changed_input(spark, data_dir, tmp_path):
+    conf = make_conf(data_dir, tmp_path / "w4")
+    run_pipeline(spark, conf)
+    # tamper one entry's recorded input identity -> stale
+    e = [x for x in mf.read_all(conf.manifest_dir) if x.sink == "errors"][0]
+    mf.commit(conf.manifest_dir, mf.ManifestEntry(**{**e.__dict__, "in_checksum": 1}))
+    stale = validate_manifest(spark, conf)
+    assert stale == [f"errors/{e.part}"]
+    res = run_pipeline(spark, conf)
+    assert res.processed["errors"] == [e.part]
+
+
+def test_zero_match_input_raises(spark, tmp_path):
+    conf = make_conf(str(tmp_path / "empty"), tmp_path / "w5")
+    with pytest.raises(Exception):
+        run_pipeline(spark, conf)  # findFiles zero-match analog
