@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes every implemented operator family from SURVEY.md §2
+over the driver testdata tables; oracle_sql() gives the DuckDB-
+runnable ANSI twin. Column names/aliases match exactly (the driver's
+value-hash compare sorts columns by name). Float-derived outputs are
+integerized (x100 / x10000 + floor/round) so both engines hash
+identically.
+
+Ops without an oracle entry (minhash LSH, simhash, hyperplane-LSH ANN)
+are non-SQL-expressible (engine hash functions / seeded hyperplanes)
+and get the driver's rows-only check; their exact-equality coverage
+lives in tests/.
 """
 
 from __future__ import annotations
@@ -12,27 +18,485 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the parse -> enrich -> route -> aggregate pipeline
+    shape over the sf0.001 events table (routing rules as in
+    llogtail's named-sink config, example/collector.json)."""
+    return _q_pipeline_route_fanout(spark, "/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------- queries
+
+def _q_pipeline_route_fanout(spark, sf):
+    ev = _t(spark, sf, "events")
+    sink = (
+        F.when(F.col("event_type") == "error", F.lit("alerts"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("billing"))
+        .otherwise(F.lit("firehose"))
+    )
+    return (
+        ev.withColumn("sink", sink)
+        .groupBy("sink")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") * 100).cast("long").alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _q_pipeline_route_overlap(spark, sf):
+    from llogtail_spark.operators.route import SinkRule, explode_routed
+
+    rules = [
+        SinkRule("alerts", "event_type = 'error'", "/dev/null"),
+        SinkRule("big", "value >= 100", "/dev/null"),
+        SinkRule("firehose", "true", "/dev/null"),
+    ]
+    ev = _t(spark, sf, "events")
+    return explode_routed(ev, rules).groupBy("sink").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
+def _q_parse_grok_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy(F.pmod(F.col("k"), F.lit(10)).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def _q_parse_grok_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.withColumn("first_word", F.regexp_extract("text", r"^(\w+)", 1))
+        .groupBy("first_word")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars_total"))
+    )
+
+
+def _q_enrich_broadcast_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    su = _t(spark, sf, "supplier")
+    na = _t(spark, sf, "nation")
+    re = _t(spark, sf, "region")
+    dim = F.broadcast(
+        su.join(na, su.s_nationkey == na.n_nationkey).join(
+            re, na.n_regionkey == re.r_regionkey
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(dim, li.l_suppkey == dim.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev) * 100).cast("long").alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_agg_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity") * 100).cast("long").alias("qty_x100"),
+            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("price_x100"),
+            F.round(F.sum(disc) * 100).cast("long").alias("disc_price_x100"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def _q_rollup_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+def _q_anti_join_resume(spark, sf):
+    # the resume primitive: work items not present in the committed
+    # set (manifest anti-join, pipeline.py) — here: orders with no
+    # shipped lineitems
+    od = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice") * 100).cast("long").alias("price_x100"))
+    )
+
+
+def _q_semi_join_active(spark, sf):
+    cu = _t(spark, sf, "customer")
+    od = _t(spark, sf, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_window_first_event(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"),
+                F.col("event_type").alias("first_event_type"))
+    )
+
+
+def _q_dedup_debounce(spark, sf):
+    # suppress repeated (user, kind) events, keep the first — the
+    # sendEvent debounce analog (log_watcher.go:265-285)
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        (F.count("*") - 1).alias("n_suppressed"),
+    )
+
+
+def _q_sessionize(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.sum("new_sess") + 1).alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def _q_text_token_stats(spark, sf):
+    from llogtail_spark.functions.text import bpe_ish_token_count, ws_token_count
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars2"),
+    )
+
+
+def _q_text_quality(spark, sf):
+    from llogtail_spark.functions.text import quality_features
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", quality_features("text").alias("q")).select(
+        "doc_id", "q.stop_x10000", "q.n_punct", "q.wlen_x100"
+    )
+
+
+def _q_text_lang_id(spark, sf):
+    from llogtail_spark.functions.text import lang_id
+
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.withColumn("predicted", lang_id("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_text_fingerprint(spark, sf):
+    from llogtail_spark.functions.text import rolling_fingerprint
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+
+
+def _q_dedup_exact_docs(spark, sf):
+    from llogtail_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct(normalize_text("text")).alias("n_unique"),
+    )
+
+
+def _q_embedding_topk(spark, sf):
+    from llogtail_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=3)
+
+
+def _q_embedding_near_dup(spark, sf):
+    from llogtail_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold_x10000=4000)
+
+
+# --- non-SQL-expressible (engine hash / seeded hyperplanes): rows-only
+
+def _q_minhash_lsh(spark, sf):
+    from llogtail_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    return pairs.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.coalesce(F.sum("n_bands_hit"), F.lit(0)).alias("bands_hits"),
+    )
+
+
+def _q_simhash(spark, sf):
+    from llogtail_spark.operators.dedup import simhash64
+
+    docs = _t(spark, sf, "documents")
+    sh = simhash64(docs)
+    return sh.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("simhash").alias("n_distinct"),
+        F.bit_xor("simhash").alias("xor_all"),
+    )
+
+
+def _q_ann_lsh(spark, sf):
+    from llogtail_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = lsh_topk(emb, queries, k=3, n_bits=6)
+    return res.agg(
+        F.count("*").alias("n_results"),
+        F.countDistinct("query_id").alias("n_queries_answered"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pipeline_route_fanout": _q_pipeline_route_fanout,
+        "pipeline_route_overlap": _q_pipeline_route_overlap,
+        "parse_grok_events": _q_parse_grok_events,
+        "parse_grok_documents": _q_parse_grok_documents,
+        "enrich_broadcast_revenue": _q_enrich_broadcast_revenue,
+        "agg_pricing_summary": _q_agg_pricing_summary,
+        "rollup_counts": _q_rollup_counts,
+        "anti_join_resume": _q_anti_join_resume,
+        "semi_join_active": _q_semi_join_active,
+        "window_first_event": _q_window_first_event,
+        "dedup_debounce": _q_dedup_debounce,
+        "sessionize": _q_sessionize,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "ann_lsh": _q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos = (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+    )
+    return {
+        "pipeline_route_fanout": """
+            SELECT CASE WHEN event_type = 'error' THEN 'alerts'
+                        WHEN event_type IN ('purchase','signup') THEN 'billing'
+                        ELSE 'firehose' END AS sink,
+                   count(*) AS n,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS value_cents,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "pipeline_route_overlap": """
+            WITH routed AS (
+                SELECT 'alerts' AS sink, value FROM events WHERE event_type = 'error'
+                UNION ALL
+                SELECT 'big' AS sink, value FROM events WHERE value >= 100
+                UNION ALL
+                SELECT 'firehose' AS sink, value FROM events
+            )
+            SELECT sink, count(*) AS n,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+            FROM routed GROUP BY sink
+        """,
+        "parse_grok_events": """
+            SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS bucket,
+                   count(*) AS n,
+                   sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+            FROM events GROUP BY 1
+        """,
+        "parse_grok_documents": """
+            SELECT regexp_extract(text, '^(\\w+)', 1) AS first_word,
+                   count(*) AS n_docs, sum(n_chars) AS chars_total
+            FROM documents GROUP BY 1
+        """,
+        "enrich_broadcast_revenue": """
+            SELECT r_name, n_name,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_x100,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS price_x100,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                       AS disc_price_x100,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "rollup_counts": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "anti_join_resume": """
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS price_x100
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderstatus
+        """,
+        "semi_join_active": """
+            SELECT c_nationkey, count(*) AS n FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "window_first_event": """
+            SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS rn
+                  FROM events) WHERE rn = 1
+        """,
+        "dedup_debounce": """
+            SELECT user_id, event_type, min(event_id) AS first_event_id,
+                   count(*) - 1 AS n_suppressed
+            FROM events GROUP BY user_id, event_type
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN date_diff('second',
+                                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events)
+            SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "text_token_stats": r"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens,
+                   length(text) AS n_chars2
+            FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id,
+                   CAST(floor(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','a','of','to','and','in','is','it'))) * 10000.0
+                        / len(string_split(text, ' '))) AS BIGINT) AS stop_x10000,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                   CAST(floor(list_sum(list_transform(string_split(text, ' '),
+                        w -> length(w))) * 100.0
+                        / len(string_split(text, ' '))) AS BIGINT) AS wlen_x100
+            FROM documents
+        """,
+        "text_lang_id": """
+            WITH scored AS (
+                SELECT lang,
+                       len(list_filter(string_split(text,' '),
+                           w -> w IN ('the','a','and','of'))) AS s_en,
+                       len(list_filter(string_split(text,' '),
+                           w -> w IN ('der','die','und','das'))) AS s_de,
+                       len(list_filter(string_split(text,' '),
+                           w -> w IN ('el','la','los','que'))) AS s_es,
+                       len(list_filter(string_split(text,' '),
+                           w -> w IN ('le','la','les','et'))) AS s_fr
+                FROM documents),
+            pred AS (
+                SELECT lang,
+                       CASE WHEN greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
+                            WHEN s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
+                            WHEN s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
+                            WHEN s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
+                            ELSE 'fr' END AS predicted
+                FROM scored)
+            SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        (w, i) -> i * (31 * length(w) + ascii(substr(w, 1, 1)))))
+                        AS BIGINT) % 2147483647 AS fp
+            FROM documents
+        """,
+        "dedup_exact_docs": r"""
+            SELECT count(*) AS n_total,
+                   count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS n_unique
+            FROM documents
+        """,
+        "embedding_topk": f"""
+            WITH scored AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       {cos} AS c
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c DESC, neighbor_id) AS rank,
+                       CAST(floor(c * 10000) AS BIGINT) AS cos_x10000
+                FROM scored)
+            SELECT query_id, neighbor_id, rank, cos_x10000 FROM ranked WHERE rank <= 3
+        """,
+        "embedding_near_dup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor({cos} * 10000) AS BIGINT) AS cos_x10000
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND CAST(floor({cos} * 10000) AS BIGINT) >= 4000
+        """,
+    }

@@ -1,0 +1,144 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "routed_sequences_per_sec", "value": N, "unit": "seq/sec",
+   "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+Headline metric (BASELINE.md north rule): end-to-end routed
+sequences/sec through the full parse -> enrich -> route -> ship ->
+checkpoint pipeline over the deterministic synthetic token table
+(rows scaled to sf: 3M * sf), fresh workdir per timed run.
+
+Also times the individual operator queries from __spark_entry__.py
+against $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), forcing
+full execution with the noop sink (no driver collect).
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (local[N]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+SEQ_ROWS = max(int(3_000_000 * SF), 3_000)
+
+# operator queries worth timing at bench scale (full set runs in the
+# correctness gate; here we time the headline shapes)
+BENCH_QUERIES = [
+    "pipeline_route_fanout",
+    "parse_grok_events",
+    "enrich_broadcast_revenue",
+    "agg_pricing_summary",
+    "window_first_event",
+    "sessionize",
+    "text_token_stats",
+    "text_fingerprint",
+    "dedup_exact_docs",
+    "embedding_topk",
+    "minhash_lsh",
+    "simhash",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_pipeline(spark, tmp: str) -> dict:
+    from llogtail_spark.config import PipelineConf
+    from llogtail_spark.generate import write_fixture
+    from llogtail_spark.operators.route import SinkRule
+    from llogtail_spark.pipeline import run_pipeline
+
+    data_dir = os.path.join(tmp, "data")
+    n_files = max(CPUS * 2, 8)
+    t0 = time.time()
+    write_fixture(data_dir, SEQ_ROWS, seed=42, n_files=n_files)
+    log(f"fixture: {SEQ_ROWS} rows / {n_files} files in {time.time()-t0:.1f}s")
+
+    def make_conf(run_id: str) -> PipelineConf:
+        wd = os.path.join(tmp, f"work-{run_id}")
+        return PipelineConf(
+            input_path=os.path.join(data_dir, "sequences"),
+            lookup_path=os.path.join(data_dir, "lookup_sources.parquet"),
+            workdir=wd,
+            sinks=[
+                SinkRule("errors", "level_num >= 40", os.path.join(wd, "out/errors")),
+                SinkRule("warnings", "level_num >= 30 AND level_num < 40",
+                         os.path.join(wd, "out/warnings")),
+                SinkRule("firehose", "true", os.path.join(wd, "out/firehose")),
+            ],
+        )
+
+    # warm-up (JIT, Arrow init, small slice)
+    run_pipeline(spark, make_conf("warmup"))
+    shutil.rmtree(os.path.join(tmp, "work-warmup"), ignore_errors=True)
+
+    t0 = time.time()
+    res = run_pipeline(spark, make_conf("timed"))
+    elapsed = time.time() - t0
+    routed = sum(
+        e.row_count
+        for e in __import__("llogtail_spark.manifest", fromlist=["read_all"]).read_all(
+            make_conf("timed").manifest_dir
+        )
+    )
+    log(f"pipeline: {SEQ_ROWS} input rows, {routed} routed rows, {elapsed:.1f}s")
+    return {
+        "input_rows": SEQ_ROWS,
+        "routed_rows": routed,
+        "pipeline_sec": round(elapsed, 3),
+        "input_seq_per_sec": round(SEQ_ROWS / elapsed, 1),
+        "routed_seq_per_sec": round(routed / elapsed, 1),
+    }
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        out[name] = round(time.time() - t0, 3)
+        log(f"query {name}: {out[name]}s")
+    return out
+
+
+def main() -> None:
+    from llogtail_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(2 * CPUS, 32))
+    tmp = tempfile.mkdtemp(prefix="llogtail-bench-")
+    try:
+        pipe = bench_pipeline(spark, tmp)
+        queries = bench_queries(spark)
+        result = {
+            "metric": "routed_sequences_per_sec",
+            "value": pipe["routed_seq_per_sec"],
+            "unit": "seq/sec",
+            "queries": queries,
+            "sf": SF,
+            "cpus": CPUS,
+            "pipeline": pipe,
+        }
+        print(json.dumps(result), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Text-analysis functions for training-data pipelines.
+
+All pure Catalyst column expressions (split / regexp / higher-order
+array functions) — they stay inside whole-stage codegen, shuffle
+nothing, and scale linearly. Each has an ANSI-SQL twin used as the
+DuckDB oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish tokenizer regex: word pieces or single non-space symbols.
+BPE_ISH_RX = r"\w+|[^\w\s]"
+
+DEFAULT_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+# marker words per language for the n-gram/stopword language-ID
+# heuristic; deliberately tiny and deterministic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "und", "das"],
+    "es": ["el", "la", "los", "que"],
+    "fr": ["le", "la", "les", "et"],
+}
+
+
+def words(col: Column | str) -> Column:
+    return F.split(col, " ")
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace token count (split on single space)."""
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under a BPE-ish regex (word pieces + symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RX), F.lit(0)))
+
+
+def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or DEFAULT_STOPWORDS
+    return F.size(F.filter(words(col), lambda w: w.isin(sw)))
+
+
+def quality_features(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Integer-exact quality features (no float outputs):
+    stop_x10000 = floor(1e4 * stopword_ratio), n_punct, wlen_x100 =
+    floor(100 * mean word length). Integer-valued so oracles compare
+    exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_words = ws_token_count(c)
+    n_stop = stopword_count(c, stopwords)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    total_wlen = F.aggregate(
+        words(c), F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return F.struct(
+        F.floor(n_stop * 10000 / n_words).cast("long").alias("stop_x10000"),
+        n_punct.cast("long").alias("n_punct"),
+        F.floor(total_wlen * 100 / n_words).cast("long").alias("wlen_x100"),
+    )
+
+
+def lang_scores(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """struct of per-language marker-word hit counts."""
+    m = markers or LANG_MARKERS
+    ws = words(col)
+    return F.struct(
+        *[
+            F.size(F.filter(ws, lambda w: w.isin(mk))).cast("long").alias(lang)
+            for lang, mk in m.items()
+        ]
+    )
+
+
+def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """argmax language by marker hits; 'und' when all scores are 0.
+    Ties break by the (deterministic) ordering of `markers`."""
+    m = markers or LANG_MARKERS
+    scores = lang_scores(col, m)
+    best = F.greatest(*[scores[lang] for lang in m])
+    pred = F.lit("und")
+    # reversed so that earlier languages win ties (last WHEN evaluated
+    # first in the fold below)
+    for lang in reversed(list(m)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def rolling_fingerprint(col: Column | str, mod: int = 2147483647) -> Column:
+    """Position-weighted rolling hash over words — a cheap document
+    fingerprint (the spiritual analog of llogtail's first-1KB MD5
+    identity, utils.go:36-46, as a pure expression):
+
+        fp = sum_i (i+1) * (31*len(w_i) + ascii(w_i[0]))  mod `mod`
+
+    Engine-portable (no engine hash function), so DuckDB can recompute
+    it exactly.
+    """
+    ws = words(col)
+    weighted = F.zip_with(
+        ws,
+        F.sequence(F.lit(1), F.size(ws)),
+        lambda w, i: i.cast("long") * (F.length(w) * 31 + F.ascii(F.substring(w, 1, 1))),
+    )
+    return F.pmod(
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x), F.lit(mod)
+    )
