@@ -1,0 +1,90 @@
+"""Two-cluster-size scaling bench (north rule: efficiency >= 0.8).
+
+Runs the identical pipeline job on the identical input at local[N]
+and local[4N] in separate JVMs (the sandbox stand-in for N vs 4N
+executors), medians over reps, and reports
+
+    efficiency = (T_N / T_4N) / 4
+
+Writes BENCH/BASELINE.md. Usage:
+    python bench/scaling.py [--rows 300000] [--n 8] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cores: int, data: str, scratch: str, reps: int) -> list[float]:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench/scaling_worker.py"),
+         "--cores", str(cores), "--data", data, "--scratch", scratch,
+         "--reps", str(reps)],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(last)["times"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=300_000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from llogtail_spark.generate import write_fixture
+
+    tmp = tempfile.mkdtemp(prefix="llogtail-scaling-")
+    data = os.path.join(tmp, "data")
+    # enough files that local[4N] has >=2 waves of input splits
+    write_fixture(data, args.rows, seed=42, n_files=args.n * 4 * 2)
+
+    small, big = args.n, args.n * 4
+    t_small = run_level(small, data, tmp, args.reps)
+    t_big = run_level(big, data, tmp, args.reps)
+    med_s, med_b = statistics.median(t_small), statistics.median(t_big)
+    thr_s, thr_b = args.rows / med_s, args.rows / med_b
+    eff = (med_s / med_b) / 4
+
+    result = {
+        "rows": args.rows,
+        "cores_small": small, "times_small": t_small, "seq_per_sec_small": round(thr_s, 1),
+        "cores_big": big, "times_big": t_big, "seq_per_sec_big": round(thr_b, 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH/BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
+
+Identical job (full parse -> enrich -> route -> ship -> checkpoint
+pipeline, 3 sinks, {args.rows} synthetic pre-tokenized sequences,
+seed=42, {args.n * 8} input files), identical configs, two parallelism
+levels in separate JVMs. Times are per-run seconds (median of
+{args.reps} after a warm-up run).
+
+| metric | value |
+|---|---|
+| routed sequences/sec @ local[{small}] | {thr_s:,.0f} (times: {t_small}) |
+| routed sequences/sec @ local[{big}] | {thr_b:,.0f} (times: {t_big}) |
+| scaling efficiency (T_{small} / T_{big}) / 4 | **{eff:.3f}** (target >= 0.8) |
+
+Reproduce: `python bench/scaling.py --rows {args.rows} --n {small} --reps {args.reps}`
+""")
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

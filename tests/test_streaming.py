@@ -1,0 +1,80 @@
+"""Streaming tail: incremental file discovery == the inotify loop.
+
+Mirrors the reference's watcher tests (log_watcher_test.go:115-287):
+register -> discover existing files -> new file appears -> only the
+new data flows -> restart resumes from the stream checkpoint."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from llogtail_spark.config import PipelineConf
+from llogtail_spark.generate import generate_sequences, write_fixture
+from llogtail_spark.operators.route import SinkRule
+from llogtail_spark.streaming.tail import stream_pipeline, windowed_severity_counts
+from llogtail_spark import manifest as mf
+
+
+def _conf(data_dir, workdir) -> PipelineConf:
+    wd = str(workdir)
+    return PipelineConf(
+        input_path=os.path.join(data_dir, "sequences"),
+        lookup_path=os.path.join(data_dir, "lookup_sources.parquet"),
+        workdir=wd,
+        sinks=[
+            SinkRule("errors", "level_num >= 40", os.path.join(wd, "out/errors")),
+            SinkRule("firehose", "true", os.path.join(wd, "out/firehose")),
+        ],
+    )
+
+
+def test_stream_drains_then_discovers_new_files(spark, tmp_path):
+    data = str(tmp_path / "data")
+    write_fixture(data, 600, seed=11, n_files=3)
+    conf = _conf(data, tmp_path / "w")
+
+    q = stream_pipeline(spark, conf)
+    q.awaitTermination(120)
+    fire = spark.read.parquet(conf.sinks[1].path)
+    assert fire.count() == 600
+    assert len(mf.committed_parts(conf.manifest_dir, "firehose")) == 3
+
+    # a new file lands (the Discover event) — only it is processed
+    import pyarrow.parquet as pq
+
+    extra = generate_sequences(100, seed=99)
+    pq.write_table(extra, os.path.join(data, "sequences", "part-99999.parquet"))
+
+    q2 = stream_pipeline(spark, conf)
+    q2.awaitTermination(120)
+    fire2 = spark.read.parquet(conf.sinks[1].path)
+    assert fire2.count() == 700
+    assert len(mf.committed_parts(conf.manifest_dir, "firehose")) == 4
+    # no duplicates: doc_ids unique per (part), and the original parts
+    # were not rewritten with duplicate content
+    assert fire2.select("part", "doc_id").distinct().count() == 700
+
+
+def test_stream_routing_matches_batch_semantics(spark, tmp_path):
+    data = str(tmp_path / "data")
+    write_fixture(data, 400, seed=12, n_files=2)
+    conf = _conf(data, tmp_path / "w")
+    q = stream_pipeline(spark, conf)
+    q.awaitTermination(120)
+    err = spark.read.parquet(conf.sinks[0].path)
+    assert err.filter(F.col("level_num") < 40).count() == 0
+    total = spark.read.parquet(conf.sinks[1].path).count()
+    assert total == 400
+
+
+def test_windowed_severity_counts(spark):
+    # drive the windowed agg as a batch frame (same plan shape); the
+    # streaming trigger path is covered by the tests above
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    agg = windowed_severity_counts(events, window="1 hour")
+    rows = agg.collect()
+    assert sum(r["n"] for r in rows) == events.count()
+    kinds = {r["event_type"] for r in rows}
+    assert "error" in kinds
