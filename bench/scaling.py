@@ -38,13 +38,17 @@ def run_level(cores: int, data: str, scratch: str, reps: int) -> list[float]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=300_000)
+    ap.add_argument("--rows", type=int, default=1_600_000)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     from llogtail_spark.generate import write_fixture
 
+    # disk-backed scratch (page cache absorbs sink writes async);
+    # measured MORE stable than tmpfs here — tmpfs makes every written
+    # byte synchronous kernel page work (alloc+zero), which serializes
+    # and shows up as khugepaged/kcompactd churn.
     tmp = tempfile.mkdtemp(prefix="llogtail-scaling-")
     data = os.path.join(tmp, "data")
     # enough files that local[4N] has >=2 waves of input splits

@@ -39,11 +39,10 @@ class PipelineConf:
     enrich_defaults: dict = field(
         default_factory=lambda: {"facility": "unknown", "team": "unassigned", "min_level": 0}
     )
-    # persist: parse once, keep MEMORY_AND_DISK, K filtered writes.
-    # recompute: re-scan+re-parse per sink (no caching footprint; each
-    #   scan gets its own pushed-down predicate) — the right choice
-    #   when sinks select tiny disjoint slices of a huge table.
-    scan_strategy: str = "persist"
+    # retained for config compatibility; the pipeline now always uses
+    # the one-pass exploded staged write (see pipeline.py docstring) —
+    # profiling showed the persist variant regressed with cores.
+    scan_strategy: str = "one_pass"
     committed_at: str = "1970-01-01T00:00:00Z"  # injected, deterministic tests
     validate_on_start: bool = False
 

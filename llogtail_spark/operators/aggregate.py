@@ -26,9 +26,24 @@ from pyspark.sql import functions as F
 BYTES_PER_TOKEN = 4  # int32 tokens — byte totals derive exactly
 
 
-def content_checksum(doc_id_col: str = "doc_id", tokens_col: str = "tokens"):
-    """Order-insensitive row-content checksum aggregate expression."""
+def content_checksum(doc_id_col: str = "doc_id", tokens_col: str = "tokens",
+                     tok_hash_col: str | None = None):
+    """Order-insensitive row-content checksum aggregate expression.
+
+    When the frame carries the parse stage's tok_hash (scalar content
+    hash computed in the Arrow pass), hash that — JVM xxhash64 over
+    array<int> is ~30x slower (per-element, allocation-heavy) and its
+    garbage degrades every co-resident stage. The array fallback is
+    kept for raw frames in tests/tools."""
+    if tok_hash_col:
+        return F.bit_xor(F.xxhash64(F.col(doc_id_col), F.col(tok_hash_col)))
     return F.bit_xor(F.xxhash64(F.col(doc_id_col), F.col(tokens_col)))
+
+
+def _cksum_for(df: DataFrame):
+    return content_checksum(
+        tok_hash_col="tok_hash" if "tok_hash" in df.columns else None
+    )
 
 
 def sink_aggregates(routed: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
@@ -39,7 +54,7 @@ def sink_aggregates(routed: DataFrame, group_cols: list[str] | None = None) -> D
         F.sum("n_tok").alias("tok_total"),
         (F.sum("n_tok") * BYTES_PER_TOKEN).alias("byte_total"),
         F.countDistinct("source").alias("n_sources"),
-        content_checksum().alias("checksum"),
+        _cksum_for(routed).alias("checksum"),
     )
 
 
@@ -58,7 +73,7 @@ def salted_sink_aggregates(routed: DataFrame, n_salts: int = 64) -> DataFrame:
     partial = salted.groupBy("sink", "_salt", "source").agg(
         F.count("*").alias("c"),
         F.sum("n_tok").alias("t"),
-        F.bit_xor(F.xxhash64("doc_id", "tokens")).alias("x"),
+        _cksum_for(routed).alias("x"),
     )
     return (
         partial.groupBy("sink")
@@ -72,6 +87,50 @@ def salted_sink_aggregates(routed: DataFrame, n_salts: int = 64) -> DataFrame:
     )
 
 
+def input_identity(df: DataFrame, part_col: str = "part") -> DataFrame:
+    """Cheap per-partition INPUT identity for resume validation —
+    (row_count, tok_total, xor(xxhash64(doc_id, n_tok))). Pure JVM
+    scalar expressions over a column-pruned scan (doc_id, n_tok): no
+    parse, no Python, no token arrays. This mirrors the reference's
+    validateCpt, which compares (dev, inode, offset<=size) and leaves
+    the content-hash check as a TODO (utils.go:128-133) — content
+    equality is enforced separately by the per-sink checksums over
+    tok_hash, which DO cover the token arrays."""
+    return df.groupBy(part_col).agg(
+        F.count("*").alias("in_row_count"),
+        F.sum("n_tok").alias("in_tok_total"),
+        F.coalesce(F.bit_xor(F.xxhash64("doc_id", "n_tok")), F.lit(0)).alias("in_checksum"),
+    )
+
+
+def pipeline_stats(df: DataFrame, rules) -> DataFrame:
+    """ONE-job lineage stats for the pipeline: per input partition,
+    the input identity (in_row_count, in_tok_total, in_checksum) plus
+    per-sink (rc__<name>, tt__<name>, ck__<name>) via conditional
+    aggregates over the routing predicates.
+
+    Replaces 1 + K separate aggregation jobs (input stats + one per
+    sink) with a single map-side-combined groupBy — at cluster scale
+    this is the difference between K+1 scans of the parse output and
+    one. bit_xor skips nulls, so `when(pred, hash)` yields exactly
+    the per-sink XOR of matching rows."""
+    cks = "tok_hash" if "tok_hash" in df.columns else "tokens"
+    row_h = F.xxhash64("doc_id", cks)
+    aggs = [
+        F.count("*").alias("in_row_count"),
+        F.sum("n_tok").alias("in_tok_total"),
+        F.coalesce(F.bit_xor(row_h), F.lit(0)).alias("in_checksum"),
+    ]
+    for r in rules:
+        p = F.expr(r.predicate)
+        aggs += [
+            F.count(F.when(p, True)).alias(f"rc__{r.name}"),
+            F.coalesce(F.sum(F.when(p, F.col("n_tok"))), F.lit(0)).alias(f"tt__{r.name}"),
+            F.coalesce(F.bit_xor(F.when(p, row_h)), F.lit(0)).alias(f"ck__{r.name}"),
+        ]
+    return df.groupBy("part").agg(*aggs)
+
+
 def partition_stats(df: DataFrame, part_col: str = "part") -> DataFrame:
     """Per-partition lineage stats for the manifest: the
     (row_count, checksum) identity that validates resume
@@ -79,5 +138,5 @@ def partition_stats(df: DataFrame, part_col: str = "part") -> DataFrame:
     return df.groupBy(part_col).agg(
         F.count("*").alias("row_count"),
         F.sum("n_tok").alias("tok_total"),
-        content_checksum().alias("checksum"),
+        _cksum_for(df).alias("checksum"),
     )

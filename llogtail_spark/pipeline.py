@@ -15,28 +15,34 @@ Consistency contract preserved (SURVEY.md §3.5):
 - per-row atomicity: a routed row carries its full token array —
   never a partial record (line-framing analog, buffer.go:103-104).
 
-Scale shape:
+Scale shape (profiled on this host, see BENCH/BASELINE.md):
 - resume pruning happens at the FILE LIST level (driver-side set
   difference, metadata-only) so committed data is never scanned;
-- parse output is persisted MEMORY_AND_DISK and shared by K sink
-  writes (one Arrow parse pass total), or recomputed per sink with
-  per-sink predicate pushdown (scan_strategy config);
-- per-partition stats for the manifest come from ONE aggregation per
-  sink (groupBy part — narrow, map-side combined).
+- exactly THREE jobs per run:
+  1. input identity — column-pruned JVM-only scan (no Python);
+  2. the heavy pass — scan -> Arrow parse UDF -> broadcast enrich ->
+     route-explode -> write partitionBy(sink, part) to staging; one
+     stage, no shuffle, no persist (a persist+K-writes variant
+     REGRESSED with cores from cache memory pressure);
+  3. readback stats — column-pruned scan of the staged files
+     (n_tok, row_hash + partition cols), megabytes not data;
+- ship = metadata-only directory rename staging/sink=X/part=Y ->
+  sink_path/part=Y, then the manifest commit (push-then-checkpoint).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from llogtail_spark import manifest as mf
 from llogtail_spark.config import PipelineConf
-from llogtail_spark.operators.aggregate import partition_stats, sink_aggregates
+from llogtail_spark.operators.aggregate import sink_aggregates
 from llogtail_spark.operators.enrich import enrich_stage
 from llogtail_spark.operators.parse import parse_stage
 from llogtail_spark.operators.route import explode_routed
@@ -65,19 +71,14 @@ def _prepare(spark: SparkSession, conf: PipelineConf, files: list[str]) -> DataF
 
 
 def validate_manifest(spark: SparkSession, conf: PipelineConf) -> list[str]:
-    """Recompute input-partition identities and drop stale manifest
-    entries (validateCpt analog, utils.go:128-133). Returns the parts
-    invalidated. Full-scan of committed inputs — optional."""
+    """Recompute input-partition identities (parquet footer metadata,
+    no scan) and drop stale manifest entries (validateCpt analog,
+    utils.go:128-133). Returns the parts invalidated."""
     entries = mf.read_all(conf.manifest_dir)
     if not entries:
         return []
     parts = reader.list_parts(spark, conf.input_path)
-    live = {
-        r["part"]: (r["row_count"], r["checksum"])
-        for r in partition_stats(
-            reader.with_partition_id(reader.read_files(spark, list(parts.values())))
-        ).collect()
-    }
+    live = reader.files_identity(parts)
     stale = []
     for e in entries:
         got = live.get(e.part)
@@ -108,70 +109,115 @@ def run_pipeline(
         return RunResult(processed={r.name: [] for r in conf.sinks},
                          skipped=skipped, metrics=None)
 
+    fmts = {(r.format, tuple(sorted(r.options.items()))) for r in conf.sinks}
+    if len(fmts) != 1:
+        raise NotImplementedError(
+            "mixed sink formats/options: run one pipeline per format group "
+            "(the reference likewise has a single sink type, sink.go:3-13)"
+        )
+    fmt, fmt_opts = conf.sinks[0].format, conf.sinks[0].options
+
     files = [parts[p] for p in union_parts]
     df = _prepare(spark, conf, files)
 
-    use_persist = conf.scan_strategy == "persist" and len(conf.sinks) > 1
-    if use_persist:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # --- input-partition identity from parquet FOOTER metadata only
+    # (driver-side parallel footer reads, no scan, no Spark job) —
+    # the validateCpt analog (utils.go:128-133). At cluster scale
+    # these stats come from the Iceberg manifest.
+    in_stats = reader.files_identity({p: parts[p] for p in union_parts})
 
-    # input-partition identity (pre-filter) — recorded in every manifest
-    # entry and later compared by validate_manifest (FileMeta analog)
-    in_stats = {r["part"]: r for r in partition_stats(df).collect()}
+    # --- job 2 (the ONE heavy pass): parse -> enrich -> route-explode
+    # -> staged write partitioned by (sink, part). parse runs exactly
+    # once, inside the write stage (scan -> Arrow UDF -> broadcast join
+    # -> explode -> write: a single stage, no shuffle, no persist).
+    # Profiled alternative (persist + K filtered writes) REGRESSED with
+    # cores (cache pressure: stats+persist 14s@local[8] -> 26s@local[32]);
+    # this shape scales with the writes (~3.4x at 4x cores).
+    routed = explode_routed(df, conf.sinks).withColumn(
+        # per-row content hash shipped WITH the data: the readback
+        # stats (job 3) checksum what actually landed in the files
+        "row_hash", F.xxhash64("doc_id", "tok_hash")
+    )
+    pair_pred = F.lit(False)
+    for rule in conf.sinks:
+        if pending[rule.name]:
+            pair_pred = pair_pred | (
+                (F.col("sink") == rule.name) & F.col("part").isin(pending[rule.name])
+            )
+    staging = os.path.join(conf.workdir, "staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    routed.filter(pair_pred).write.format(fmt).mode("overwrite").partitionBy(
+        "sink", "part"
+    ).options(**fmt_opts).save(staging)
 
-    processed: dict[str, list[str]] = {}
+    # --- job 3 (tiny): per-(sink, part) lineage stats read back from
+    # the staged files themselves — column-pruned to (n_tok, row_hash)
+    # + partition columns, so it scans megabytes, not the data.
     try:
-        for rule in conf.sinks:
-            todo = pending[rule.name]
-            if not todo:
-                processed[rule.name] = []
-                continue
-            src = df if use_persist else _prepare(
-                spark, conf, [parts[p] for p in todo]
+        stats = {
+            (r["sink"], r["part"]): r
+            for r in spark.read.format(fmt)
+            .load(staging)
+            .groupBy("sink", "part")
+            .agg(
+                F.count("*").alias("row_count"),
+                F.sum("n_tok").alias("tok_total"),
+                F.coalesce(F.bit_xor("row_hash"), F.lit(0)).alias("checksum"),
             )
-            sdf = src.filter(F.expr(rule.predicate)).filter(
-                F.col("part").isin(todo)
+            .collect()
+        }
+    except Exception:  # zero rows staged -> no partition dirs to read
+        stats = {}
+
+    # --- ship + checkpoint, per sink in rule order: move each staged
+    # partition dir to the sink path (metadata-only rename), THEN
+    # commit its manifest row — push-then-checkpoint ordering
+    # (log_collector.go:208-215). Idempotent: a re-run replaces the
+    # same part dir exactly (effectively-once).
+    processed: dict[str, list[str]] = {}
+    for rule in conf.sinks:
+        todo = pending[rule.name]
+        if not todo:
+            processed[rule.name] = []
+            continue
+        committed = []
+        for p in todo:
+            src_dir = os.path.join(staging, f"sink={rule.name}", f"part={p}")
+            dst_dir = os.path.join(rule.path, f"part={p}")
+            if os.path.isdir(src_dir):
+                os.makedirs(rule.path, exist_ok=True)
+                shutil.rmtree(dst_dir, ignore_errors=True)
+                try:
+                    os.rename(src_dir, dst_dir)
+                except OSError:  # cross-device: copy fallback
+                    shutil.move(src_dir, dst_dir)
+            else:
+                # zero rows routed here this run: clear any stale data
+                # from a crashed earlier attempt so sink == staged truth
+                shutil.rmtree(dst_dir, ignore_errors=True)
+            if failpoint:
+                failpoint("before_commit", rule.name, p)
+            s = stats.get((rule.name, p))
+            ins = in_stats.get(p)
+            mf.commit(
+                conf.manifest_dir,
+                mf.ManifestEntry(
+                    sink=rule.name,
+                    part=p,
+                    row_count=int(s["row_count"]) if s else 0,
+                    tok_total=int(s["tok_total"]) if s else 0,
+                    checksum=int(s["checksum"]) if s else 0,
+                    watermark_offset=int(ins[0]) if ins else 0,
+                    committed_at=conf.committed_at,
+                    in_row_count=int(ins[0]) if ins else 0,
+                    in_checksum=int(ins[1]) if ins else 0,
+                ),
             )
-            # ship: idempotent per-partition overwrite (dynamic mode) —
-            # a crashed-and-retried partition replaces itself exactly
-            (
-                sdf.write.format(rule.format)
-                .mode("overwrite")
-                .partitionBy("part")
-                .options(**rule.options)
-                .save(rule.path)
-            )
-            # checkpoint: stats from the same frame, committed AFTER
-            # the sink write (push-then-checkpoint ordering)
-            stats = {r["part"]: r for r in partition_stats(sdf).collect()}
-            committed = []
-            for p in todo:
-                if failpoint:
-                    failpoint("before_commit", rule.name, p)
-                s = stats.get(p)
-                rc = int(s["row_count"]) if s else 0
-                ins = in_stats.get(p)
-                mf.commit(
-                    conf.manifest_dir,
-                    mf.ManifestEntry(
-                        sink=rule.name,
-                        part=p,
-                        row_count=rc,
-                        tok_total=int(s["tok_total"]) if s else 0,
-                        checksum=int(s["checksum"]) if s and s["checksum"] is not None else 0,
-                        watermark_offset=int(ins["row_count"]) if ins else 0,
-                        committed_at=conf.committed_at,
-                        in_row_count=int(ins["row_count"]) if ins else 0,
-                        in_checksum=int(ins["checksum"]) if ins and ins["checksum"] is not None else 0,
-                    ),
-                )
-                committed.append(p)
-                if failpoint:
-                    failpoint("after_commit", rule.name, p)
-            processed[rule.name] = committed
-    finally:
-        if use_persist:
-            df.unpersist()
+            committed.append(p)
+            if failpoint:
+                failpoint("after_commit", rule.name, p)
+        processed[rule.name] = committed
+    shutil.rmtree(staging, ignore_errors=True)
 
     metrics = sink_aggregates(explode_routed(_prepare(spark, conf, list(parts.values())), conf.sinks))
     return RunResult(processed=processed, skipped=skipped, metrics=metrics)

@@ -16,6 +16,8 @@ offset (collector.go:74-78).
 from __future__ import annotations
 
 import os
+import zlib
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +53,40 @@ def with_partition_id(df: DataFrame, col: str = "part") -> DataFrame:
     input_file_name() — pure expression, no shuffle."""
     base = F.element_at(F.split(F.input_file_name(), "/"), -1)
     return df.withColumn(col, F.regexp_replace(base, r"\.parquet$", ""))
+
+
+def file_identity(path: str) -> tuple[int, int]:
+    """(row_count, checksum) of one input file from parquet FOOTER
+    metadata only — no data scan. The checksum folds (num_rows,
+    serialized byte size, per-row-group doc_id min/max stats): the
+    exact analog of validateCpt's (dev, inode, offset <= size) check
+    (utils.go:128-133) — cheap identity, content-hash left to the
+    per-sink checksums. At cluster scale these stats come straight
+    from the Iceberg manifest; here we read footers driver-side."""
+    import pyarrow.parquet as pq
+
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        path = urlparse(path).path
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+    parts = [str(md.num_rows)]
+    for rg in range(md.num_row_groups):
+        col = md.row_group(rg).column(idx)
+        parts.append(str(col.total_compressed_size))
+        st = col.statistics
+        if st is not None and st.has_min_max:
+            parts.append(f"{st.min}|{st.max}")
+    blob = "\x1f".join(parts).encode()
+    return int(md.num_rows), zlib.crc32(blob)
+
+
+def files_identity(files: dict[str, str]) -> dict[str, tuple[int, int]]:
+    """{part: (row_count, checksum)} via parallel footer reads."""
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        vals = list(ex.map(file_identity, files.values()))
+    return dict(zip(files.keys(), vals))
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:

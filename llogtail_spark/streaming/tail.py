@@ -53,9 +53,11 @@ def _process_batch(spark: SparkSession, conf: PipelineConf, batch_df: DataFrame,
         df = enrich_stage(df, lookup, defaults=conf.enrich_defaults)
     df = df.persist()
     try:
-        from llogtail_spark.operators.aggregate import partition_stats
+        from llogtail_spark.operators.aggregate import pipeline_stats
 
-        in_stats = {r["part"]: r for r in partition_stats(df).collect()}
+        # ONE stats job per micro-batch (input identity + per-sink
+        # lineage via conditional aggregates), same as the batch path.
+        stats = {r["part"]: r for r in pipeline_stats(df, conf.sinks).collect()}
         for rule in conf.sinks:
             sdf = df.filter(F.expr(rule.predicate))
             (
@@ -64,20 +66,18 @@ def _process_batch(spark: SparkSession, conf: PipelineConf, batch_df: DataFrame,
                 .partitionBy("part")
                 .save(rule.path)
             )
-            stats = {r["part"]: r for r in partition_stats(sdf).collect()}
-            for p, ins in in_stats.items():
-                s = stats.get(p)
-                rc = int(s["row_count"]) if s else 0
+            for p, s in stats.items():
                 mf.commit(
                     conf.manifest_dir,
                     mf.ManifestEntry(
-                        sink=rule.name, part=p, row_count=rc,
-                        tok_total=int(s["tok_total"]) if s else 0,
-                        checksum=int(s["checksum"]) if s and s["checksum"] is not None else 0,
-                        watermark_offset=int(ins["row_count"]),
+                        sink=rule.name, part=p,
+                        row_count=int(s[f"rc__{rule.name}"]),
+                        tok_total=int(s[f"tt__{rule.name}"]),
+                        checksum=int(s[f"ck__{rule.name}"]),
+                        watermark_offset=int(s["in_row_count"]),
                         committed_at=conf.committed_at,
-                        in_row_count=int(ins["row_count"]),
-                        in_checksum=int(ins["checksum"]) if ins["checksum"] is not None else 0,
+                        in_row_count=int(s["in_row_count"]),
+                        in_checksum=int(s["in_checksum"]),
                     ),
                 )
     finally:
