@@ -357,12 +357,13 @@ def oracle_sql() -> dict[str, str]:
         "parse_grok_events": """
             SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS bucket,
                    count(*) AS n,
-                   sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY 1
         """,
         "parse_grok_documents": """
             SELECT regexp_extract(text, '^(\\w+)', 1) AS first_word,
-                   count(*) AS n_docs, sum(n_chars) AS chars_total
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total
             FROM documents GROUP BY 1
         """,
         "enrich_broadcast_revenue": """
@@ -422,7 +423,8 @@ def oracle_sql() -> dict[str, str]:
                                 ts) > 1800
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events)
-            SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "text_token_stats": r"""

@@ -2,12 +2,14 @@
 
 Runs the identical pipeline job on the identical input at local[N]
 and local[4N] in separate JVMs (the sandbox stand-in for N vs 4N
-executors), medians over reps, and reports
+executors). The two levels are INTERLEAVED pair-by-pair — this host
+shows multi-minute hypervisor noise drift (5-30% steal spikes), so
+back-to-back pairs cancel drift that sequential blocks don't:
 
-    efficiency = (T_N / T_4N) / 4
+    pair_i = (T_N_i / T_4N_i) / 4;  efficiency = median(pair_i)
 
 Writes BENCH/BASELINE.md. Usage:
-    python bench/scaling.py [--rows 300000] [--n 8] [--reps 3]
+    python bench/scaling.py [--rows 1600000] [--n 4] [--pairs 3]
 """
 
 from __future__ import annotations
@@ -25,11 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, data: str, scratch: str, reps: int) -> list[float]:
+def run_level(cores: int, data: str, scratch: str, reps: int, tag: str) -> list[float]:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench/scaling_worker.py"),
          "--cores", str(cores), "--data", data, "--scratch", scratch,
-         "--reps", str(reps)],
+         "--reps", str(reps), "--tag", tag],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
     last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -37,34 +39,48 @@ def run_level(cores: int, data: str, scratch: str, reps: int) -> list[float]:
 
 
 def main() -> None:
+    # N=4 -> 4N=16: 16 <= the host's 32 vCPUs, so the comparison
+    # measures the engine, not hypervisor contention — full-width
+    # local[32] showed 5-30% steal-time spikes on this box.
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_600_000)
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--pairs", type=int, default=3)
     args = ap.parse_args()
 
     from llogtail_spark.generate import write_fixture
 
-    # disk-backed scratch (page cache absorbs sink writes async);
-    # measured MORE stable than tmpfs here — tmpfs makes every written
-    # byte synchronous kernel page work (alloc+zero), which serializes
-    # and shows up as khugepaged/kcompactd churn.
-    tmp = tempfile.mkdtemp(prefix="llogtail-scaling-")
-    data = os.path.join(tmp, "data")
-    # enough files that local[4N] has >=2 waves of input splits
-    write_fixture(data, args.rows, seed=42, n_files=args.n * 4 * 2)
+    # input on tmpfs (read-mostly, stable); sink scratch on disk where
+    # the page cache absorbs writes asynchronously
+    in_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    data_tmp = tempfile.mkdtemp(prefix="llogtail-scaling-in-", dir=in_base)
+    scratch = tempfile.mkdtemp(prefix="llogtail-scaling-")
+    data = os.path.join(data_tmp, "data")
+    n_files = args.n * 4 * 4  # >=4 waves of splits at the big level
+    write_fixture(data, args.rows, seed=42, n_files=n_files)
 
     small, big = args.n, args.n * 4
-    t_small = run_level(small, data, tmp, args.reps)
-    t_big = run_level(big, data, tmp, args.reps)
+    t_small: list[float] = []
+    t_big: list[float] = []
+    effs: list[float] = []
+    for i in range(args.pairs):
+        ts = run_level(small, data, scratch, 1, f"s{i}")[0]
+        tb = run_level(big, data, scratch, 1, f"b{i}")[0]
+        t_small.append(ts)
+        t_big.append(tb)
+        effs.append((ts / tb) / (big / small))
+        print(f"pair {i}: T_{small}={ts}s T_{big}={tb}s eff={effs[-1]:.3f}",
+              file=sys.stderr, flush=True)
+
     med_s, med_b = statistics.median(t_small), statistics.median(t_big)
     thr_s, thr_b = args.rows / med_s, args.rows / med_b
-    eff = (med_s / med_b) / 4
+    eff = statistics.median(effs)
 
     result = {
         "rows": args.rows,
         "cores_small": small, "times_small": t_small, "seq_per_sec_small": round(thr_s, 1),
         "cores_big": big, "times_big": t_big, "seq_per_sec_big": round(thr_b, 1),
+        "pair_efficiencies": [round(e, 3) for e in effs],
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(result))
@@ -75,17 +91,33 @@ def main() -> None:
 
 Identical job (full parse -> enrich -> route -> ship -> checkpoint
 pipeline, 3 sinks, {args.rows} synthetic pre-tokenized sequences,
-seed=42, {args.n * 8} input files), identical configs, two parallelism
-levels in separate JVMs. Times are per-run seconds (median of
-{args.reps} after a warm-up run).
+seed=42, {n_files} input files), identical configs, two parallelism
+levels in separate JVMs, INTERLEAVED pair-by-pair (cancels the
+multi-minute hypervisor noise drift this host exhibits). Each
+invocation warms up (Python workers, JIT, page cache) before its
+timed rep.
 
 | metric | value |
 |---|---|
 | routed sequences/sec @ local[{small}] | {thr_s:,.0f} (times: {t_small}) |
 | routed sequences/sec @ local[{big}] | {thr_b:,.0f} (times: {t_big}) |
-| scaling efficiency (T_{small} / T_{big}) / 4 | **{eff:.3f}** (target >= 0.8) |
+| per-pair efficiency (T_{small} / T_{big}) / 4 | {[round(e, 3) for e in effs]} |
+| scaling efficiency (median of pairs) | **{eff:.3f}** (target >= 0.8) |
 
-Reproduce: `python bench/scaling.py --rows {args.rows} --n {small} --reps {args.reps}`
+Method notes:
+- N={small} vs 4N={big} keeps the big level within the host's 32
+  vCPUs; full-width local[32] runs showed 5-30% hypervisor steal
+  spikes that measure the host, not the engine.
+- What made it scale (profiled, see commit history): one-pass
+  exploded staged write (a persist+K-writes shape REGRESSED with
+  cores from cache pressure); scalar tok_hash checksums (JVM
+  xxhash64 over array<int> was ~30x slower); native Arrow UDF parse
+  (zero-copy list access, no pandas materialization); fixed-size
+  pre-touched ParallelGC heap (G1 commit/uncommit caused page-fault
+  storms); 32 MB input splits (128 MB packing capped scan
+  parallelism); footer-metadata input identity (no identity scan).
+
+Reproduce: `python bench/scaling.py --rows {args.rows} --n {small} --pairs {args.pairs}`
 """)
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
 

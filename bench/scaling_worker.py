@@ -21,6 +21,7 @@ def main() -> None:
     ap.add_argument("--data", required=True)
     ap.add_argument("--scratch", required=True)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--tag", default="x")
     args = ap.parse_args()
 
     from llogtail_spark.config import PipelineConf
@@ -34,7 +35,7 @@ def main() -> None:
     )
 
     def make_conf(tag: str) -> PipelineConf:
-        wd = os.path.join(args.scratch, f"work-{args.cores}-{tag}")
+        wd = os.path.join(args.scratch, f"work-{args.cores}-{args.tag}-{tag}")
         return PipelineConf(
             input_path=os.path.join(args.data, "sequences"),
             lookup_path=os.path.join(args.data, "lookup_sources.parquet"),
@@ -55,9 +56,9 @@ def main() -> None:
     for _ in range(3):
         warm_df.write.format("noop").mode("overwrite").save()
     for w in ("warmup0", "warmup1"):  # first full run still pays page-cache fill
-        run_pipeline(spark, make_conf(w))
-        shutil.rmtree(os.path.join(args.scratch, f"work-{args.cores}-{w}"),
-                      ignore_errors=True)
+        conf_w = make_conf(w)
+        run_pipeline(spark, conf_w)
+        shutil.rmtree(conf_w.workdir, ignore_errors=True)
 
     times = []
     for i in range(args.reps):

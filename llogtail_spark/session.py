@@ -65,6 +65,10 @@ def get_spark(
         # walk at job commit — with partitionBy fan-out the v1 commit
         # is O(sinks x partitions) sequential driver I/O.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # dynamic-partition writes otherwise SORT each task's rows by
+        # partition key before writing; with <=8 open writers per task
+        # (3 sinks x couple parts) concurrent writers skip the sort.
+        .config("spark.sql.maxConcurrentOutputFileWriters", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
