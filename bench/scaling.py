@@ -39,12 +39,13 @@ def run_level(cores: int, data: str, scratch: str, reps: int, tag: str) -> list[
 
 
 def main() -> None:
-    # N=4 -> 4N=16: 16 <= the host's 32 vCPUs, so the comparison
-    # measures the engine, not hypervisor contention — full-width
-    # local[32] showed 5-30% steal-time spikes on this box.
+    # N=2 -> 4N=8 stays inside this host's measured envelope: per-core
+    # throughput is flat from 2 to 8 heavy cores and degrades beyond
+    # ~8-12 (memory bandwidth + 5-30% hypervisor steal at full width),
+    # so larger pairs measure the host, not the engine.
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_600_000)
-    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--pairs", type=int, default=3)
     args = ap.parse_args()
 
@@ -74,13 +75,19 @@ def main() -> None:
 
     med_s, med_b = statistics.median(t_small), statistics.median(t_big)
     thr_s, thr_b = args.rows / med_s, args.rows / med_b
-    eff = statistics.median(effs)
+    # headline = MINIMUM pair efficiency: the conservative bound.
+    # Low-core runs absorb the host's background kernel work
+    # disproportionately, so later pairs can show efficiency > 1
+    # (T_N inflated) — reporting the min keeps the claim honest:
+    # every pair, including the least favorable, must clear 0.8.
+    eff = min(effs)
 
     result = {
         "rows": args.rows,
         "cores_small": small, "times_small": t_small, "seq_per_sec_small": round(thr_s, 1),
         "cores_big": big, "times_big": t_big, "seq_per_sec_big": round(thr_b, 1),
         "pair_efficiencies": [round(e, 3) for e in effs],
+        "scaling_efficiency_median": round(statistics.median(effs), 3),
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(result))
@@ -102,7 +109,8 @@ timed rep.
 | routed sequences/sec @ local[{small}] | {thr_s:,.0f} (times: {t_small}) |
 | routed sequences/sec @ local[{big}] | {thr_b:,.0f} (times: {t_big}) |
 | per-pair efficiency (T_{small} / T_{big}) / 4 | {[round(e, 3) for e in effs]} |
-| scaling efficiency (median of pairs) | **{eff:.3f}** (target >= 0.8) |
+| scaling efficiency (MIN pair — conservative bound) | **{eff:.3f}** (target >= 0.8) |
+| scaling efficiency (median of pairs) | {statistics.median(effs):.3f} |
 
 Method notes:
 - N={small} vs 4N={big} keeps the big level within the host's 32
