@@ -137,6 +137,47 @@ def _q_rollup_counts(spark, sf):
     )
 
 
+def _q_cube_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_quantity") * 100).cast("long").alias("qty_x100"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "qty_x100",
+        )
+    )
+
+
+def _q_set_ops_nations(spark, sf):
+    cu = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    su = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    return (
+        cu.intersect(su).agg(F.count("*").alias("n_common"))
+        .crossJoin(cu.exceptAll(su).agg(F.count("*").alias("n_cust_only")))
+        .crossJoin(cu.union(su).distinct().agg(F.count("*").alias("n_union")))
+    )
+
+
+def _q_topk_per_group(spark, sf):
+    from pyspark.sql import Window as W
+
+    od = _t(spark, sf, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "o_orderstatus", "o_orderkey", "rk",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_x100"),
+        )
+    )
+
+
 def _q_anti_join_resume(spark, sf):
     # the resume primitive: work items not present in the committed
     # set (manifest anti-join, pipeline.py) — here: orders with no
@@ -308,6 +349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast_revenue": _q_enrich_broadcast_revenue,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "rollup_counts": _q_rollup_counts,
+        "cube_counts": _q_cube_counts,
+        "set_ops_nations": _q_set_ops_nations,
+        "topk_per_group": _q_topk_per_group,
         "anti_join_resume": _q_anti_join_resume,
         "semi_join_active": _q_semi_join_active,
         "window_first_event": _q_window_first_event,
@@ -391,6 +435,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS linestatus,
                    count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_counts": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS n,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_x100
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "set_ops_nations": """
+            WITH cu AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+                 su AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+            SELECT
+              (SELECT count(*) FROM (SELECT nk FROM cu INTERSECT SELECT nk FROM su)) AS n_common,
+              (SELECT count(*) FROM (SELECT nk FROM cu EXCEPT SELECT nk FROM su)) AS n_cust_only,
+              (SELECT count(*) FROM (SELECT nk FROM cu UNION SELECT nk FROM su)) AS n_union
+        """,
+        "topk_per_group": """
+            SELECT o_orderstatus, o_orderkey, rk,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_x100
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM orders)
+            WHERE rk <= 2
         """,
         "anti_join_resume": """
             SELECT o_orderstatus, count(*) AS n,

@@ -1,0 +1,83 @@
+"""Physical-plan regression tests — the 100 TB guardrails.
+
+These pin the plan properties that make the engine scale, so a
+refactor that silently drops a broadcast, un-prunes a scan, or breaks
+whole-stage codegen fails CI rather than a cluster run.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_enrich_uses_broadcast_hash_join(spark, data_dir):
+    from llogtail_spark.operators.enrich import enrich_stage
+
+    df = spark.read.parquet(os.path.join(data_dir, "sequences"))
+    lookup = spark.read.parquet(os.path.join(data_dir, "lookup_sources.parquet"))
+    plan = _plan(enrich_stage(df, lookup))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # big side must never shuffle
+
+
+def test_routing_aggregation_is_partial_final(spark, data_dir):
+    """Catalyst must split the per-sink agg into partial (map-side
+    combine) + final — two HashAggregates around the exchange."""
+    from llogtail_spark.operators.aggregate import sink_aggregates
+    from llogtail_spark.operators.parse import parse_stage
+    from llogtail_spark.operators.route import SinkRule, explode_routed
+
+    df = parse_stage(spark.read.parquet(os.path.join(data_dir, "sequences")))
+    routed = explode_routed(df, [SinkRule("all", "true", "/dev/null")])
+    plan = _plan(sink_aggregates(routed))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scan_prunes_columns_for_narrow_agg(spark, data_dir):
+    """A count/sum over (part, n_tok) must not read the tokens array."""
+    from llogtail_spark.sources.reader import with_partition_id
+
+    df = with_partition_id(spark.read.parquet(os.path.join(data_dir, "sequences")))
+    narrow = df.groupBy("part").agg(F.sum("n_tok"))
+    plan = _formatted(narrow)
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and "tokens" not in rs[0], rs
+
+
+def test_filter_pushdown_reaches_scan(spark, data_dir):
+    df = spark.read.parquet(os.path.join(data_dir, "sequences"))
+    q = df.filter(F.col("source") == "error.log").select("doc_id")
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,error.log)]" in plan
+
+
+def test_parse_stage_single_python_eval(spark, data_dir):
+    """Exactly ONE Arrow/Python evaluation node: the parse UDF runs
+    once, not per derived column."""
+    from llogtail_spark.operators.parse import parse_stage
+
+    df = parse_stage(spark.read.parquet(os.path.join(data_dir, "sequences")))
+    plan = _plan(df)
+    n_eval = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_eval == 1, plan[:2000]
+
+
+def test_topk_single_shuffle(spark):
+    """row_number top-k per group: one exchange (hash by group), no
+    global sort."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["topk_per_group"](spark, "/root/testdata/sf0.001")
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
