@@ -137,6 +137,28 @@ def _q_rollup_counts(spark, sf):
     )
 
 
+def _q_json_extract_events(spark, sf):
+    # kDataUnit envelope analog (buffer.go:18-29): JSON field access
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy(F.pmod(k, F.lit(5)).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def _q_events_by_day(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
 def _q_cube_counts(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -350,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _q_agg_pricing_summary,
         "rollup_counts": _q_rollup_counts,
         "cube_counts": _q_cube_counts,
+        "json_extract_events": _q_json_extract_events,
+        "events_by_day": _q_events_by_day,
         "set_ops_nations": _q_set_ops_nations,
         "topk_per_group": _q_topk_per_group,
         "anti_join_resume": _q_anti_join_resume,
@@ -435,6 +459,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS linestatus,
                    count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "json_extract_events": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS bucket,
+                   count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY 1
+        """,
+        "events_by_day": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1
         """,
         "cube_counts": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
