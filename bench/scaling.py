@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import statistics
 import subprocess
 import sys
@@ -128,6 +129,8 @@ Method notes:
 Reproduce: `python bench/scaling.py --rows {args.rows} --n {small} --pairs {args.pairs}`
 """)
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    shutil.rmtree(data_tmp, ignore_errors=True)  # tmpfs fixture = RAM
+    shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":

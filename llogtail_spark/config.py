@@ -13,8 +13,7 @@ keeps the config-file-drives-everything shape:
   "sinks": [ {"name": "...", "predicate": "...", "path": "...",
               "format": "parquet"}, ... ],
   "enrich_defaults": {"facility": "unknown", "team": "unassigned",
-                      "min_level": 0},
-  "scan_strategy": "persist"             # persist | recompute
+                      "min_level": 0}
 }
 """
 

@@ -79,8 +79,16 @@ def read_all(manifest_dir: str) -> list[ManifestEntry]:
     for name in sorted(os.listdir(manifest_dir)):
         if not name.endswith(".json"):
             continue
-        with open(os.path.join(manifest_dir, name)) as f:
-            out.append(ManifestEntry(**json.load(f)))
+        path = os.path.join(manifest_dir, name)
+        try:
+            with open(path) as f:
+                out.append(ManifestEntry(**json.load(f)))
+        except (json.JSONDecodeError, TypeError, OSError):
+            # truncated/corrupt entry (e.g. power loss persisted the
+            # rename but not the bytes, since commit doesn't fsync):
+            # drop it — the partition simply counts as uncommitted and
+            # is reprocessed, which the idempotent overwrite makes safe
+            os.unlink(path)
     return out
 
 

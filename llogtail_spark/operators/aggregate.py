@@ -87,22 +87,6 @@ def salted_sink_aggregates(routed: DataFrame, n_salts: int = 64) -> DataFrame:
     )
 
 
-def input_identity(df: DataFrame, part_col: str = "part") -> DataFrame:
-    """Cheap per-partition INPUT identity for resume validation —
-    (row_count, tok_total, xor(xxhash64(doc_id, n_tok))). Pure JVM
-    scalar expressions over a column-pruned scan (doc_id, n_tok): no
-    parse, no Python, no token arrays. This mirrors the reference's
-    validateCpt, which compares (dev, inode, offset<=size) and leaves
-    the content-hash check as a TODO (utils.go:128-133) — content
-    equality is enforced separately by the per-sink checksums over
-    tok_hash, which DO cover the token arrays."""
-    return df.groupBy(part_col).agg(
-        F.count("*").alias("in_row_count"),
-        F.sum("n_tok").alias("in_tok_total"),
-        F.coalesce(F.bit_xor(F.xxhash64("doc_id", "n_tok")), F.lit(0)).alias("in_checksum"),
-    )
-
-
 def pipeline_stats(df: DataFrame, rules) -> DataFrame:
     """ONE-job lineage stats for the pipeline: per input partition,
     the input identity (in_row_count, in_tok_total, in_checksum) plus

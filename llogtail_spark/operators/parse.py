@@ -149,9 +149,6 @@ except ImportError:  # pre-4.x Spark: pandas UDF fallbacks
         return _decode_batch(tokens).to_pandas()
 
 
-def ensure_token_hash(df: DataFrame, col: str = "tok_hash") -> DataFrame:
-    """Attach tok_hash if absent (no-op on parse_stage output)."""
-    return df if col in df.columns else df.withColumn(col, token_hash("tokens"))
 
 
 def _list_parts_zero_copy(tokens: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
@@ -236,7 +233,12 @@ def make_parse_udf(grok_pattern: str = DEFAULT_GROK):
         lists = pa.ListArray.from_arrays(
             pa.array(offsets.astype(np.int32)), pa.array(flat, type=pa.int32())
         )
-        return _parse_kernel(lists, rx, code_rx, levels, level_nums).to_pandas()
+        st = _parse_kernel(lists, rx, code_rx, levels, level_nums)
+        # StructType pandas_udf must return a DataFrame (a StructArray
+        # .to_pandas() is a Series of dicts)
+        return pa.Table.from_arrays(
+            st.flatten(), names=[f.name for f in st.type]
+        ).to_pandas()
 
     return parse_pd
 

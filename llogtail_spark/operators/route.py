@@ -14,10 +14,17 @@ the single llogtail sink receives everything keyed by file.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# sink names and partition ids become literal path segments
+# (sink=<name>/part=<id>) that are later re-joined with os.path —
+# Spark's partition-value escaping (%20 etc.) would silently break
+# that round trip, so restrict to characters that never get escaped.
+SAFE_NAME = re.compile(r"^[A-Za-z0-9._-]+$")
 
 
 @dataclass(frozen=True)
@@ -30,6 +37,13 @@ class SinkRule:
     path: str
     format: str = "parquet"
     options: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if not SAFE_NAME.match(self.name):
+            raise ValueError(
+                f"sink name {self.name!r} must match {SAFE_NAME.pattern} "
+                "(it becomes a partition path segment)"
+            )
 
 
 def load_rules(conf: str | list[dict]) -> list[SinkRule]:

@@ -109,6 +109,15 @@ def run_pipeline(
         return RunResult(processed={r.name: [] for r in conf.sinks},
                          skipped=skipped, metrics=None)
 
+    from llogtail_spark.operators.route import SAFE_NAME
+
+    bad = [p for p in union_parts if not SAFE_NAME.match(p)]
+    if bad:
+        raise ValueError(
+            f"partition ids {bad[:3]} contain characters Spark would "
+            "escape in partition paths; rename the input files"
+        )
+
     fmts = {(r.format, tuple(sorted(r.options.items()))) for r in conf.sinks}
     if len(fmts) != 1:
         raise NotImplementedError(
@@ -153,7 +162,13 @@ def run_pipeline(
     # --- job 3 (tiny): per-(sink, part) lineage stats read back from
     # the staged files themselves — column-pruned to (n_tok, row_hash)
     # + partition columns, so it scans megabytes, not the data.
-    try:
+    # Zero rows staged is detected explicitly (no sink= dirs), NOT by
+    # swallowing exceptions — a transient readback failure must fail
+    # the run rather than commit row_count=0 manifests over real data.
+    staged_any = any(
+        e.name.startswith("sink=") for e in os.scandir(staging)
+    ) if os.path.isdir(staging) else False
+    if staged_any:
         stats = {
             (r["sink"], r["part"]): r
             for r in spark.read.format(fmt)
@@ -166,7 +181,7 @@ def run_pipeline(
             )
             .collect()
         }
-    except Exception:  # zero rows staged -> no partition dirs to read
+    else:
         stats = {}
 
     # --- ship + checkpoint, per sink in rule order: move each staged

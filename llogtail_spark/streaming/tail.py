@@ -55,9 +55,17 @@ def _process_batch(spark: SparkSession, conf: PipelineConf, batch_df: DataFrame,
     try:
         from llogtail_spark.operators.aggregate import pipeline_stats
 
-        # ONE stats job per micro-batch (input identity + per-sink
-        # lineage via conditional aggregates), same as the batch path.
+        # ONE stats job per micro-batch for per-sink lineage counts.
         stats = {r["part"]: r for r in pipeline_stats(df, conf.sinks).collect()}
+        # input identity from parquet FOOTER metadata — the SAME
+        # definition validate_manifest recomputes (a content-hash
+        # in_checksum here would make every streamed entry look
+        # stale). batch_df.inputFiles() is empty for streaming frames,
+        # so resolve the batch's parts against the table's file list.
+        all_parts = reader.list_parts(spark, conf.input_path)
+        in_ids = reader.files_identity(
+            {p: all_parts[p] for p in stats if p in all_parts}
+        )
         for rule in conf.sinks:
             sdf = df.filter(F.expr(rule.predicate))
             (
@@ -67,6 +75,7 @@ def _process_batch(spark: SparkSession, conf: PipelineConf, batch_df: DataFrame,
                 .save(rule.path)
             )
             for p, s in stats.items():
+                ins = in_ids.get(p)
                 mf.commit(
                     conf.manifest_dir,
                     mf.ManifestEntry(
@@ -74,10 +83,10 @@ def _process_batch(spark: SparkSession, conf: PipelineConf, batch_df: DataFrame,
                         row_count=int(s[f"rc__{rule.name}"]),
                         tok_total=int(s[f"tt__{rule.name}"]),
                         checksum=int(s[f"ck__{rule.name}"]),
-                        watermark_offset=int(s["in_row_count"]),
+                        watermark_offset=int(ins[0]) if ins else int(s["in_row_count"]),
                         committed_at=conf.committed_at,
-                        in_row_count=int(s["in_row_count"]),
-                        in_checksum=int(s["in_checksum"]),
+                        in_row_count=int(ins[0]) if ins else int(s["in_row_count"]),
+                        in_checksum=int(ins[1]) if ins else 0,
                     ),
                 )
     finally:

@@ -58,3 +58,22 @@ def test_invalidate_removes_only_target(tmp_path):
 
 def test_read_missing_dir_is_empty(tmp_path):
     assert mf.read_all(str(tmp_path / "nope")) == []
+
+
+def test_read_all_drops_corrupt_entries(tmp_path):
+    """A truncated entry (rename persisted, bytes not — commit doesn't
+    fsync) must not poison the manifest: it is dropped, so the
+    partition counts as uncommitted and gets reprocessed."""
+    import os
+
+    from llogtail_spark import manifest as mf
+
+    d = str(tmp_path)
+    mf.commit(d, _entry("errors", "p1"))
+    corrupt = os.path.join(d, "errors__p2.json")
+    with open(corrupt, "w") as f:
+        f.write('{"sink": "errors", "part"')  # truncated
+    entries = mf.read_all(d)
+    assert [e.part for e in entries] == ["p1"]
+    assert not os.path.exists(corrupt)
+    assert mf.committed_parts(d, "errors") == {"p1"}

@@ -78,3 +78,18 @@ def test_windowed_severity_counts(spark):
     assert sum(r["n"] for r in rows) == events.count()
     kinds = {r["event_type"] for r in rows}
     assert "error" in kinds
+
+
+def test_stream_manifest_validates_clean(spark, tmp_path):
+    """Entries committed by the streaming path must carry the SAME
+    input-identity definition validate_manifest recomputes (footer
+    metadata) — otherwise every streamed partition looks stale."""
+    from llogtail_spark.pipeline import validate_manifest
+
+    data = str(tmp_path / "data")
+    write_fixture(data, 300, seed=7, n_files=2)
+    conf = _conf(data, tmp_path / "wv")
+    q = stream_pipeline(spark, conf)
+    q.awaitTermination(120)
+    assert len(mf.read_all(conf.manifest_dir)) == 4  # 2 sinks x 2 parts
+    assert validate_manifest(spark, conf) == []  # nothing stale
