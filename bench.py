@@ -38,8 +38,12 @@ BENCH_QUERIES = [
     "parse_grok_events",
     "enrich_broadcast_revenue",
     "agg_pricing_summary",
+    "cube_counts",
+    "topk_per_group",
     "window_first_event",
     "sessionize",
+    "events_by_day",
+    "json_extract_events",
     "text_token_stats",
     "text_fingerprint",
     "dedup_exact_docs",

@@ -86,3 +86,25 @@ def test_topk_single_shuffle(spark):
     plan = _plan(q)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_pipeline_write_path_has_no_shuffle(spark, data_dir):
+    """The heavy pass (scan -> parse UDF -> broadcast enrich ->
+    route-explode) must be exchange-free apart from the broadcast —
+    one stage feeding the writer."""
+    from llogtail_spark.operators.enrich import enrich_stage
+    from llogtail_spark.operators.parse import parse_stage
+    from llogtail_spark.operators.route import SinkRule, explode_routed
+    from llogtail_spark.sources.reader import with_partition_id
+
+    df = with_partition_id(spark.read.parquet(os.path.join(data_dir, "sequences")))
+    lookup = spark.read.parquet(os.path.join(data_dir, "lookup_sources.parquet"))
+    routed = explode_routed(
+        enrich_stage(parse_stage(df), lookup),
+        [SinkRule("errors", "level_num >= 40", "/dev/null"),
+         SinkRule("firehose", "true", "/dev/null")],
+    ).withColumn("row_hash", F.xxhash64("doc_id", "tok_hash"))
+    plan = _plan(routed)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan  # the lookup rides to executors
