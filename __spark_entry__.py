@@ -148,6 +148,21 @@ def _q_json_extract_events(spark, sf):
     )
 
 
+def _q_window_tumbling_counts(spark, sf):
+    # batch twin of streaming.windowed_severity_counts (tail.py):
+    # tumbling 1h windows over event time
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value") * 100).cast("long").alias("value_cents"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour"),
+            "event_type", "n", "value_cents",
+        )
+    )
+
+
 def _q_events_by_day(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy(
@@ -374,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": _q_cube_counts,
         "json_extract_events": _q_json_extract_events,
         "events_by_day": _q_events_by_day,
+        "window_tumbling_counts": _q_window_tumbling_counts,
         "set_ops_nations": _q_set_ops_nations,
         "topk_per_group": _q_topk_per_group,
         "anti_join_resume": _q_anti_join_resume,
@@ -466,6 +482,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY 1
+        """,
+        "window_tumbling_counts": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type, count(*) AS n,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
         """,
         "events_by_day": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
