@@ -26,6 +26,7 @@ pruned file list into the scan, so committed data is never even read.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import tempfile
@@ -72,6 +73,14 @@ def commit(manifest_dir: str, entry: ManifestEntry) -> str:
     return final
 
 
+_FIELDS = {f.name for f in dataclasses.fields(ManifestEntry)}
+_REQUIRED = {
+    f.name
+    for f in dataclasses.fields(ManifestEntry)
+    if f.default is dataclasses.MISSING
+}
+
+
 def read_all(manifest_dir: str) -> list[ManifestEntry]:
     if not os.path.isdir(manifest_dir):
         return []
@@ -80,15 +89,28 @@ def read_all(manifest_dir: str) -> list[ManifestEntry]:
         if not name.endswith(".json"):
             continue
         path = os.path.join(manifest_dir, name)
-        try:
-            with open(path) as f:
-                out.append(ManifestEntry(**json.load(f)))
-        except (json.JSONDecodeError, TypeError, OSError):
-            # truncated/corrupt entry (e.g. power loss persisted the
-            # rename but not the bytes, since commit doesn't fsync):
-            # drop it — the partition simply counts as uncommitted and
-            # is reprocessed, which the idempotent overwrite makes safe
-            os.unlink(path)
+        # OSError (EACCES, transient I/O) propagates: a read failure is
+        # NOT evidence the entry is bad, and deleting a valid committed
+        # record silently forces reprocessing.
+        with open(path) as f:
+            try:
+                d = json.load(f)
+            except json.JSONDecodeError:
+                # truncated/corrupt bytes (power loss persisted the
+                # rename but not the data, since commit doesn't fsync):
+                # drop it — the partition counts as uncommitted and is
+                # reprocessed; the idempotent overwrite makes that safe
+                os.unlink(path)
+                continue
+        if not isinstance(d, dict) or not _REQUIRED <= d.keys():
+            # schema mismatch is an operator error, not corruption —
+            # surface it instead of destroying the entry
+            raise ValueError(
+                f"manifest entry {path} has unrecognized schema: "
+                f"{sorted(d) if isinstance(d, dict) else type(d).__name__}"
+            )
+        # unknown extra keys are ignored (forward compatibility)
+        out.append(ManifestEntry(**{k: v for k, v in d.items() if k in _FIELDS}))
     return out
 
 

@@ -42,7 +42,6 @@ from pyspark.sql import functions as F
 
 from llogtail_spark import manifest as mf
 from llogtail_spark.config import PipelineConf
-from llogtail_spark.operators.aggregate import sink_aggregates
 from llogtail_spark.operators.enrich import enrich_stage
 from llogtail_spark.operators.parse import parse_stage
 from llogtail_spark.operators.route import explode_routed
@@ -169,11 +168,17 @@ def run_pipeline(
         e.name.startswith("sink=") for e in os.scandir(staging)
     ) if os.path.isdir(staging) else False
     if staged_any:
+        # belt-and-braces with the session-level inference-off config:
+        # sink/part are OUR string keys; a numeric basename read back
+        # as int would miss the stats lookup and commit zero counts.
         stats = {
-            (r["sink"], r["part"]): r
+            (str(r["sink"]), str(r["part"])): r
             for r in spark.read.format(fmt)
             .load(staging)
-            .groupBy("sink", "part")
+            .groupBy(
+                F.col("sink").cast("string").alias("sink"),
+                F.col("part").cast("string").alias("part"),
+            )
             .agg(
                 F.count("*").alias("row_count"),
                 F.sum("n_tok").alias("tok_total"),
@@ -234,8 +239,38 @@ def run_pipeline(
         processed[rule.name] = committed
     shutil.rmtree(staging, ignore_errors=True)
 
-    metrics = sink_aggregates(explode_routed(_prepare(spark, conf, list(parts.values())), conf.sinks))
+    metrics = _metrics_from_manifest(spark, conf)
     return RunResult(processed=processed, skipped=skipped, metrics=metrics)
+
+
+def _metrics_from_manifest(spark: SparkSession, conf: PipelineConf) -> DataFrame:
+    """Per-sink rollups derived from the lineage manifest — zero data
+    scans. The manifest rows ARE the job-3 readback stats (row_count,
+    tok_total, checksum per (sink, part)), so folding them reproduces
+    sink_aggregates' totals exactly (sum/sum/XOR are decomposable)
+    without the full-table re-parse a second aggregation pass would
+    cost (on a 100 TB table with a 1-partition increment, that re-parse
+    would re-read the entire table just to report metrics)."""
+    from llogtail_spark.operators.aggregate import BYTES_PER_TOKEN
+
+    per_sink: dict[str, dict[str, int]] = {}
+    for e in mf.read_all(conf.manifest_dir):
+        m = per_sink.setdefault(
+            e.sink, {"row_count": 0, "tok_total": 0, "checksum": 0, "n_parts": 0}
+        )
+        m["row_count"] += e.row_count
+        m["tok_total"] += e.tok_total
+        m["checksum"] ^= e.checksum
+        m["n_parts"] += 1
+    rows = [
+        (s, m["row_count"], m["tok_total"], m["tok_total"] * BYTES_PER_TOKEN,
+         m["checksum"], m["n_parts"])
+        for s, m in sorted(per_sink.items())
+    ]
+    return spark.createDataFrame(
+        rows, "sink string, row_count long, tok_total long, byte_total long, "
+              "checksum long, n_parts long",
+    )
 
 
 def read_sink(spark: SparkSession, conf: PipelineConf, sink: str) -> DataFrame:

@@ -61,10 +61,17 @@ def get_spark(
         # resume replaces rather than duplicates (upgrades llogtail's
         # at-least-once push-then-checkpoint to effectively-once).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # v2 committer: task-side renames instead of a serial driver
-        # walk at job commit — with partitionBy fan-out the v1 commit
-        # is O(sinks x partitions) sequential driver I/O.
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # v1 committer: v2's task-side commit is non-atomic — a task
+        # retried after a partial commit can leave duplicate files that
+        # ship and self-consistently checksum. v1's job-commit rename
+        # walk is metadata-only, and the pipeline's staged-rename ship
+        # already avoids serial driver I/O at the final destination;
+        # measured cost of v1 vs v2 on the bench pipeline: <2%.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "1")
+        # partition values in staged paths are OUR string keys (sink
+        # name, input-file basename); inference would read a numeric
+        # basename back as int/date and break manifest stat lookups.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # dynamic-partition writes otherwise SORT each task's rows by
         # partition key before writing; with <=8 open writers per task
         # (3 sinks x couple parts) concurrent writers skip the sort.

@@ -22,6 +22,7 @@ way the 4 MB buffer bounds a fetch (buffer.go:31-36).
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,15 +44,45 @@ SEQUENCES_SCHEMA = T.StructType(
 )
 
 
+def _resolve_batch_files(
+    spark: SparkSession, input_path: str, parts: list[str], cache: dict
+) -> dict[str, str]:
+    """{part: file} for just this micro-batch's partitions — O(batch),
+    not O(table). Partition ids are file basenames directly under the
+    table dir, so the common case is a pure path construction with no
+    listing at all; a part that doesn't resolve (nested layout, URI
+    scheme) falls back to ONE table listing cached for the stream's
+    lifetime and refreshed only when a part is genuinely unknown."""
+    out: dict[str, str] = {}
+    missing: list[str] = []
+    for p in parts:
+        cand = os.path.join(input_path, f"{p}.parquet")
+        if os.path.exists(cand):
+            out[p] = cand
+        else:
+            missing.append(p)
+    if missing:
+        listed = cache.get("parts")
+        if listed is None or any(p not in listed for p in missing):
+            listed = cache["parts"] = reader.list_parts(spark, input_path)
+        for p in missing:
+            if p in listed:
+                out[p] = listed[p]
+    return out
+
+
 def _process_batch(spark: SparkSession, conf: PipelineConf, batch_df: DataFrame,
-                   batch_id: int) -> None:
+                   batch_id: int, cache: dict | None = None) -> None:
     """One micro-batch through parse -> enrich -> route -> ship -> cpt."""
     df = reader.with_partition_id(batch_df)
     df = parse_stage(df, conf.grok)
     if conf.lookup_path:
         lookup = spark.read.parquet(conf.lookup_path)
         df = enrich_stage(df, lookup, defaults=conf.enrich_defaults)
-    df = df.persist()
+    # schema parity with the batch pipeline's sinks: the same per-row
+    # content hash ships WITH the data, so batch and streaming runs
+    # against the same sink paths stay single-schema.
+    df = df.withColumn("row_hash", F.xxhash64("doc_id", "tok_hash")).persist()
     try:
         from llogtail_spark.operators.aggregate import pipeline_stats
 
@@ -61,11 +92,11 @@ def _process_batch(spark: SparkSession, conf: PipelineConf, batch_df: DataFrame,
         # definition validate_manifest recomputes (a content-hash
         # in_checksum here would make every streamed entry look
         # stale). batch_df.inputFiles() is empty for streaming frames,
-        # so resolve the batch's parts against the table's file list.
-        all_parts = reader.list_parts(spark, conf.input_path)
-        in_ids = reader.files_identity(
-            {p: all_parts[p] for p in stats if p in all_parts}
+        # so resolve only THIS batch's parts to files (O(batch) work).
+        batch_files = _resolve_batch_files(
+            spark, conf.input_path, list(stats), cache if cache is not None else {}
         )
+        in_ids = reader.files_identity(batch_files) if batch_files else {}
         for rule in conf.sinks:
             sdf = df.filter(F.expr(rule.predicate))
             (
@@ -76,6 +107,18 @@ def _process_batch(spark: SparkSession, conf: PipelineConf, batch_df: DataFrame,
             )
             for p, s in stats.items():
                 ins = in_ids.get(p)
+                if ins is None:
+                    # identity unresolved (file vanished/renamed mid-
+                    # batch): committing in_checksum=0 would create an
+                    # entry validate_manifest always flags stale. Leave
+                    # the part UNCOMMITTED — the sink write above is
+                    # idempotent, so the reprocess on restart is exact.
+                    print(
+                        f"llogtail_spark: batch {batch_id} part {p!r} has no "
+                        "resolvable input identity; skipping manifest commit",
+                        file=sys.stderr,
+                    )
+                    continue
                 mf.commit(
                     conf.manifest_dir,
                     mf.ManifestEntry(
@@ -83,10 +126,10 @@ def _process_batch(spark: SparkSession, conf: PipelineConf, batch_df: DataFrame,
                         row_count=int(s[f"rc__{rule.name}"]),
                         tok_total=int(s[f"tt__{rule.name}"]),
                         checksum=int(s[f"ck__{rule.name}"]),
-                        watermark_offset=int(ins[0]) if ins else int(s["in_row_count"]),
+                        watermark_offset=int(ins[0]),
                         committed_at=conf.committed_at,
-                        in_row_count=int(ins[0]) if ins else int(s["in_row_count"]),
-                        in_checksum=int(ins[1]) if ins else 0,
+                        in_row_count=int(ins[0]),
+                        in_checksum=int(ins[1]),
                     ),
                 )
     finally:
@@ -112,9 +155,10 @@ def stream_pipeline(
         .options(**opts)
         .parquet(conf.input_path)
     )
+    cache: dict = {}  # per-stream part->file listing cache (fallback only)
     writer = (
         stream.writeStream.foreachBatch(
-            lambda bdf, bid: _process_batch(spark, conf, bdf, bid)
+            lambda bdf, bid: _process_batch(spark, conf, bdf, bid, cache)
         )
         .option("checkpointLocation", os.path.join(conf.workdir, "stream_cpt"))
     )

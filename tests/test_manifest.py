@@ -77,3 +77,39 @@ def test_read_all_drops_corrupt_entries(tmp_path):
     assert [e.part for e in entries] == ["p1"]
     assert not os.path.exists(corrupt)
     assert mf.committed_parts(d, "errors") == {"p1"}
+
+
+def test_read_all_ignores_unknown_extra_fields(tmp_path):
+    """Forward compatibility: an entry written by a NEWER version with
+    extra fields is still readable — never deleted, never fatal."""
+    import json
+    import os
+
+    d = str(tmp_path)
+    mf.commit(d, _entry("errors", "p1"))
+    path = os.path.join(d, "errors__p1.json")
+    with open(path) as f:
+        data = json.load(f)
+    data["future_field"] = "x"
+    with open(path, "w") as f:
+        json.dump(data, f)
+    entries = mf.read_all(d)
+    assert len(entries) == 1 and entries[0].part == "p1"
+    assert os.path.exists(path)  # not destroyed
+
+
+def test_read_all_surfaces_schema_mismatch_as_error(tmp_path):
+    """Valid JSON that is NOT a manifest entry (missing required
+    fields) is an operator error — surfaced, not silently deleted."""
+    import json
+    import os
+    import pytest
+
+    d = str(tmp_path)
+    path = os.path.join(d, "errors__p9.json")
+    os.makedirs(d, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"sink": "errors"}, f)  # missing everything else
+    with pytest.raises(ValueError, match="unrecognized schema"):
+        mf.read_all(d)
+    assert os.path.exists(path)  # entry preserved for inspection

@@ -127,3 +127,53 @@ def test_zero_match_input_raises(spark, tmp_path):
     conf = make_conf(str(tmp_path / "empty"), tmp_path / "w5")
     with pytest.raises(Exception):
         run_pipeline(spark, conf)  # findFiles zero-match analog
+
+
+def test_numeric_basename_part_keeps_manifest_stats(spark, tmp_path):
+    """An all-digit input basename must not be re-inferred as int on
+    the staged readback (partition type inference) — that would miss
+    the stats lookup and commit row_count=0 over real data."""
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.generate import generate_sequences
+
+    data = tmp_path / "seq"
+    os.makedirs(data)
+    pq.write_table(generate_sequences(100, seed=5), str(data / "00123.parquet"))
+    wd = str(tmp_path / "w-num")
+    conf = PipelineConf(
+        input_path=str(data), lookup_path=None, workdir=wd,
+        sinks=[SinkRule("firehose", "true", os.path.join(wd, "out/firehose"))],
+    )
+    res = run_pipeline(spark, conf)
+    assert res.processed["firehose"] == ["00123"]
+    (entry,) = mf.read_all(conf.manifest_dir)
+    assert entry.part == "00123"
+    assert entry.row_count == 100
+    assert entry.tok_total > 0
+    assert entry.checksum != 0
+
+
+def test_metrics_need_no_input_reparse(spark, data_dir, oracle_pdf, tmp_path):
+    """RunResult.metrics derives from the manifest (job-3 readback
+    stats), never a second parse: collecting it after the INPUT IS
+    GONE must still work and match the oracle, with at most one tiny
+    local job (no file scan)."""
+    import shutil
+
+    data = str(tmp_path / "data-copy")
+    shutil.copytree(data_dir, data)
+    conf = make_conf(data, tmp_path / "w-metrics")
+    sc = spark.sparkContext
+    res = run_pipeline(spark, conf)
+
+    shutil.rmtree(os.path.join(data, "sequences"))  # input vanishes
+    sc.setJobGroup("metrics-collect", "collect derived metrics")
+    m = {r["sink"]: r.asDict() for r in res.metrics.collect()}
+    sc.setJobGroup("after", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("metrics-collect")
+    assert len(jobs) <= 1  # LocalTableScan only — no re-parse possible
+    for sink, want in _expected(oracle_pdf).items():
+        assert m[sink]["row_count"] == len(want)
+        assert m[sink]["tok_total"] == int(want["n_tok"].sum())
+        assert m[sink]["n_parts"] == 6

@@ -93,3 +93,62 @@ def test_stream_manifest_validates_clean(spark, tmp_path):
     q.awaitTermination(120)
     assert len(mf.read_all(conf.manifest_dir)) == 4  # 2 sinks x 2 parts
     assert validate_manifest(spark, conf) == []  # nothing stale
+
+
+def test_stream_sinks_carry_row_hash_like_batch(spark, tmp_path):
+    """Batch sinks ship a row_hash data column; the streaming twin
+    must write the same schema so a sink fed by both stays
+    single-schema (read_sink resolves schema from one footer)."""
+    data = str(tmp_path / "data")
+    write_fixture(data, 200, seed=21, n_files=2)
+    conf = _conf(data, tmp_path / "w")
+    q = stream_pipeline(spark, conf)
+    q.awaitTermination(120)
+    fire = spark.read.parquet(conf.sinks[1].path)
+    assert "row_hash" in fire.columns
+    assert fire.filter(F.col("row_hash").isNull()).count() == 0
+    # same definition as the batch path: xxhash64(doc_id, tok_hash)
+    bad = fire.filter(
+        F.col("row_hash") != F.xxhash64("doc_id", "tok_hash")
+    ).count()
+    assert bad == 0
+
+
+def test_stream_identity_work_is_per_batch_not_per_table(spark, tmp_path, monkeypatch):
+    """Per micro-batch, footer-identity reads must cover only the
+    batch's own files, and the common path must not re-list the whole
+    table (O(batch), not O(table), driver work per trigger)."""
+    from llogtail_spark.sources import reader as rd
+
+    data = str(tmp_path / "data")
+    write_fixture(data, 600, seed=31, n_files=3)
+    conf = _conf(data, tmp_path / "w")
+
+    identity_calls: list[list[str]] = []
+    list_calls: list[str] = []
+    real_files_identity = rd.files_identity
+    real_list_parts = rd.list_parts
+    monkeypatch.setattr(
+        rd, "files_identity",
+        lambda files: (identity_calls.append(sorted(files)), real_files_identity(files))[1],
+    )
+    monkeypatch.setattr(
+        rd, "list_parts",
+        lambda spark_, path: (list_calls.append(path), real_list_parts(spark_, path))[1],
+    )
+
+    q = stream_pipeline(spark, conf)
+    q.awaitTermination(120)
+    assert identity_calls and all(len(c) <= 3 for c in identity_calls)
+    assert list_calls == []  # direct path construction, no table listing
+
+    # one new file lands; the next batch touches ONLY its footer
+    import pyarrow.parquet as pq
+
+    extra = generate_sequences(50, seed=77)
+    pq.write_table(extra, os.path.join(data, "sequences", "part-99999.parquet"))
+    identity_calls.clear()
+    q2 = stream_pipeline(spark, conf)
+    q2.awaitTermination(120)
+    assert identity_calls == [["part-99999"]]
+    assert list_calls == []
