@@ -334,10 +334,12 @@ def _q_embedding_topk(spark, sf):
 
 
 def _q_embedding_near_dup(spark, sf):
-    from llogtail_spark.operators.dedup import embedding_near_dup_pairs
+    # multi-probe hyperplane LSH + exact rerank — no cartesian; the
+    # brute-force twin exists only as the oracle/test baseline
+    from llogtail_spark.operators.similarity import embedding_near_dup_pairs_lsh
 
     emb = _t(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold_x10000=4000)
+    return embedding_near_dup_pairs_lsh(emb, threshold_x10000=5000)
 
 
 # --- non-SQL-expressible (engine hash / seeded hyperplanes): rows-only
@@ -626,6 +628,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor({cos} * 10000) AS BIGINT) AS cos_x10000
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
-              AND CAST(floor({cos} * 10000) AS BIGINT) >= 4000
+              AND CAST(floor({cos} * 10000) AS BIGINT) >= 5000
         """,
     }

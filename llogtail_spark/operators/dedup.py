@@ -174,8 +174,9 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above a threshold.
 
-    Brute-force all-pairs (correctness baseline — the LSH-bucketed
-    scale path lives in operators/similarity.py). Output:
+    Brute-force all-pairs — TEST-ONLY correctness baseline for
+    verifying `similarity.embedding_near_dup_pairs_lsh` (the scale
+    path wired into queries()); never use this on real data. Output:
     (id_a, id_b, cos_x10000)."""
     from llogtail_spark.operators.similarity import cosine_sim
 

@@ -81,6 +81,109 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((dim, n_bits)).astype(np.float64)
 
 
+def _probe_masks(n_bits: int, probe_hamming: int) -> np.ndarray:
+    """All bit masks of weight <= probe_hamming over n_bits (multi-probe
+    LSH: probing neighbors at hamming distance d trades probe fan-out
+    for band count at equal recall)."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(n_bits)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << j) | (1 << k)
+            for j in range(n_bits)
+            for k in range(j + 1, n_bits)
+        ]
+    if probe_hamming >= 3:
+        raise ValueError("probe_hamming > 2 not supported (fan-out explodes)")
+    return np.array(masks, dtype=np.int64)
+
+
+def make_band_keys_udf(
+    dim: int, n_bits: int, n_bands: int, seed: int, probe_hamming: int = 0
+):
+    """Arrow pandas_udf: embedding -> array of banded LSH keys.
+
+    Key layout: (band << n_bits) | code, so one flat explode+equi-join
+    covers all bands. probe_hamming > 0 additionally emits every code
+    within that hamming distance (multi-probe side of the join). All
+    numpy, one matmul + one broadcasted XOR per Arrow batch.
+    """
+    planes = _hyperplanes(dim, n_bits * n_bands, seed)
+    masks = _probe_masks(n_bits, probe_hamming)
+    band_off = (np.arange(n_bands, dtype=np.int64) << n_bits)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        bits = (m @ planes) > 0  # (n, n_bits*n_bands)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        codes = bits.reshape(len(m), n_bands, n_bits) @ weights  # (n, bands)
+        # (n, bands, masks): every probe key, band index folded in
+        probed = (codes[:, :, None] ^ masks[None, None, :]) | band_off[None, :, :]
+        flat = probed.reshape(len(m), -1)
+        return pd.Series(list(flat))
+
+    return keys
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_x10000: int = 5000,
+    dim: int = 64,
+    n_bits: int = 10,
+    n_bands: int = 24,
+    probe_hamming: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-probe hyperplane LSH
+    + exact in-candidate rerank — the scale path (NO cartesian).
+
+    Plan shape: explode band keys on both sides -> one equi-join on the
+    key (shuffle keyed on 2^n_bits * n_bands values) -> distinct pairs
+    -> fetch both vectors back by id (two equi-joins) -> exact cosine
+    filter. Every join is hash/merge on a key; there is no nested-loop
+    anywhere (tests/test_plans.py pins that).
+
+    Recall: per qualifying pair with per-bit agreement p = 1 - theta/pi,
+    a band of b bits probed to hamming<=2 catches it with
+    P = sum_{i<=2} C(b,i) p^(b-i) (1-p)^i; missing all `n_bands` bands
+    is (1-P)^n_bands. The defaults (b=10, 24 bands, probe 2) give miss
+    < 2e-4 per pair at cos 0.5 and < 1e-12 at cos 0.9; recall is
+    exactly 1 on the test fixtures (verified against the brute-force
+    twin). At production thresholds (>=0.9) the same shape prunes
+    candidates by orders of magnitude; at the fixture's deliberately
+    weak 0.5 the pruning is modest but the plan is the one that
+    survives 10^12 vectors. Reference anchor: cheap-identity-first,
+    exact-verify-after (utils.go:36-46).
+    """
+    keys_base = make_band_keys_udf(dim, n_bits, n_bands, seed, 0)
+    keys_probe = make_band_keys_udf(dim, n_bits, n_bands, seed, probe_hamming)
+    base = emb.select(
+        F.col(id_col).alias("id_b"), F.explode(keys_base(F.col(vec_col))).alias("_key")
+    )
+    probe = emb.select(
+        F.col(id_col).alias("id_a"), F.explode(keys_probe(F.col(vec_col))).alias("_key")
+    )
+    cand = (
+        probe.join(base, "_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_x10000", F.floor(cosine_sim("_va", "_vb") * 10000).cast("long"))
+        .filter(F.col("cos_x10000") >= threshold_x10000)
+        .select("id_a", "id_b", "cos_x10000")
+    )
+
+
 def make_bucket_udf(dim: int, n_bits: int = 12, seed: int = 7):
     """Arrow pandas_udf: embedding -> LSH bucket id (signed-bit code).
     One numpy matmul per Arrow batch — fully vectorized."""

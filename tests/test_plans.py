@@ -108,3 +108,15 @@ def test_pipeline_write_path_has_no_shuffle(spark, data_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastExchange" in plan  # the lookup rides to executors
+
+
+def test_embedding_near_dup_query_has_no_cartesian(spark):
+    """VERDICT r01 'what's wrong' #1: the driver-facing near-dup query
+    must run the LSH-bucketed plan — equi-joins only, no all-pairs
+    nested loop anywhere in the executed plan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["embedding_near_dup"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -71,3 +71,55 @@ def test_lsh_deterministic(emb):
     a = sorted(map(tuple, lsh_topk(emb, queries, k=3, dim=DIM, seed=7).collect()))
     b = sorted(map(tuple, lsh_topk(emb, queries, k=3, dim=DIM, seed=7).collect()))
     assert a == b
+
+
+def test_near_dup_lsh_equals_brute_force(spark, emb, emb_np):
+    """The LSH + rerank near-dup pairs must EQUAL the brute-force pair
+    set on this fixture (recall 1 at the configured params/threshold)."""
+    from llogtail_spark.operators.dedup import embedding_near_dup_pairs
+    from llogtail_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    got = sorted(
+        map(tuple, embedding_near_dup_pairs_lsh(
+            emb, threshold_x10000=5000, dim=DIM).collect())
+    )
+    want = sorted(
+        map(tuple, embedding_near_dup_pairs(
+            emb, id_col="vec_id", vec_col="embedding",
+            threshold_x10000=5000).collect())
+    )
+    assert got == want
+
+
+def test_near_dup_lsh_catches_planted_duplicates(spark):
+    """The production case: planted true near-dups (cos >= 0.95) must
+    all surface at a high threshold, where LSH pruning is strong."""
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((100, DIM))
+    rows = [(i, base[i].tolist()) for i in range(100)]
+    # plant 10 near-copies: vector i' = vector i + small noise
+    planted = []
+    for j in range(10):
+        noisy = base[j] + 0.05 * rng.standard_normal(DIM)
+        rows.append((1000 + j, noisy.tolist()))
+        planted.append((j, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    from llogtail_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    got = embedding_near_dup_pairs_lsh(df, threshold_x10000=9000, dim=DIM).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+    for a, b in planted:
+        assert (a, b) in got_pairs, f"planted near-dup ({a},{b}) missed"
+    for r in got:
+        assert r["cos_x10000"] >= 9000
+
+
+def test_near_dup_lsh_plan_has_no_cartesian(emb):
+    from llogtail_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    plan = embedding_near_dup_pairs_lsh(
+        emb, threshold_x10000=5000, dim=DIM
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
