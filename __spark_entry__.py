@@ -342,29 +342,27 @@ def _q_embedding_near_dup(spark, sf):
     return embedding_near_dup_pairs_lsh(emb, threshold_x10000=5000)
 
 
-# --- non-SQL-expressible (engine hash / seeded hyperplanes): rows-only
+# --- hash-derived operators on the PORTABLE hash family
+# (functions/portable_hash.py): full value-level DuckDB oracles; the
+# engine-native xxhash64 variants stay the production fast path and
+# are exact-equality unit-tested in tests/test_dedup.py.
+
+MINHASH_CONF = dict(num_hashes=16, bands=8, cap_reps=8)
+ANN_CONF = dict(k=3, dim=64, n_bits=6, seed=7, decimals=6)
+
 
 def _q_minhash_lsh(spark, sf):
     from llogtail_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8)
-    return pairs.agg(
-        F.count("*").alias("n_candidate_pairs"),
-        F.coalesce(F.sum("n_bands_hit"), F.lit(0)).alias("bands_hits"),
-    )
+    return minhash_lsh_pairs(docs, hash_mode="portable", **MINHASH_CONF)
 
 
 def _q_simhash(spark, sf):
-    from llogtail_spark.operators.dedup import simhash64
+    from llogtail_spark.operators.dedup import simhash_portable
 
     docs = _t(spark, sf, "documents")
-    sh = simhash64(docs)
-    return sh.agg(
-        F.count("*").alias("n"),
-        F.countDistinct("simhash").alias("n_distinct"),
-        F.bit_xor("simhash").alias("xor_all"),
-    )
+    return simhash_portable(docs).select("doc_id", "simhash")
 
 
 def _q_ann_lsh(spark, sf):
@@ -372,11 +370,7 @@ def _q_ann_lsh(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    res = lsh_topk(emb, queries, k=3, n_bits=6)
-    return res.agg(
-        F.count("*").alias("n_results"),
-        F.countDistinct("query_id").alias("n_queries_answered"),
-    )
+    return lsh_topk(emb, queries, **ANN_CONF)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -410,6 +404,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_lsh": _q_ann_lsh,
     }
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _minhash_oracle() -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_mode='portable'):
+    identical word hashing, hashed-word shingle folds, affine seeds,
+    band folds, and the deterministic representative cap
+    (row_number by id)."""
+    from llogtail_spark.functions import portable_hash as ph
+
+    nh, bands, cap = (MINHASH_CONF["num_hashes"], MINHASH_CONF["bands"],
+                      MINHASH_CONF["cap_reps"])
+    rpb = nh // bands
+    shingle = ph.fold_values_sql(["hp[i]", "hp[i+1]", "hp[i+2]"])
+    mins = ",\n                   ".join(
+        f"list_min(list_transform(shingles, h -> {ph.seeded_hash_sql('h', i)})) AS m{i}"
+        for i in range(nh)
+    )
+    band_selects = "\n                UNION ALL\n                ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{ph.fold_values_sql([f'm{b * rpb + r}' for r in range(rpb)])} AS h FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH norm AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+        hws AS (
+            SELECT doc_id, ws,
+                   list_concat(list_transform(ws, w -> {ph.char_fold_hash_sql('w')}),
+                               [CAST(0 AS BIGINT), CAST(0 AS BIGINT)]) AS hp
+            FROM norm),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                       i -> {shingle})) AS shingles
+            FROM hws),
+        sig AS (SELECT doc_id, {mins} FROM sh),
+        bands AS ({band_selects}),
+        ranked AS (
+            SELECT doc_id, band, h,
+                   row_number() OVER (PARTITION BY band, h ORDER BY doc_id) AS rk
+            FROM bands),
+        pairs AS (
+            SELECT least(l.doc_id, r.doc_id) AS id_a,
+                   greatest(l.doc_id, r.doc_id) AS id_b, l.band
+            FROM ranked l JOIN bands r ON l.band = r.band AND l.h = r.h
+            WHERE l.rk <= {cap} AND l.doc_id <> r.doc_id)
+        SELECT id_a, id_b, count(DISTINCT band) AS n_bands_hit
+        FROM pairs GROUP BY id_a, id_b
+    """
+
+
+def _simhash_oracle(bits: int = 30) -> str:
+    from llogtail_spark.functions import portable_hash as ph
+
+    sums = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS w
+            FROM documents),
+        hashed AS (SELECT doc_id, {ph.char_fold_hash_sql('w')} AS h FROM words),
+        bits AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits
+    """
+
+
+def _ann_oracle(cos_ab: str) -> str:
+    """DuckDB twin of lsh_topk with decimal-rounded hyperplanes: the
+    plane coefficients are short decimal literals, so both engines
+    compute bit-identical bucket signs; rerank reuses the proven-
+    portable cosine (embedding_topk was hash-green on it in r01)."""
+    from llogtail_spark.operators.similarity import rounded_hyperplanes
+
+    planes = rounded_hyperplanes(ANN_CONF["dim"], ANN_CONF["n_bits"],
+                                 ANN_CONF["seed"], ANN_CONF["decimals"])
+    terms = []
+    for j in range(ANN_CONF["n_bits"]):
+        lit = "[" + ", ".join(repr(float(v)) for v in planes[:, j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    k = ANN_CONF["k"]
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS query_id, n.vec_id AS neighbor_id, {cos_ab} AS c
+            FROM b a JOIN b n ON a.bkt = n.bkt AND a.vec_id <> n.vec_id
+            WHERE a.vec_id < 10),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, neighbor_id) AS rank,
+                   CAST(floor(c * 10000) AS BIGINT) AS cos_x10000
+            FROM scored)
+        SELECT query_id, neighbor_id, rank, cos_x10000 FROM ranked WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -630,4 +731,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND CAST(floor({cos} * 10000) AS BIGINT) >= 5000
         """,
+        "minhash_lsh": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "ann_lsh": _ann_oracle(cos.replace("b.embedding", "n.embedding")),
     }

@@ -20,8 +20,13 @@ generation near-linear, then exact jaccard verifies only candidates.
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def normalize_text(col) -> "F.Column":
@@ -92,6 +97,75 @@ def minhash_signatures_flat(
     )
 
 
+def _portable_band_keys_udf(num_hashes: int, bands: int, shingle_n: int):
+    """Vectorized Arrow UDF: text -> array<long> of `bands` LSH band
+    keys on the portable hash family (functions/portable_hash.py).
+
+    One numpy pass per Arrow batch: codepoint matrix char-fold for all
+    words at once, shingle folds via shifted arrays, seeded mins via
+    minimum.reduceat over per-doc segments, band folds vectorized over
+    docs. Minhash mins are invariant under duplicate shingles, so no
+    distinct step is needed (the SQL twin's list_distinct is a no-op
+    for the min too)."""
+    from llogtail_spark.functions import portable_hash as ph
+
+    M, MULT, BM = ph.MOD, ph.MULT, ph.BAND_MULT
+    seeds = [ph.seed_mults(i) for i in range(num_hashes)]
+    rpb = num_hashes // bands
+    P = shingle_n - 1
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(texts: pd.Series) -> pd.Series:
+        docs_words = [
+            re.sub(r"\s+", " ", t.lower()).strip().split(" ") for t in texts
+        ]
+        ndocs = len(docs_words)
+        if ndocs == 0:
+            return pd.Series([], dtype=object)
+        nw = np.array([len(w) for w in docs_words], dtype=np.int64)
+        flat_words = [w for ws in docs_words for w in ws]
+        W = len(flat_words)
+        lens = np.fromiter((len(w) for w in flat_words), dtype=np.int64, count=W)
+        # exact codepoints (== ascii()/ord() in the SQL twins)
+        codes = np.frombuffer(
+            "".join(flat_words).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        h = np.zeros(W, dtype=np.int64)
+        for j in range(int(lens.max()) if W else 0):
+            active = lens > j
+            idx = np.minimum(starts + j, max(len(codes) - 1, 0))
+            h = np.where(active, (h * MULT + codes[idx]) % M, h)
+        # per-doc word hashes with `P` zero-pads appended (short docs
+        # fold against zeros, matching list_concat(hws, [0,0]))
+        doc_starts = np.cumsum(nw) - nw
+        pstarts = doc_starts + P * np.arange(ndocs)
+        padded = np.zeros(W + P * ndocs, dtype=np.int64)
+        padded[np.arange(W) + np.repeat(P * np.arange(ndocs), nw)] = h
+        v = padded.copy()
+        for r in range(1, shingle_n):
+            v = (v * BM + np.roll(padded, -r)) % M
+        # valid shingle start positions: pstarts[d] .. + max(nw-P,1)-1
+        n_sh = np.maximum(nw - P, 1)
+        offs = np.arange(int(n_sh.sum())) - np.repeat(np.cumsum(n_sh) - n_sh, n_sh)
+        valid = np.zeros(len(padded), dtype=bool)
+        valid[np.repeat(pstarts, n_sh) + offs] = True
+        sigs = np.empty((ndocs, num_hashes), dtype=np.int64)
+        for i, (a, b) in enumerate(seeds):
+            sv = np.where(valid, (v * a + b) % M, M)  # M > any value
+            sigs[:, i] = np.minimum.reduceat(sv, pstarts)
+        keys = np.zeros((ndocs, bands), dtype=np.int64)
+        for b in range(bands):
+            kv = np.zeros(ndocs, dtype=np.int64)
+            for r in range(rpb):
+                kv = (kv * BM + sigs[:, b * rpb + r]) % M
+            keys[:, b] = kv
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -99,38 +173,101 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
+    cap_reps: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded minhash.
+    Output: (id_a, id_b, n_bands_hit).
 
-    rows/band-bucket is tiny for non-dup data, so the self-join inside
-    buckets stays near-linear. Output: (id_a, id_b, n_bands_hit).
+    hash_mode:
+      - "xxhash64" (default, production): engine-native 64-bit hashes.
+      - "portable": polynomial char-fold + affine seeds + arithmetic
+        band fold (functions/portable_hash.py) — value-identical when
+        recomputed by any ANSI engine, so the pair set is oracle-
+        verifiable (the driver query runs this mode).
+
+    cap_reps: hot-bucket guard. A duplicate-heavy corpus (the actual
+    production case) puts every copy in the SAME band bucket, making
+    an uncapped in-bucket self-join O(k^2). With cap_reps=R, only the
+    R smallest ids per (band, bucket) pair against all members —
+    O(R*k) — chosen deterministically so an oracle can replicate it
+    (row_number over id). Connectivity for downstream component
+    resolution is preserved: every member still pairs with the
+    bucket's first representative. Pairs dropped are exactly the
+    non-representative x non-representative ones.
     """
+    from pyspark.sql import Window as W
+
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_flat(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
-                               for r in range(rows_per_band)])
-        ).alias(f"_b{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("_id", *band_cols)
-    stacked = banded.select(
-        "_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("h"))
-                      for b in range(bands)])
-        ).alias("bh"),
-    ).select("_id", "bh.band", "bh.h")
-    left = stacked.alias("l")
-    right = stacked.alias("r")
-    pairs = (
-        left.join(right, on=["band", "h"])
-        .filter(F.col("l._id") < F.col("r._id"))
-        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .agg(F.count("*").alias("n_bands_hit"))
+    if hash_mode == "portable":
+        # One vectorized Arrow UDF computes the band keys end-to-end
+        # (word char-folds -> shingle folds -> seeded mins -> band
+        # folds), all numpy, no per-row Python. Two reasons it is a
+        # UDF rather than Catalyst HOF expressions:
+        # (1) measured pathology: Catalyst inlines a non-trivial
+        #     aliased array expression into EVERY downstream reference
+        #     (16 seeded mins re-evaluated the whole shingle pipeline
+        #     -> 40s at sf0.1 vs ~1s here), and multiple python-built
+        #     HOF lambdas in one projection collapse into the first;
+        # (2) the UDF output column is materialized by the eval node,
+        #     so downstream references can never duplicate work.
+        # The arithmetic is exactly functions/portable_hash.py, which
+        # the DuckDB oracle recomputes value-identically.
+        band_udf = _portable_band_keys_udf(num_hashes, bands, shingle_n)
+        stacked = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(band_udf(F.col(text_col))).alias("band", "h"),
+        )
+    elif hash_mode == "xxhash64":
+        exploded = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("_s"),
+        )
+        mins = exploded.groupBy("_id").agg(
+            *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+        )
+        band_hash = [
+            F.xxhash64(
+                F.concat_ws(",", *[F.col(f"_m{b * rows_per_band + r}").cast("string")
+                                   for r in range(rows_per_band)])
+            )
+            for b in range(bands)
+        ]
+        stacked = mins.select(
+            "_id",
+            F.explode(
+                F.array(*[F.struct(F.lit(b).alias("band"), band_hash[b].alias("h"))
+                          for b in range(bands)])
+            ).alias("bh"),
+        ).select("_id", "bh.band", "bh.h")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+    if cap_reps is not None:
+        # both join sides derive from the SAME window subtree so the
+        # (band, h) shuffle is planned once and ReuseExchange feeds
+        # both — the scan + key computation runs once, not twice
+        w = W.partitionBy("band", "h").orderBy("_id")
+        ranked = stacked.withColumn("_rk", F.row_number().over(w))
+        left = ranked.filter(F.col("_rk") <= cap_reps).drop("_rk")
+        right = ranked.drop("_rk")
+    else:
+        left = stacked
+        right = stacked
+    joined = (
+        left.alias("l")
+        .join(right.alias("r"), on=["band", "h"])
+        .filter(F.col("l._id") != F.col("r._id"))
+        .select(
+            F.least("l._id", "r._id").alias("id_a"),
+            F.greatest("l._id", "r._id").alias("id_b"),
+            "band",
+        )
     )
-    return pairs
+    # one bucket per (doc, band) -> countDistinct(band) == bands met in
+    return joined.groupBy("id_a", "id_b").agg(
+        F.countDistinct("band").alias("n_bands_hit")
+    )
 
 
 def ngram_jaccard(df_pairs: DataFrame, a_col: str, b_col: str, n: int = 3) -> DataFrame:
@@ -163,6 +300,33 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         sim = sim + F.when(F.col(f"_s{j}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         ) * F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")
+    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 30
+) -> DataFrame:
+    """Portable-hash simhash: majority vote per bit over the
+    char-fold hash of distinct words (functions/portable_hash.py) —
+    same explode + conditional-sum shape as simhash64, but value-
+    reproducible by an independent SQL engine. The base hash carries
+    30 useful bits (mod is ~2^30), so `bits` defaults to 30; hamming
+    geometry at 30 bits is equivalent for near-dup thresholds.
+    Output: (id_col, simhash)."""
+    from llogtail_spark.functions import portable_hash as ph
+
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("_w"),
+    ).withColumn("_h", ph.char_fold_hash("_w"))
+    bit_sums = [
+        F.sum(F.shiftright("_h", j).bitwiseAND(F.lit(1)).cast("long") * 2 - 1).alias(f"_s{j}")
+        for j in range(bits)
+    ]
+    agg = words.groupBy("_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
 
 

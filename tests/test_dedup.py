@@ -80,3 +80,48 @@ def test_embedding_near_dup_planted(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              embedding_near_dup_pairs(emb, threshold_x10000=9500).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_minhash_portable_mode_matches_xxhash_semantics(corpus):
+    """Portable hash family finds the same planted near-dups as the
+    engine-native one (different hashes, same LSH structure)."""
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(corpus, num_hashes=16, bands=8,
+                               hash_mode="portable").collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) in pairs
+    assert (1, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_cap_reps_bounds_hot_bucket(spark):
+    """Mass duplication (the motivating production case): 1000 copies
+    of one doc land in ONE bucket per band. Uncapped pairing is
+    O(k^2) = 499500 pairs; cap_reps=R keeps it O(R*k) while every copy
+    still pairs with the first representative (connectivity for
+    component resolution)."""
+    k, R = 1000, 8
+    rows = [(i, "identical mass duplicated content row for bucket cap test")
+            for i in range(k)]
+    rows.append((5000, "totally different text about unrelated shuffle topics"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = minhash_lsh_pairs(df, num_hashes=16, bands=8,
+                              hash_mode="portable", cap_reps=R).collect()
+    n = len(pairs)
+    # reps (8 smallest ids) x all members, dedup: R*k - R*(R+1)/2 pairs
+    assert n == R * k - R * (R + 1) // 2
+    with_rep0 = {p["id_b"] for p in pairs if p["id_a"] == 0}
+    assert with_rep0 == set(range(1, k))  # everyone reaches rep 0
+    assert all(p["n_bands_hit"] == 8 for p in pairs)  # exact copies: all bands
+
+
+def test_simhash_portable_clusters_like_simhash64(spark, corpus):
+    from llogtail_spark.operators.dedup import simhash_portable
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_portable(corpus).collect()}
+    assert sh[1] == sh[2] == sh[3]  # identical normalized word sets
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[4]) < hamming(sh[1], sh[5])
+    assert 0 <= sh[1] < (1 << 30)
