@@ -358,6 +358,16 @@ def _q_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(docs, hash_mode="portable", **MINHASH_CONF)
 
 
+def _q_dedup_resolve(spark, sf):
+    # the full near-dup PIPELINE: LSH candidate pairs -> connected
+    # components -> deterministic keep-list (survivor = min doc id)
+    from llogtail_spark.operators.dedup import minhash_lsh_pairs, resolve_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, hash_mode="portable", **MINHASH_CONF)
+    return resolve_components(pairs, docs.select("doc_id"))
+
+
 def _q_simhash(spark, sf):
     from llogtail_spark.operators.dedup import simhash_portable
 
@@ -389,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_nations": _q_set_ops_nations,
         "topk_per_group": _q_topk_per_group,
         "anti_join_resume": _q_anti_join_resume,
+        "dedup_resolve": _q_dedup_resolve,
         "semi_join_active": _q_semi_join_active,
         "window_first_event": _q_window_first_event,
         "dedup_debounce": _q_dedup_debounce,
@@ -455,6 +466,31 @@ def _minhash_oracle() -> str:
             WHERE l.rk <= {cap} AND l.doc_id <> r.doc_id)
         SELECT id_a, id_b, count(DISTINCT band) AS n_bands_hit
         FROM pairs GROUP BY id_a, id_b
+    """
+
+
+def _dedup_resolve_oracle() -> str:
+    """Recursive-CTE connected components over the SAME (replicated)
+    LSH pair set: propagate smaller labels along edges to fixpoint,
+    take the min per node, left-join every doc (singletons keep
+    themselves)."""
+    pairs_sql = _minhash_oracle()
+    return f"""
+        WITH RECURSIVE lsh_pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM lsh_pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM lsh_pairs),
+        reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+            WHERE r.lab < e.b),
+        comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(c.rep, d.doc_id) AS rep,
+               CAST(d.doc_id = coalesce(c.rep, d.doc_id) AS INT) AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
     """
 
 
@@ -732,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(floor({cos} * 10000) AS BIGINT) >= 5000
         """,
         "minhash_lsh": _minhash_oracle(),
+        "dedup_resolve": _dedup_resolve_oracle(),
         "simhash": _simhash_oracle(),
         "ann_lsh": _ann_oracle(cos.replace("b.embedding", "n.embedding")),
     }

@@ -303,6 +303,62 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
 
 
+def resolve_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Candidate pairs -> connected components -> keep-list: what turns
+    a pair-lister into a deduplication PIPELINE (the batch analog of
+    llogtail's identity-dedup across queue+task, collector.go:161-174).
+
+    Min-label propagation to fixpoint: each round, every node takes the
+    minimum label among itself and its neighbors — one equi-join + one
+    map-side-combinable min-agg per round, O(component diameter) rounds.
+    LSH candidate components are representative-star shaped (cap_reps
+    joins every member to the bucket's first representative), so the
+    diameter is ~2 and this converges in 2-3 rounds; a pathological
+    chain still terminates (max_iter guard). Edges and labels are
+    localCheckpoint'ed every round to cut lineage — at cluster scale
+    swap for reliable checkpointing; the per-round plan (join + partial
+    agg, shuffle keyed on id) is scale-shaped.
+
+    Output: (id_col, rep, keep) — keep=1 iff the row is its component's
+    minimum id (the deterministic survivor).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.localCheckpoint()
+    labels = nodes.select(F.col(id_col).alias("id")).withColumn(
+        "rep", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "dst"), on="dst"
+        ).select(F.col("src").alias("id"), "rep")
+        new_labels = (
+            labels.union(prop).groupBy("id").agg(F.min("rep").alias("rep"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        "rep",
+        (F.col("id") == F.col("rep")).cast("int").alias("keep"),
+    )
+
+
 def simhash_portable(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 30
 ) -> DataFrame:

@@ -125,3 +125,45 @@ def test_simhash_portable_clusters_like_simhash64(spark, corpus):
 
     assert hamming(sh[1], sh[4]) < hamming(sh[1], sh[5])
     assert 0 <= sh[1] < (1 << 30)
+
+
+def test_resolve_components_known_graph(spark):
+    """chain 1-2-3, pair 5-6, singleton 9: components resolve to the
+    min id; keep flags exactly one survivor per component."""
+    from llogtail_spark.operators.dedup import resolve_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], "doc_id long")
+    got = {r["doc_id"]: (r["rep"], r["keep"]) for r in
+           resolve_components(pairs, nodes).collect()}
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 0),
+                   5: (5, 1), 6: (5, 0), 9: (9, 1)}
+
+
+def test_resolve_components_long_chain_converges(spark):
+    """a 12-node path graph (worst-case diameter) still converges to
+    one component under the iteration guard."""
+    from llogtail_spark.operators.dedup import resolve_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    rows = resolve_components(pairs, nodes).collect()
+    assert all(r["rep"] == 0 for r in rows)
+    assert sum(r["keep"] for r in rows) == 1
+
+
+def test_dedup_pipeline_end_to_end(spark, corpus):
+    """pairs -> components -> keep-list over the planted corpus:
+    docs 1,2,3 are copies (and 4 a near-dup); 5 is unrelated — the
+    survivor set is exactly {1, 5}."""
+    from llogtail_spark.operators.dedup import minhash_lsh_pairs, resolve_components
+
+    pairs = minhash_lsh_pairs(corpus, num_hashes=16, bands=8, hash_mode="portable")
+    res = resolve_components(pairs, corpus.select("doc_id"))
+    kept = sorted(r["doc_id"] for r in res.filter("keep = 1").collect())
+    assert kept == [1, 5]
