@@ -358,6 +358,30 @@ def _q_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(docs, hash_mode="portable", **MINHASH_CONF)
 
 
+def _q_multimodal_stats(spark, sf):
+    # multimodal plumbing end-to-end: opaque binary payloads with typed
+    # metadata through the mapInPandas feature extractor. Media derives
+    # deterministically from documents (payload = utf-8 bytes of text),
+    # and the stub digest features (sha256 lanes) are engine-portable,
+    # so the WHOLE Arrow path is value-verified by the oracle.
+    from llogtail_spark.operators.multimodal import media_digest_features
+
+    docs = _t(spark, sf, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(kinds, (F.pmod("doc_id", 3) + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.col("lang").alias("source"),
+    )
+    feats = media_digest_features(media)
+    return feats.select(
+        "media_id", "kind", "source", "payload_bytes",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 2).alias("f1"),
+    )
+
+
 def _q_dedup_resolve(spark, sf):
     # the full near-dup PIPELINE: LSH candidate pairs -> connected
     # components -> deterministic keep-list (survivor = min doc id)
@@ -400,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "anti_join_resume": _q_anti_join_resume,
         "dedup_resolve": _q_dedup_resolve,
+        "multimodal_stats": _q_multimodal_stats,
         "semi_join_active": _q_semi_join_active,
         "window_first_event": _q_window_first_event,
         "dedup_debounce": _q_dedup_debounce,
@@ -769,6 +794,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh": _minhash_oracle(),
         "dedup_resolve": _dedup_resolve_oracle(),
+        "multimodal_stats": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   lang AS source,
+                   octet_length(CAST(text AS BLOB)) AS payload_bytes,
+                   CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) AS f0,
+                   CAST(('0x' || substr(sha256(text), 9, 8)) AS BIGINT) AS f1
+            FROM documents
+        """,
         "simhash": _simhash_oracle(),
         "ann_lsh": _ann_oracle(cos.replace("b.embedding", "n.embedding")),
     }

@@ -40,7 +40,17 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_DIM = 16
+# sha256 stub digest = 32 bytes = 8 big-endian uint32 lanes. sha256
+# (not blake2b) so an independent SQL engine can recompute the exact
+# stub features for oracle verification (DuckDB ships sha256).
+FEATURE_DIM = 8
+
+
+def _digest_lanes(payload: bytes) -> list[int]:
+    """STUB decode kernel: 8 big-endian uint32s of sha256(payload) —
+    deterministic, engine-portable stand-in for a real encoder."""
+    d = hashlib.sha256(payload).digest()
+    return [int.from_bytes(d[4 * i: 4 * i + 4], "big") for i in range(FEATURE_DIM)]
 
 
 def have_real_decoders() -> bool:
@@ -101,23 +111,58 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                if payload is None:
-                    feats.append(None)
-                    continue
-                # STUB: digest-derived features; a real impl would run
-                # the vision/audio model here.
-                d = hashlib.blake2b(bytes(payload), digest_size=FEATURE_DIM * 4).digest()
-                feats.append(
-                    (np.frombuffer(d, dtype=np.uint32).astype(np.float32) / 2**32)
-                )
+            # the per-payload digest IS the stub decode kernel (a real
+            # impl runs the vision/audio model here); everything around
+            # it stays columnar
+            feats = [
+                None if p is None
+                else (np.asarray(_digest_lanes(bytes(p)), dtype=np.float64)
+                      / 2**32).astype(np.float32)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "source": pdf["source"],
                     "features": feats,
+                }
+            )
+
+    return df.mapInPandas(op, schema)
+
+
+def media_digest_features(df: DataFrame) -> DataFrame:
+    """Integer-lane twin of extract_features for exact cross-engine
+    verification: (media_id, kind, source, payload_bytes,
+    features array<long>) where features are the 8 big-endian uint32
+    lanes of sha256(payload). Same mapInPandas plumbing (payload never
+    leaves the executor, projected away before anything wide)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("payload_bytes", T.LongType()),
+            T.StructField("features", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [None if p is None else bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "source": pdf["source"],
+                    "payload_bytes": pd.Series(
+                        [None if p is None else len(p) for p in payloads],
+                        dtype="object",
+                    ),
+                    "features": [
+                        None if p is None else _digest_lanes(p) for p in payloads
+                    ],
                 }
             )
 
@@ -132,20 +177,35 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grid_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
-            out = pdf.copy()
-            for i, row in pdf.iterrows():
-                if row["kind"] != "image" or row["payload"] is None:
+            # columnar pass (no iterrows/.at): the per-payload decode is
+            # the stub kernel; the resize index grids are numpy and
+            # cached per source geometry
+            new_p, new_w, new_h = [], [], []
+            for kind, payload, w, h in zip(
+                pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                if kind != "image" or payload is None:
+                    new_p.append(payload)
+                    new_w.append(w)
+                    new_h.append(h)
                     continue
-                # nullable int columns arrive as float64 in pandas
-                w, h = int(row["width"]), int(row["height"])
-                px = _fake_pixels(bytes(row["payload"]), w, h)
-                ys = (np.arange(out_h) * h // out_h).astype(int)
-                xs = (np.arange(out_w) * w // out_w).astype(int)
-                small = px[np.ix_(ys, xs)]
-                out.at[i, "payload"] = small.tobytes()
-                out.at[i, "width"] = out_w
-                out.at[i, "height"] = out_h
+                w, h = int(w), int(h)  # nullable ints arrive as float64
+                grids = grid_cache.get((w, h))
+                if grids is None:
+                    grids = grid_cache[(w, h)] = (
+                        np.arange(out_h) * h // out_h,
+                        np.arange(out_w) * w // out_w,
+                    )
+                px = _fake_pixels(bytes(payload), w, h)
+                new_p.append(px[np.ix_(*grids)].tobytes())
+                new_w.append(out_w)
+                new_h.append(out_h)
+            out = pdf.copy()
+            out["payload"] = pd.Series(new_p, index=pdf.index, dtype="object")
+            out["width"] = pd.Series(new_w, index=pdf.index, dtype=pdf["width"].dtype)
+            out["height"] = pd.Series(new_h, index=pdf.index, dtype=pdf["height"].dtype)
             yield out
 
     return df.mapInPandas(op, MEDIA_SCHEMA)
@@ -167,20 +227,22 @@ def sample_frames(df: DataFrame, every: int = 8) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
             vids = pdf[pdf["kind"] == "video"]
-            for _, row in vids.iterrows():
-                n = int(row["n_frames"] or 0)
-                for fi in range(0, n, every):
-                    ids.append(row["media_id"])
-                    idxs.append(fi)
-                    # STUB frame decode: digest(payload, frame_idx)
-                    frames.append(
-                        hashlib.blake2b(
-                            bytes(row["payload"]) + fi.to_bytes(4, "big"),
-                            digest_size=32,
-                        ).digest()
-                    )
+            # frame-index expansion as one vectorized repeat/concat
+            # pass; only the per-frame digest (the stub decode kernel,
+            # standing in for a seek-based frame reader) touches bytes
+            n = vids["n_frames"].fillna(0).astype(np.int64).to_numpy()
+            counts = (n + every - 1) // every
+            ids = np.repeat(vids["media_id"].to_numpy(), counts)
+            offs = np.arange(int(counts.sum())) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            idxs = (offs * every).astype(np.int32)
+            payloads = np.repeat(vids["payload"].to_numpy(), counts)
+            frames = [
+                hashlib.sha256(bytes(p) + int(fi).to_bytes(4, "big")).digest()
+                for p, fi in zip(payloads, idxs)
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="object"),

@@ -89,13 +89,37 @@ def files_identity(files: dict[str, str]) -> dict[str, tuple[int, int]]:
     return dict(zip(files.keys(), vals))
 
 
-def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Format-dispatching reader. Iceberg needs its runtime jar on the
-    classpath; absent (as in this image) we fall back to parquet and
-    say so, rather than failing the whole pipeline."""
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet",
+    parquet_fallback: bool = False,
+) -> DataFrame:
+    """Format-dispatching reader.
+
+    fmt='iceberg' requires the iceberg-spark-runtime jar on the
+    classpath (it is NOT in this image). The fallback to plain parquet
+    is EXPLICIT opt-in (parquet_fallback=True) and logged — a silent
+    fallback would hide that snapshot isolation, manifest-level
+    pruning, and schema evolution are gone. On a real deployment, add
+    `--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13` and
+    a catalog config; the rest of the pipeline is storage-agnostic
+    (file lists + footer identities come from reader.list_parts /
+    files_identity, which an Iceberg manifest would replace)."""
     if fmt == "iceberg":
         try:
             return spark.read.format("iceberg").load(path)
-        except Exception:  # jar missing — documented fallback
+        except Exception as e:
+            if not parquet_fallback:
+                raise RuntimeError(
+                    "iceberg read failed (runtime jar/catalog missing?); "
+                    "pass parquet_fallback=True for the documented "
+                    "parquet-only sandbox mode"
+                ) from e
+            import sys
+
+            print(
+                f"llogtail_spark: iceberg unavailable ({type(e).__name__}); "
+                f"reading {path} as plain parquet (explicit fallback)",
+                file=sys.stderr,
+            )
             return spark.read.parquet(path)
     return spark.read.format(fmt).load(path)

@@ -177,3 +177,66 @@ def test_metrics_need_no_input_reparse(spark, data_dir, oracle_pdf, tmp_path):
         assert m[sink]["row_count"] == len(want)
         assert m[sink]["tok_total"] == int(want["n_tok"].sum())
         assert m[sink]["n_parts"] == 6
+
+
+def test_partition_layout_invariance(spark, tmp_path):
+    """SURVEY §5.3 / log_collector_test.go:66-100 analog: the SAME
+    logical rows written in two different randomized file layouts
+    (different file counts, shuffled row assignment, skewed file
+    sizes) must produce identical routed sink contents and identical
+    per-sink aggregate totals."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.generate import generate_sequences
+
+    table = generate_sequences(900, seed=33)
+    rng = np.random.default_rng(7)
+
+    def write_layout(root, n_files, perm_seed):
+        seq = os.path.join(root, "sequences")
+        os.makedirs(seq)
+        perm = np.random.default_rng(perm_seed).permutation(len(table))
+        shuffled = table.take(pa.array(perm))
+        # skewed split points: file sizes vary wildly
+        cuts = np.sort(
+            np.random.default_rng(perm_seed + 1).choice(
+                np.arange(1, len(table)), size=n_files - 1, replace=False
+            )
+        )
+        start = 0
+        for i, end in enumerate(list(cuts) + [len(table)]):
+            pq.write_table(shuffled.slice(start, end - start),
+                           os.path.join(seq, f"part-{i:05d}.parquet"))
+            start = end
+        return seq
+
+    results = []
+    for layout, (n_files, perm_seed) in enumerate([(3, 101), (9, 202)]):
+        root = str(tmp_path / f"layout{layout}")
+        os.makedirs(root)
+        seq = write_layout(root, n_files, perm_seed)
+        wd = os.path.join(root, "work")
+        conf = PipelineConf(
+            input_path=seq, lookup_path=None, workdir=wd,
+            sinks=[
+                SinkRule("errors", "level_num >= 40", os.path.join(wd, "out/errors")),
+                SinkRule("firehose", "true", os.path.join(wd, "out/firehose")),
+            ],
+        )
+        res = run_pipeline(spark, conf)
+        m = {r["sink"]: (r["row_count"], r["tok_total"], r["checksum"])
+             for r in res.metrics.collect()}
+        rows = {}
+        for sink in ["errors", "firehose"]:
+            pdf = (read_sink(spark, conf, sink)
+                   .select("doc_id", "tokens", "n_tok").toPandas()
+                   .sort_values("doc_id").reset_index(drop=True))
+            rows[sink] = [(r.doc_id, tuple(r.tokens), r.n_tok)
+                          for r in pdf.itertuples()]
+        results.append((m, rows))
+
+    (m1, r1), (m2, r2) = results
+    assert m1 == m2  # per-sink counts, token totals AND checksums
+    assert r1 == r2  # routed rows byte-identical across layouts
