@@ -358,6 +358,48 @@ def _q_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(docs, hash_mode="portable", **MINHASH_CONF)
 
 
+def _q_asof_join_last_purchase(spark, sf):
+    # backward as-of join: each event picks up the user's most recent
+    # purchase at-or-before its timestamp (union + one window pass,
+    # single shuffle on the key — no range explosion)
+    from llogtail_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pid"))
+    )
+    res = asof_join(ev, purchases, on=["user_id"], left_ts="ts",
+                    right_ts="ts", right_cols=["pid"])
+    return res.select(
+        "event_id", "user_id",
+        F.col("pid").alias("last_purchase_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("_asof_ts")).alias("since_sec"),
+    )
+
+
+def _q_range_join_purchase_window(spark, sf):
+    # point-in-interval join via bucketed equi-join: events landing in
+    # (purchase_ts, purchase_ts + 1h] for the same user
+    from llogtail_spark.operators.joins import range_join_bucketed
+
+    ev = _t(spark, sf, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    pts = ev.select("user_id", "ts", F.col("event_id").alias("follower_id"))
+    j = range_join_bucketed(pts, p, on=["user_id"], point_ts="ts",
+                            start_ts="p_ts", end_ts="p_end")
+    counts = j.groupBy("purchase_id").agg(F.count("*").alias("n_follow"))
+    return p.select("purchase_id").join(counts, "purchase_id", "left").select(
+        "purchase_id", F.coalesce("n_follow", F.lit(0)).alias("n_follow")
+    )
+
+
 def _q_multimodal_stats(spark, sf):
     # multimodal plumbing end-to-end: opaque binary payloads with typed
     # metadata through the mapInPandas feature extractor. Media derives
@@ -425,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_resume": _q_anti_join_resume,
         "dedup_resolve": _q_dedup_resolve,
         "multimodal_stats": _q_multimodal_stats,
+        "asof_join_last_purchase": _q_asof_join_last_purchase,
+        "range_join_purchase_window": _q_range_join_purchase_window,
         "semi_join_active": _q_semi_join_active,
         "window_first_event": _q_window_first_event,
         "dedup_debounce": _q_dedup_debounce,
@@ -791,6 +835,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND CAST(floor({cos} * 10000) AS BIGINT) >= 5000
+        """,
+        "asof_join_last_purchase": """
+            WITH p AS (
+                SELECT user_id, ts, max(event_id) AS pid FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id, p.pid AS last_purchase_id,
+                   CAST(date_diff('second', p.ts, e.ts) AS BIGINT) AS since_sec
+            FROM events e ASOF LEFT JOIN p
+                 ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "range_join_purchase_window": """
+            SELECT p.event_id AS purchase_id, count(e.event_id) AS n_follow
+            FROM events p LEFT JOIN events e
+              ON e.user_id = p.user_id AND e.ts > p.ts
+             AND e.ts <= p.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id
         """,
         "minhash_lsh": _minhash_oracle(),
         "dedup_resolve": _dedup_resolve_oracle(),

@@ -29,7 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
-SEQ_ROWS = max(int(3_000_000 * SF), 3_000)
+# pipeline input sizing: at sf0.1 this is 1.6M rows — the SAME input
+# size as BENCH/BASELINE.md's scaling runs, and large enough that the
+# timed pass is >=3x the fixed per-run cost (3 Spark jobs, staging
+# renames, manifest I/O). BENCH_r01's 2.7x headline gap vs baseline was
+# mostly this fixed cost measured against a 5.3x smaller input.
+SEQ_ROWS = max(int(16_000_000 * SF), 10_000)
 
 # operator queries worth timing at bench scale (full set runs in the
 # correctness gate; here we time the headline shapes)
@@ -50,6 +55,10 @@ BENCH_QUERIES = [
     "embedding_topk",
     "minhash_lsh",
     "simhash",
+    "ann_lsh",
+    "embedding_near_dup",
+    "dedup_resolve",
+    "multimodal_stats",
 ]
 
 
@@ -113,10 +122,12 @@ def bench_queries(spark) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()  # warm
+        # time construction + execution together: iterative operators
+        # (dedup_resolve) do their work eagerly at construction, so
+        # timing only the final write would measure a checkpoint read
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()  # warm
         t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         out[name] = round(time.time() - t0, 3)
         log(f"query {name}: {out[name]}s")
     return out

@@ -1,0 +1,116 @@
+"""Temporal joins: as-of and point-in-interval (range), Spark-first.
+
+Neither exists as a Spark builtin; both are re-expressed as
+compositions whose plans scale:
+
+- asof_join: tag + union both sides, ONE window pass per key carries
+  the latest right-side values forward (last ignoreNulls over rows
+  unbounded-preceding), filter back to left rows. Single shuffle on
+  the key, no range explosion, no per-key loop — the standard
+  union-merge formulation. Equal timestamps resolve right-before-left
+  (>= / "backward" semantics, matching DuckDB ASOF JOIN).
+- range_join_bucketed: quantize interval starts/ends and points to
+  fixed-width buckets, explode each interval to the buckets it covers
+  (few, when intervals are short relative to the bucket), equi-join on
+  (key, bucket), exact post-filter. Turns an inequality join a generic
+  engine would nested-loop into a hash join keyed on (key, bucket);
+  a point matches an interval in exactly the point's own bucket, so no
+  dedup pass is needed.
+
+Reference anchor: llogtail keys every event to its file and processes
+strictly in offset order (collector.go:74-78) — these operators are
+the batch generalization of "latest state at or before this offset".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    right_ts <= left_ts within the same `on` key (backward as-of).
+
+    right MUST be unique per (on, right_ts) — dedupe upstream,
+    deterministically, or the carried values are undefined.
+    Output: all left columns + right_cols (null when no prior right
+    row, or when outside `tolerance_sec`).
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).alias(f"_r_{c}") for c in ["_rts", *right_cols]],
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(right_ts).alias("_r__rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    ).select(*l.columns)  # align column order for unionByName safety
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+        for c in ["_rts", *right_cols]
+    ]
+    out = u.select(*u.columns, *carried).filter(F.col("_tag") == 1)
+    keep = [F.col(f"_c_{c}").alias(c) for c in right_cols]
+    if tolerance_sec is not None:
+        within = (
+            F.col("_c__rts").isNotNull()
+            & (F.unix_timestamp("_ts") - F.unix_timestamp("_c__rts") <= tolerance_sec)
+        )
+        keep = [F.when(within, F.col(f"_c_{c}")).alias(c) for c in right_cols]
+    return out.select(*lcols, F.col("_c__rts").alias("_asof_ts"), *keep)
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Inner join of points to the intervals containing them:
+    start_ts < point_ts <= end_ts, same `on` key.
+
+    Columns from both sides are kept (qualify duplicates upstream).
+    The equi-join key is (on..., bucket); intervals explode to
+    ceil(len/bucket)+1 buckets. Pick bucket_sec ~ the typical interval
+    length: shuffle stays keyed and skew-safe (AQE splits hot keys).
+    """
+    us = 1_000_000 * bucket_sec
+
+    def _micros(c):  # unix_micros rejects TIMESTAMP_NTZ; session is UTC
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    pb = points.withColumn("_bkt", F.floor(_micros(point_ts) / us))
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(F.floor(_micros(start_ts) / us), F.floor(_micros(end_ts) / us))
+        ),
+    )
+    return pb.join(ib, on=[*on, "_bkt"]).filter(
+        (F.col(point_ts) > F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    ).drop("_bkt")

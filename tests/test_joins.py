@@ -1,0 +1,88 @@
+"""Temporal joins: as-of semantics against a hand-computed oracle;
+range join plan shape (equi-join, never a nested loop)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from llogtail_spark.operators.joins import asof_join, range_join_bucketed
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0), "l0"), (1, _ts(5), "l5"), (1, _ts(10), "l10"),
+         (2, _ts(3), "l3"), (3, _ts(1), "lone")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100), (1, _ts(8), 101), (2, _ts(2), 200)],
+        "k long, ts timestamp, v long",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(frames):
+    left, right = frames
+    out = {r["tag"]: r["v"] for r in
+           asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     right_cols=["v"]).collect()}
+    assert out == {
+        "l0": None,   # nothing at or before t0
+        "l5": 100,    # equal timestamp counts (>= semantics)
+        "l10": 101,   # most recent wins
+        "l3": 200,
+        "lone": None,  # key with no right rows at all
+    }
+
+
+def test_asof_tolerance(frames):
+    left, right = frames
+    out = {r["tag"]: r["v"] for r in
+           asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     right_cols=["v"], tolerance_sec=60).collect()}
+    assert out["l5"] == 100      # 0s away
+    assert out["l10"] is None    # 101 is 120s stale -> masked
+    assert out["l3"] == 200      # 60s away, inclusive
+
+
+def test_range_join_matches_inequality_semantics(spark, frames):
+    _, right = frames
+    points = spark.createDataFrame(
+        [(1, _ts(6), "in-5"), (1, _ts(5), "excl-start"), (1, _ts(9), "in-8"),
+         (1, _ts(40), "in-8-edge"), (1, _ts(41), "out"), (2, _ts(30), "in-200")],
+        "k long, ts timestamp, tag string",
+    )
+    intervals = right.select(
+        "k", F.col("v").alias("iv"), F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 32 MINUTES")).alias("e"),
+    )
+    got = {(r["tag"], r["iv"]) for r in
+           range_join_bucketed(points, intervals, on=["k"], point_ts="ts",
+                               start_ts="s", end_ts="e",
+                               bucket_sec=600).collect()}
+    assert got == {
+        ("in-5", 100),       # strictly after start; "excl-start" absent
+        ("in-8", 100),       # inside both overlapping windows...
+        ("in-8", 101),       # ...matches each exactly once
+        ("in-8-edge", 101),  # t40 == t8 + 32min end, inclusive
+        ("in-200", 200),     # second key; "out" absent
+    }
+
+
+def test_range_join_plan_is_equi_join(spark, frames):
+    left, right = frames
+    intervals = right.select(
+        "k", F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    df = range_join_bucketed(left.select("k", "ts"), intervals, on=["k"],
+                             point_ts="ts", start_ts="s", end_ts="e")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
