@@ -17,6 +17,17 @@ Semantics parity with the reference's live loop:
 At cluster scale this runs continuously against a landing directory /
 Iceberg table feed; maxFilesPerTrigger bounds micro-batch size the
 way the 4 MB buffer bounds a fetch (buffer.go:31-36).
+
+KNOWN LIMIT (deliberate, documented): Spark's file-stream source
+assumes files are IMMUTABLE once seen. llogtail's live loop handles
+in-place rename/rotation of a file it is mid-tail through
+(log_watcher.go:228-261); here that case is covered by the BATCH
+path's identity validation (pipeline.validate_manifest + footer
+identity — a rotated/replaced input partition is detected and
+reprocessed), not by the streaming twin. Under the batch north rule
+(immutable token-table partitions) rotation-during-tail cannot occur;
+a landing dir fed by rotating writers should rotate files INTO the
+directory (create-then-move), which both paths handle.
 """
 
 from __future__ import annotations
