@@ -215,6 +215,20 @@ def _q_topk_per_group(spark, sf):
     )
 
 
+def _q_global_topk_orders(spark, sf):
+    # global ORDER BY + LIMIT: must plan as TakeOrderedAndProject
+    # (per-partition heap + single merge) — never a full global sort
+    od = _t(spark, sf, "orders")
+    return (
+        od.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_x100"),
+        )
+    )
+
+
 def _q_anti_join_resume(spark, sf):
     # the resume primitive: work items not present in the committed
     # set (manifest anti-join, pipeline.py) — here: orders with no
@@ -464,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling_counts": _q_window_tumbling_counts,
         "set_ops_nations": _q_set_ops_nations,
         "topk_per_group": _q_topk_per_group,
+        "global_topk_orders": _q_global_topk_orders,
         "anti_join_resume": _q_anti_join_resume,
         "dedup_resolve": _q_dedup_resolve,
         "multimodal_stats": _q_multimodal_stats,
@@ -726,6 +741,13 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
                   FROM orders)
             WHERE rk <= 2
+        """,
+        "global_topk_orders": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_x100
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
         """,
         "anti_join_resume": """
             SELECT o_orderstatus, count(*) AS n,

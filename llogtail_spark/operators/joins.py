@@ -105,7 +105,9 @@ def range_join_bucketed(
         return F.unix_micros(F.col(c).cast("timestamp"))
 
     pb = points.withColumn("_bkt", F.floor(_micros(point_ts) / us))
-    ib = intervals.withColumn(
+    # inverted intervals (end < start) would make sequence() count
+    # DOWN and fabricate buckets — they can never match, so drop them
+    ib = intervals.filter(F.col(end_ts) >= F.col(start_ts)).withColumn(
         "_bkt",
         F.explode(
             F.sequence(F.floor(_micros(start_ts) / us), F.floor(_micros(end_ts) / us))

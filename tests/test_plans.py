@@ -120,3 +120,15 @@ def test_embedding_near_dup_query_has_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_topk_is_take_ordered_not_full_sort(spark):
+    """Global ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition heaps + one merge), never a global range-partition
+    sort — at 10^12 rows the difference is a full shuffle."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["global_topk_orders"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
