@@ -86,3 +86,13 @@ def test_range_join_plan_is_equi_join(spark, frames):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_drops_inverted_intervals(spark):
+    points = spark.createDataFrame([(1, _ts(5), "p")], "k long, ts timestamp, tag string")
+    intervals = spark.createDataFrame(
+        [(1, _ts(10), _ts(0), 9)], "k long, s timestamp, e timestamp, iv long"
+    )  # end < start: can never contain anything, must not error or match
+    got = range_join_bucketed(points, intervals, on=["k"], point_ts="ts",
+                              start_ts="s", end_ts="e").collect()
+    assert got == []
