@@ -501,7 +501,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# explicit whitespace class (single source of truth in operators/dedup):
+# Java \s, RE2 \s and Python \s disagree on \x0b / Unicode whitespace
+def _norm_sql() -> str:
+    from llogtail_spark.operators.dedup import WS_CLASS
+
+    return f"trim(regexp_replace(lower(text), '{WS_CLASS}', ' ', 'g'))"
+
+
+_NORM_SQL = _norm_sql()
 
 
 def _minhash_oracle() -> str:
@@ -831,10 +839,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) % 2147483647 AS fp
             FROM documents
         """,
-        "dedup_exact_docs": r"""
+        "dedup_exact_docs": f"""
             SELECT count(*) AS n_total,
-                   count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-                       AS n_unique
+                   count(DISTINCT {_NORM_SQL}) AS n_unique
             FROM documents
         """,
         "embedding_topk": f"""

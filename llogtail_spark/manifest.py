@@ -91,8 +91,14 @@ def read_all(manifest_dir: str) -> list[ManifestEntry]:
         path = os.path.join(manifest_dir, name)
         # OSError (EACCES, transient I/O) propagates: a read failure is
         # NOT evidence the entry is bad, and deleting a valid committed
-        # record silently forces reprocessing.
-        with open(path) as f:
+        # record silently forces reprocessing. The one exception is
+        # ENOENT — the entry was invalidated by a concurrent run
+        # between listdir and open, i.e. it legitimately doesn't exist.
+        try:
+            f = open(path)
+        except FileNotFoundError:
+            continue
+        with f:
             try:
                 d = json.load(f)
             except json.JSONDecodeError:

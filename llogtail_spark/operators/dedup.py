@@ -29,10 +29,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# the one whitespace class, spelled explicitly: Java \s includes \x0b
+# but RE2 \s does not, and Python \s matches Unicode whitespace — an
+# explicit class makes Catalyst, DuckDB (RE2) and the Python UDF agree
+# byte-for-byte on word boundaries.
+WS_CLASS = "[ \\t\\n\\r\\f\\x0b]+"
+_WS_RE = re.compile("[ \t\n\r\f\x0b]+")
+
+
 def normalize_text(col) -> "F.Column":
     """lower + collapse whitespace — the usual near-dup normalizer."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), WS_CLASS, " "))
 
 
 def exact_dedup(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -58,45 +66,6 @@ def word_shingles(col, n: int = 3) -> "F.Column":
     )
 
 
-def minhash_signature(shingles_col, num_hashes: int = 32) -> "F.Column":
-    """array<long> minhash signature: for seed i, min over shingles of
-    xxhash64(shingle, i). Pure expression — evaluated in codegen.
-    (Expression form; the operator below uses the flat explode form,
-    which benchmarks ~5x faster because the per-(shingle,seed) hash
-    runs in straight-line codegen instead of nested HOF lambdas.)"""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
-
-
-def minhash_signatures_flat(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_hashes: int,
-    shingle_n: int,
-) -> DataFrame:
-    """(id, sig array<long>) via explode(shingles) -> N hash columns ->
-    groupBy(id) min each -> array. The hashes evaluate in whole-stage
-    codegen over flat rows; the min-agg is map-side combined, so the
-    shuffle carries only one N-long signature row per doc."""
-    exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("_s"),
-    )
-    mins = exploded.groupBy("_id").agg(
-        *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
-    )
-    return mins.select(
-        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
-    )
-
-
 def _portable_band_keys_udf(num_hashes: int, bands: int, shingle_n: int):
     """Vectorized Arrow UDF: text -> array<long> of `bands` LSH band
     keys on the portable hash family (functions/portable_hash.py).
@@ -117,7 +86,8 @@ def _portable_band_keys_udf(num_hashes: int, bands: int, shingle_n: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_keys(texts: pd.Series) -> pd.Series:
         docs_words = [
-            re.sub(r"\s+", " ", t.lower()).strip().split(" ") for t in texts
+            _WS_RE.sub(" ", ("" if t is None else t).lower()).strip(" ").split(" ")
+            for t in texts
         ]
         ndocs = len(docs_words)
         if ndocs == 0:
@@ -198,6 +168,10 @@ def minhash_lsh_pairs(
     """
     from pyspark.sql import Window as W
 
+    # null text can't shingle: drop it in BOTH modes (xxhash64 mode
+    # dropped such rows implicitly via explode-of-null; the portable
+    # UDF must not see a mode-dependent row set)
+    df = df.filter(F.col(text_col).isNotNull())
     rows_per_band = num_hashes // bands
     if hash_mode == "portable":
         # One vectorized Arrow UDF computes the band keys end-to-end

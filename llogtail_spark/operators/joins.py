@@ -42,15 +42,25 @@ def asof_join(
 
     right MUST be unique per (on, right_ts) — dedupe upstream,
     deterministically, or the carried values are undefined.
-    Output: all left columns + right_cols (null when no prior right
-    row, or when outside `tolerance_sec`).
+    Output: all left columns + `_asof_ts` (the matched right_ts) +
+    right_cols, all taken from the SAME right row; the entire group
+    (including _asof_ts) is null when no prior right row exists or the
+    match is older than `tolerance_sec`.
     """
     lcols = left.columns
+    # the whole right row travels as ONE struct so the carried values
+    # always come from the SAME right row — per-column last(ignorenulls)
+    # would splice values across rows whenever a right column is null
+    rstruct = F.struct(
+        F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).alias(f"_r_{c}") for c in ["_rts", *right_cols]],
+        F.lit(None).cast(
+            right.select(rstruct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
     r = right.select(
         *[F.col(c) for c in on],
@@ -58,8 +68,7 @@ def asof_join(
           for c in lcols if c not in on],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
-        F.col(right_ts).alias("_r__rts"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        rstruct.alias("_r"),
     ).select(*l.columns)  # align column order for unionByName safety
     u = l.unionByName(r)
     w = (
@@ -67,19 +76,23 @@ def asof_join(
         .orderBy("_ts", "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-        for c in ["_rts", *right_cols]
-    ]
-    out = u.select(*u.columns, *carried).filter(F.col("_tag") == 1)
-    keep = [F.col(f"_c_{c}").alias(c) for c in right_cols]
+    out = (
+        u.select(*u.columns, F.last("_r", ignorenulls=True).over(w).alias("_c"))
+        .filter(F.col("_tag") == 1)
+    )
+    carried = F.col("_c")
     if tolerance_sec is not None:
         within = (
-            F.col("_c__rts").isNotNull()
-            & (F.unix_timestamp("_ts") - F.unix_timestamp("_c__rts") <= tolerance_sec)
+            carried.isNotNull()
+            & (F.unix_timestamp("_ts") - F.unix_timestamp(carried["_rts"])
+               <= tolerance_sec)
         )
-        keep = [F.when(within, F.col(f"_c_{c}")).alias(c) for c in right_cols]
-    return out.select(*lcols, F.col("_c__rts").alias("_asof_ts"), *keep)
+        carried = F.when(within, carried)  # stale match -> whole row null
+    return out.select(
+        *lcols,
+        carried["_rts"].alias("_asof_ts"),
+        *[carried[c].alias(c) for c in right_cols],
+    )
 
 
 def range_join_bucketed(

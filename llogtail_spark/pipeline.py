@@ -239,11 +239,13 @@ def run_pipeline(
         processed[rule.name] = committed
     shutil.rmtree(staging, ignore_errors=True)
 
-    metrics = _metrics_from_manifest(spark, conf)
+    metrics = _metrics_from_manifest(spark, conf, live_parts=set(parts))
     return RunResult(processed=processed, skipped=skipped, metrics=metrics)
 
 
-def _metrics_from_manifest(spark: SparkSession, conf: PipelineConf) -> DataFrame:
+def _metrics_from_manifest(
+    spark: SparkSession, conf: PipelineConf, live_parts: set[str]
+) -> DataFrame:
     """Per-sink rollups derived from the lineage manifest — zero data
     scans. The manifest rows ARE the job-3 readback stats (row_count,
     tok_total, checksum per (sink, part)), so folding them reproduces
@@ -253,8 +255,15 @@ def _metrics_from_manifest(spark: SparkSession, conf: PipelineConf) -> DataFrame
     would re-read the entire table just to report metrics)."""
     from llogtail_spark.operators.aggregate import BYTES_PER_TOKEN
 
+    # scope to THIS pipeline's sinks and the CURRENT input partitions:
+    # a shared/stale manifest dir may hold entries for removed sink
+    # rules or deleted input parts, which are lineage history, not
+    # current-run metrics
+    live_sinks = {r.name for r in conf.sinks}
     per_sink: dict[str, dict[str, int]] = {}
     for e in mf.read_all(conf.manifest_dir):
+        if e.sink not in live_sinks or e.part not in live_parts:
+            continue
         m = per_sink.setdefault(
             e.sink, {"row_count": 0, "tok_total": 0, "checksum": 0, "n_parts": 0}
         )

@@ -64,6 +64,13 @@ def _resolve_batch_files(
     listing at all; a part that doesn't resolve (nested layout, URI
     scheme) falls back to ONE table listing cached for the stream's
     lifetime and refreshed only when a part is genuinely unknown."""
+    def _local(path: str) -> str:
+        if path.startswith("file:"):
+            from urllib.parse import urlparse
+
+            return urlparse(path).path
+        return path
+
     out: dict[str, str] = {}
     missing: list[str] = []
     for p in parts:
@@ -74,11 +81,19 @@ def _resolve_batch_files(
             missing.append(p)
     if missing:
         listed = cache.get("parts")
-        if listed is None or any(p not in listed for p in missing):
+        # a cached entry whose file has vanished is STALE, not resolved
+        # — feeding a dead path to the footer reader would kill the
+        # stream instead of hitting the skip-commit branch
+        if listed is None or any(
+            p not in listed or not os.path.exists(_local(listed[p]))
+            for p in missing
+        ):
             listed = cache["parts"] = reader.list_parts(spark, input_path)
         for p in missing:
-            if p in listed:
-                out[p] = listed[p]
+            f = listed.get(p)
+            if f is not None and os.path.exists(_local(f)):
+                out[p] = f
+            # else: unresolved -> caller skips the manifest commit
     return out
 
 

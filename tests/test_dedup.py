@@ -167,3 +167,34 @@ def test_dedup_pipeline_end_to_end(spark, corpus):
     res = resolve_components(pairs, corpus.select("doc_id"))
     kept = sorted(r["doc_id"] for r in res.filter("keep = 1").collect())
     assert kept == [1, 5]
+
+
+def test_minhash_null_text_rows_dropped_in_both_modes(spark):
+    rows = [(1, BASE), (2, None), (3, BASE)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for mode in ["xxhash64", "portable"]:
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 minhash_lsh_pairs(df, num_hashes=16, bands=8,
+                                   hash_mode=mode).collect()}
+        assert pairs == {(1, 3)}, mode
+
+
+def test_normalize_whitespace_class_consistent_with_duckdb(spark):
+    """The explicit whitespace class must produce the same word
+    boundaries in Catalyst, the Python UDF and DuckDB RE2 — including
+    on NBSP (NOT whitespace here) and vertical tab (whitespace)."""
+    import duckdb
+
+    from llogtail_spark.operators.dedup import WS_CLASS, normalize_text
+
+    tricky = "a b\x0bc  d\te"
+    (spark_norm,) = (
+        spark.createDataFrame([(tricky,)], "text string")
+        .select(normalize_text("text").alias("n")).collect()
+    )
+    duck_norm = duckdb.connect().execute(
+        f"SELECT trim(regexp_replace(lower(?), '{WS_CLASS}', ' ', 'g'))",
+        [tricky],
+    ).fetchone()[0]
+    py_norm = __import__("re").sub("[ \t\n\r\f\x0b]+", " ", tricky.lower()).strip(" ")
+    assert spark_norm["n"] == duck_norm == py_norm == "a b c d e"

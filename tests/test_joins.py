@@ -96,3 +96,25 @@ def test_range_join_drops_inverted_intervals(spark):
     got = range_join_bucketed(points, intervals, on=["k"], point_ts="ts",
                               start_ts="s", end_ts="e").collect()
     assert got == []
+
+
+def test_asof_null_right_value_not_spliced(spark):
+    """A NULL in a right column must come through as NULL from the
+    matched row — never spliced with a value from an OLDER right row
+    (per-column carry would do that)."""
+    left = spark.createDataFrame([(1, _ts(10), "l")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100), (1, _ts(8), None)], "k long, ts timestamp, v long"
+    )
+    (row,) = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                       right_cols=["v"]).collect()
+    assert row["_asof_ts"] == _ts(8)  # matched the ts=8 row...
+    assert row["v"] is None           # ...whose v IS null
+
+
+def test_asof_tolerance_masks_asof_ts_too(frames):
+    left, right = frames
+    out = {r["tag"]: (r["_asof_ts"], r["v"]) for r in
+           asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     right_cols=["v"], tolerance_sec=60).collect()}
+    assert out["l10"] == (None, None)  # stale match: whole group null

@@ -123,3 +123,23 @@ def test_near_dup_lsh_plan_has_no_cartesian(emb):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_bucket_signs_have_robust_margin():
+    """Oracle parity for ann_lsh depends on numpy (BLAS, reordered
+    sums) and DuckDB (sequential list_dot_product) agreeing on the
+    SIGN of every projection. Cross-engine float sums differ by at
+    most ~1e-13 relative; assert every fixture projection clears that
+    by orders of magnitude, so a sign flip is impossible."""
+    import duckdb
+
+    from llogtail_spark.operators.similarity import rounded_hyperplanes
+
+    planes = rounded_hyperplanes(64, 6, 7, 6)
+    for sf in ["0.001", "0.01", "0.1"]:
+        emb = duckdb.connect().execute(
+            f"SELECT embedding FROM read_parquet('/root/testdata/sf{sf}/embeddings.parquet')"
+        ).fetchall()
+        m = np.array([r[0] for r in emb], dtype=np.float64)
+        margin = np.abs(m @ planes).min()
+        assert margin > 1e-6, (sf, margin)
