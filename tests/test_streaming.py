@@ -152,3 +152,50 @@ def test_stream_identity_work_is_per_batch_not_per_table(spark, tmp_path, monkey
     q2.awaitTermination(120)
     assert identity_calls == [["part-99999"]]
     assert list_calls == []
+
+
+def test_stateful_debounce_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState debounce: state (last emitted ts) must
+    persist ACROSS micro-batches — a repeat arriving in the next batch
+    within the interval is still suppressed (sendEvent debounce analog,
+    log_watcher.go:265-285)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.stateful import debounce_stream
+
+    base = dt.datetime(2024, 1, 1)
+    def row(eid, user, sec):
+        return {"event_id": eid, "user_id": user,
+                "ts": base + dt.timedelta(seconds=sec)}
+
+    d = tmp_path / "stream"
+    os.makedirs(d)
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us"))])
+    # batch 1: emit t0; suppress t0+0.5; emit t0+2
+    pq.write_table(pa.Table.from_pylist(
+        [row(1, 7, 0.0), row(2, 7, 0.5), row(3, 7, 2.0), row(10, 8, 0.0)],
+        schema=schema), str(d / "b1.parquet"))
+    # batch 2: t0+2.5 is only 0.5s after the batch-1 emit at t0+2 ->
+    # suppressed IFF state crossed the batch boundary; t0+5 emits
+    pq.write_table(pa.Table.from_pylist(
+        [row(4, 7, 2.5), row(5, 7, 5.0)], schema=schema),
+        str(d / "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = debounce_stream(stream, ["user_id"], ts_col="ts", interval_sec=1.0)
+    q = (
+        out.writeStream.format("memory").queryName("debounced")
+        .option("checkpointLocation", str(tmp_path / "cpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM debounced").collect())
+    assert got == [1, 3, 5, 10]
