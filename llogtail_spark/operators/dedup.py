@@ -310,22 +310,43 @@ def resolve_components(
     labels = nodes.select(F.col(id_col).alias("id")).withColumn(
         "rep", F.col("id")
     ).localCheckpoint()
-    for _ in range(max_iter):
-        prop = edges.join(
-            labels.withColumnRenamed("id", "dst"), on="dst"
-        ).select(F.col("src").alias("id"), "rep")
-        new_labels = (
-            labels.union(prop).groupBy("id").agg(F.min("rep").alias("rep"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+
+    # per round: ONE shuffled agg materialized by the checkpoint + ONE
+    # narrow count. The pre-round label rides along as a tagged union
+    # member (min(when(_old)) recovers it), so convergence needs no
+    # compare-join. Candidate-pair frames are orders of magnitude
+    # smaller than the corpus, so the loop runs with few shuffle
+    # partitions (task-scheduling overhead dominates tiny iterative
+    # shuffles; restored in `finally`). At true cluster scale raise
+    # `loop_shuffle_partitions` to ~2x the cores working the pairs.
+    spark = pairs.sparkSession
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(max_iter):
+            base = labels.select(
+                "id", "rep", F.lit(True).alias("_old")
+            )
+            prop = edges.join(
+                labels.withColumnRenamed("id", "dst"), on="dst"
+            ).select(
+                F.col("src").alias("id"), "rep", F.lit(False).alias("_old")
+            )
+            new_labels = (
+                base.union(prop)
+                .groupBy("id")
+                .agg(
+                    F.min("rep").alias("rep"),
+                    F.min(F.when(F.col("_old"), F.col("rep"))).alias("_old_rep"),
+                )
+                .localCheckpoint()
+            )
+            changed = new_labels.filter(F.col("rep") != F.col("_old_rep")).count()
+            labels = new_labels.select("id", "rep")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
     return labels.select(
         F.col("id").alias(id_col),
         "rep",
