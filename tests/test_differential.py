@@ -1,0 +1,144 @@
+"""Randomized differential tests: seeded random inputs, Spark result
+vs an independent DuckDB recompute. These catch cross-engine semantic
+drift the fixed fixtures can't (boundary timestamps, hash arithmetic
+on adversarial strings, interval edge cases)."""
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SEED = 1234
+
+
+def test_char_fold_hash_matches_duckdb_on_random_strings(spark):
+    from llogtail_spark.functions import portable_hash as ph
+
+    rng = np.random.default_rng(SEED)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz0123456789 .,!?-_")
+    strings = [
+        "".join(rng.choice(alphabet, size=rng.integers(0, 40)))
+        for _ in range(300)
+    ]
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(s,) for s in strings], "s string")
+        .select("s", ph.char_fold_hash("s").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"s": strings}))
+    want = dict(con.execute(
+        f"SELECT s, {ph.char_fold_hash_sql('s')} FROM t"
+    ).fetchall())
+    assert got == want
+
+
+def test_asof_join_matches_duckdb_on_random_events(spark):
+    from llogtail_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(SEED)
+    base = dt.datetime(2024, 1, 1)
+
+    def frame(n, id0):
+        return pd.DataFrame({
+            "k": rng.integers(0, 5, size=n),
+            "ts": [base + dt.timedelta(seconds=int(s))
+                   for s in rng.integers(0, 120, size=n)],  # many ties
+            "eid": np.arange(id0, id0 + n),
+        })
+
+    lpdf, rpdf = frame(200, 0), frame(60, 1000)
+    # right must be unique per (k, ts): keep max eid
+    rpdf = rpdf.sort_values("eid").groupby(["k", "ts"], as_index=False).last()
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf).select(
+        "k", "ts", F.col("eid").alias("rid")
+    )
+    got = {
+        r["eid"]: r["rid"]
+        for r in asof_join(left, right, on=["k"], left_ts="ts",
+                           right_ts="ts", right_cols=["rid"]).collect()
+    }
+    con = duckdb.connect()
+    con.register("l", lpdf)
+    con.register("r", rpdf.rename(columns={"eid": "rid"}))
+    want = dict(con.execute("""
+        SELECT l.eid, r.rid FROM l ASOF LEFT JOIN r
+        ON l.k = r.k AND l.ts >= r.ts
+    """).fetchall())
+    want = {k: (None if pd.isna(v) else int(v)) for k, v in want.items()}
+    assert got == want
+
+
+@pytest.mark.parametrize("bucket_sec", [7, 60, 600])
+def test_range_join_matches_duckdb_inequality(spark, bucket_sec):
+    from llogtail_spark.operators.joins import range_join_bucketed
+
+    rng = np.random.default_rng(SEED + bucket_sec)
+    base = dt.datetime(2024, 1, 1)
+    pts = pd.DataFrame({
+        "k": rng.integers(0, 4, size=150),
+        "ts": [base + dt.timedelta(seconds=float(s))
+               for s in rng.uniform(0, 3600, size=150)],
+        "pid": np.arange(150),
+    })
+    durs = rng.uniform(0, 900, size=40)
+    starts = rng.uniform(0, 3600, size=40)
+    iv = pd.DataFrame({
+        "k": rng.integers(0, 4, size=40),
+        "s": [base + dt.timedelta(seconds=float(x)) for x in starts],
+        "e": [base + dt.timedelta(seconds=float(x + d))
+              for x, d in zip(starts, durs)],
+        "iid": np.arange(40),
+    })
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(
+            spark.createDataFrame(pts), spark.createDataFrame(iv),
+            on=["k"], point_ts="ts", start_ts="s", end_ts="e",
+            bucket_sec=bucket_sec,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("p", pts)
+    con.register("i", iv)
+    want = set(map(tuple, con.execute("""
+        SELECT p.pid, i.iid FROM p JOIN i
+        ON p.k = i.k AND p.ts > i.s AND p.ts <= i.e
+    """).fetchall()))
+    assert got == want
+
+
+def test_minhash_portable_pairs_match_oracle_on_random_corpus(spark):
+    """The full portable-LSH pair pipeline vs its DuckDB oracle on a
+    RANDOM corpus with planted duplicates — same comparison the driver
+    runs, but on adversarial data (repeats, punctuation, weird
+    whitespace) instead of the fixed fixture."""
+    import __spark_entry__ as entry
+    from llogtail_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(SEED)
+    vocab = ["alpha", "beta", "gamma", "delta,", "eps!", "x9", "-", "the"]
+    docs = []
+    for i in range(80):
+        words = rng.choice(vocab, size=rng.integers(1, 30))
+        docs.append((i, " ".join(words)))
+    for j in range(10):  # planted dups with whitespace noise
+        docs.append((1000 + j, docs[j][1].upper() + "\t "))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    got = sorted(
+        map(tuple, minhash_lsh_pairs(
+            spark.createDataFrame(pdf), hash_mode="portable",
+            **entry.MINHASH_CONF).collect())
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(map(tuple, con.execute(entry._minhash_oracle()).fetchall()))
+    assert got == want
+    planted = {(j, 1000 + j) for j in range(10)}
+    assert planted <= {(a, b) for a, b, _ in got}
