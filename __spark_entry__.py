@@ -188,6 +188,49 @@ def _q_cube_counts(spark, sf):
     )
 
 
+def _q_pivot_event_counts(spark, sf):
+    # pivot with an EXPLICIT value list (deterministic columns; at
+    # scale an implicit pivot would add a distinct-scan job)
+    ev = _t(spark, sf, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    piv = ev.groupBy(day).pivot("event_type", kinds).count()
+    return piv.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds]
+    )
+
+
+def _q_median_value_by_type(spark, sf):
+    # exact lower-median via explicit rank (identical arithmetic in the
+    # oracle — no reliance on engine-specific quantile interpolation)
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(W.partitionBy("event_type"))
+    )
+    return (
+        ranked.filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("median_x100"),
+        )
+    )
+
+
+def _q_grouping_sets_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
 def _q_set_ops_nations(spark, sf):
     cu = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
     su = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
@@ -477,6 +520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_day": _q_events_by_day,
         "window_tumbling_counts": _q_window_tumbling_counts,
         "set_ops_nations": _q_set_ops_nations,
+        "pivot_event_counts": _q_pivot_event_counts,
+        "median_value_by_type": _q_median_value_by_type,
+        "grouping_sets_counts": _q_grouping_sets_counts,
         "topk_per_group": _q_topk_per_group,
         "global_topk_orders": _q_global_topk_orders,
         "anti_join_resume": _q_anti_join_resume,
@@ -733,6 +779,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_x100
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "pivot_event_counts": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY 1
+        """,
+        "median_value_by_type": """
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS median_x100
+            FROM (SELECT event_type, value,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY value, event_id) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM events)
+            WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+        """,
+        "grouping_sets_counts": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
         "set_ops_nations": """
             WITH cu AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
