@@ -5,12 +5,15 @@ Four tiers, all shuffle-conscious:
 - exact_dedup: hash-groupBy on a normalized key — one shuffle on the
   key, keeps the deterministic minimum doc per group.
 - minhash_lsh_pairs: shingle -> minhash signature -> banded LSH
-  bucket join. Signatures and band hashes are pure Catalyst
-  higher-order-function expressions (xxhash64 under transform/
-  array_min) — JVM-side, no Python. The only shuffle is the
-  bucket-key groupBy, and buckets are tiny by construction.
-- simhash64: 64-bit majority-vote simhash via explode + conditional
-  sums (narrow agg, map-side combined).
+  bucket join, two hash backends: "xxhash64" (explode + JVM codegen
+  hashes + map-side-combined min-agg — the production fast path) and
+  "portable" (one vectorized Arrow UDF on the engine-portable hash
+  family, value-reproducible by an independent SQL engine for oracle
+  verification). Hot buckets cap to O(R*k) representative pairs.
+- resolve_components: candidate pairs -> connected components ->
+  deterministic keep-list (min-label propagation).
+- simhash64 / simhash_portable: majority-vote simhash via explode +
+  conditional sums (narrow agg, map-side combined).
 - ngram_jaccard_pairs: exact verification of candidate pairs
   (typically the output of LSH) via array_intersect/array_union.
 
@@ -314,39 +317,31 @@ def resolve_components(
     # per round: ONE shuffled agg materialized by the checkpoint + ONE
     # narrow count. The pre-round label rides along as a tagged union
     # member (min(when(_old)) recovers it), so convergence needs no
-    # compare-join. Candidate-pair frames are orders of magnitude
-    # smaller than the corpus, so the loop runs with few shuffle
-    # partitions (task-scheduling overhead dominates tiny iterative
-    # shuffles; restored in `finally`). At true cluster scale raise
-    # `loop_shuffle_partitions` to ~2x the cores working the pairs.
-    spark = pairs.sparkSession
-    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        for _ in range(max_iter):
-            base = labels.select(
-                "id", "rep", F.lit(True).alias("_old")
+    # compare-join. (Profiled rejects: two hops/round — heavier
+    # actions; AQE off or session-conf shuffle-partition fiddling —
+    # no stable win, and mutating session conf is unsafe under
+    # concurrent queries. The ~1s/round floor here is driver-action
+    # overhead at test scale, irrelevant at cluster scale.)
+    for _ in range(max_iter):
+        base = labels.select("id", "rep", F.lit(True).alias("_old"))
+        prop = edges.join(
+            labels.withColumnRenamed("id", "dst"), on="dst"
+        ).select(
+            F.col("src").alias("id"), "rep", F.lit(False).alias("_old")
+        )
+        new_labels = (
+            base.union(prop)
+            .groupBy("id")
+            .agg(
+                F.min("rep").alias("rep"),
+                F.min(F.when(F.col("_old"), F.col("rep"))).alias("_old_rep"),
             )
-            prop = edges.join(
-                labels.withColumnRenamed("id", "dst"), on="dst"
-            ).select(
-                F.col("src").alias("id"), "rep", F.lit(False).alias("_old")
-            )
-            new_labels = (
-                base.union(prop)
-                .groupBy("id")
-                .agg(
-                    F.min("rep").alias("rep"),
-                    F.min(F.when(F.col("_old"), F.col("rep"))).alias("_old_rep"),
-                )
-                .localCheckpoint()
-            )
-            changed = new_labels.filter(F.col("rep") != F.col("_old_rep")).count()
-            labels = new_labels.select("id", "rep")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("rep") != F.col("_old_rep")).count()
+        labels = new_labels.select("id", "rep")
+        if changed == 0:
+            break
     return labels.select(
         F.col("id").alias(id_col),
         "rep",

@@ -55,6 +55,19 @@ def with_partition_id(df: DataFrame, col: str = "part") -> DataFrame:
     return df.withColumn(col, F.regexp_replace(base, r"\.parquet$", ""))
 
 
+def local_path(path: str) -> str | None:
+    """Local filesystem path for `path`, or None if it lives on a
+    remote filesystem (hdfs://, s3a://, ...). Shared by every caller
+    that wants to os.stat/read a listed file directly."""
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(path).path)
+    if "://" in path:
+        return None
+    return path
+
+
 def file_identity(path: str) -> tuple[int, int]:
     """(row_count, checksum) of one input file from parquet FOOTER
     metadata only — no data scan. The checksum folds (num_rows,
@@ -65,10 +78,9 @@ def file_identity(path: str) -> tuple[int, int]:
     from the Iceberg manifest; here we read footers driver-side."""
     import pyarrow.parquet as pq
 
-    if path.startswith("file:"):
-        from urllib.parse import urlparse
-
-        path = urlparse(path).path
+    lp = local_path(path)
+    if lp is not None:
+        path = lp
     md = pq.read_metadata(path)
     idx = md.schema.to_arrow_schema().get_field_index("doc_id")
     parts = [str(md.num_rows)]

@@ -34,6 +34,11 @@ def debounce_stream(
     def fn(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
         batch = pd.concat(list(pdfs))
+        # a debounce decision needs an event time: null-ts rows are
+        # dropped (NaT.timestamp() would kill the whole query), same
+        # as the batch twin's groupBy over a null key contributing
+        # nothing to a keyed first-event decision
+        batch = batch[batch[ts_col].notna()]
         if batch.empty:
             return
         batch = batch.sort_values(ts_col, kind="stable")

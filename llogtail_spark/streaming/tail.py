@@ -64,34 +64,35 @@ def _resolve_batch_files(
     listing at all; a part that doesn't resolve (nested layout, URI
     scheme) falls back to ONE table listing cached for the stream's
     lifetime and refreshed only when a part is genuinely unknown."""
-    def _local(path: str) -> str:
-        if path.startswith("file:"):
-            from urllib.parse import urlparse
-
-            return urlparse(path).path
-        return path
+    def _alive(path: str) -> bool:
+        # the vanished-file staleness check only applies to files we
+        # can stat locally; remote paths (hdfs://, s3a://) are trusted
+        # as listed — a wrong guess there would force an O(table)
+        # re-list per batch AND never resolve, the worst of both
+        lp = reader.local_path(path)
+        return True if lp is None else os.path.exists(lp)
 
     out: dict[str, str] = {}
     missing: list[str] = []
+    local_root = reader.local_path(input_path)
     for p in parts:
-        cand = os.path.join(input_path, f"{p}.parquet")
-        if os.path.exists(cand):
+        cand = os.path.join(local_root, f"{p}.parquet") if local_root else None
+        if cand is not None and os.path.exists(cand):
             out[p] = cand
         else:
             missing.append(p)
     if missing:
         listed = cache.get("parts")
-        # a cached entry whose file has vanished is STALE, not resolved
-        # — feeding a dead path to the footer reader would kill the
-        # stream instead of hitting the skip-commit branch
+        # a cached entry whose local file has vanished is STALE, not
+        # resolved — feeding a dead path to the footer reader would
+        # kill the stream instead of hitting the skip-commit branch
         if listed is None or any(
-            p not in listed or not os.path.exists(_local(listed[p]))
-            for p in missing
+            p not in listed or not _alive(listed[p]) for p in missing
         ):
             listed = cache["parts"] = reader.list_parts(spark, input_path)
         for p in missing:
             f = listed.get(p)
-            if f is not None and os.path.exists(_local(f)):
+            if f is not None and _alive(f):
                 out[p] = f
             # else: unresolved -> caller skips the manifest commit
     return out

@@ -131,10 +131,14 @@ def test_ann_bucket_signs_have_robust_margin():
     SIGN of every projection. Cross-engine float sums differ by at
     most ~1e-13 relative; assert every fixture projection clears that
     by orders of magnitude, so a sign flip is impossible."""
+    import os
+
     import duckdb
 
     from llogtail_spark.operators.similarity import rounded_hyperplanes
 
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata not present")
     planes = rounded_hyperplanes(64, 6, 7, 6)
     for sf in ["0.001", "0.01", "0.1"]:
         emb = duckdb.connect().execute(
