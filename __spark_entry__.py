@@ -491,6 +491,28 @@ def _q_dedup_resolve(spark, sf):
     return resolve_components(pairs, docs.select("doc_id"))
 
 
+def _q_dedup_verified(spark, sf):
+    # the COMPLETE near-dup pipeline: LSH candidates -> exact word-
+    # 3-gram jaccard verification (only on candidates, never all
+    # pairs) -> connected components over verified edges -> keep-list
+    from llogtail_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard,
+        resolve_components,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, hash_mode="portable", **MINHASH_CONF)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    verified = (
+        ngram_jaccard(pairs.join(ta, "id_a").join(tb, "id_b"), "_ta", "_tb")
+        .filter(F.col("jaccard_x10000") >= 7000)
+        .select("id_a", "id_b")
+    )
+    return resolve_components(verified, docs.select("doc_id"))
+
+
 def _q_simhash(spark, sf):
     from llogtail_spark.operators.dedup import simhash_portable
 
@@ -527,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_topk_orders": _q_global_topk_orders,
         "anti_join_resume": _q_anti_join_resume,
         "dedup_resolve": _q_dedup_resolve,
+        "dedup_verified": _q_dedup_verified,
         "multimodal_stats": _q_multimodal_stats,
         "asof_join_last_purchase": _q_asof_join_last_purchase,
         "range_join_purchase_window": _q_range_join_purchase_window,
@@ -619,6 +642,44 @@ def _dedup_resolve_oracle() -> str:
             SELECT id_a AS a, id_b AS b FROM lsh_pairs
             UNION ALL
             SELECT id_b AS a, id_a AS b FROM lsh_pairs),
+        reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+            WHERE r.lab < e.b),
+        comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(c.rep, d.doc_id) AS rep,
+               CAST(d.doc_id = coalesce(c.rep, d.doc_id) AS INT) AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """
+
+
+def _dedup_verified_oracle() -> str:
+    """LSH candidates (replicated arithmetic) -> exact string-shingle
+    jaccard filter -> recursive-CTE components over verified edges."""
+    pairs_sql = _minhash_oracle()
+    shingles = (
+        "list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1), "
+        "i -> array_to_string(list_slice(ws, i, i + 2), ' ')))"
+    )
+    return f"""
+        WITH RECURSIVE lsh_pairs AS ({pairs_sql}),
+        shin AS (
+            SELECT doc_id, {shingles} AS sh
+            FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+                  FROM documents)),
+        verified AS (
+            SELECT p.id_a, p.id_b
+            FROM lsh_pairs p
+            JOIN shin a ON a.doc_id = p.id_a
+            JOIN shin b ON b.doc_id = p.id_b
+            WHERE CAST(floor(len(list_intersect(a.sh, b.sh)) * 10000.0 /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+                  AS BIGINT) >= 7000),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM verified
+            UNION ALL SELECT id_b, id_a FROM verified),
         reach(id, lab) AS (
             SELECT DISTINCT a, a FROM edges
             UNION
@@ -956,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh": _minhash_oracle(),
         "dedup_resolve": _dedup_resolve_oracle(),
+        "dedup_verified": _dedup_verified_oracle(),
         "multimodal_stats": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image'

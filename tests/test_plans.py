@@ -132,3 +132,38 @@ def test_global_topk_is_take_ordered_not_full_sort(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_asof_join_single_key_exchange(spark):
+    """The union+window as-of join must shuffle ONCE on the key — a
+    range-explosion or join-based formulation would add exchanges."""
+    import datetime as dt
+
+    from llogtail_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "x")], "k long, ts timestamp, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5)], "k long, ts timestamp, rv long"
+    )
+    plan = _plan(asof_join(left, right, on=["k"], left_ts="ts",
+                           right_ts="ts", right_cols=["rv"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pivot_explicit_values_no_distinct_scan(spark):
+    """pivot with an explicit value list must read the table ONCE —
+    an implicit pivot adds a distinct-collect job over the pivot
+    column before planning."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    df = entry.queries()["pivot_event_counts"](spark, sf)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
