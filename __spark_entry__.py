@@ -406,6 +406,7 @@ def _q_embedding_near_dup(spark, sf):
 
 MINHASH_CONF = dict(num_hashes=16, bands=8, cap_reps=8)
 ANN_CONF = dict(k=3, dim=64, n_bits=6, seed=7, decimals=6)
+IVF_CONF = dict(k=3, dim=64, n_cells=16, nprobe=4, seed=11, decimals=6)
 
 
 def _q_minhash_lsh(spark, sf):
@@ -528,6 +529,14 @@ def _q_ann_lsh(spark, sf):
     return lsh_topk(emb, queries, **ANN_CONF)
 
 
+def _q_ann_ivf(spark, sf):
+    from llogtail_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, **IVF_CONF)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_fanout": _q_pipeline_route_fanout,
@@ -567,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
     }
 
 
@@ -738,6 +748,45 @@ def _ann_oracle(cos_ab: str) -> str:
             SELECT a.vec_id AS query_id, n.vec_id AS neighbor_id, {cos_ab} AS c
             FROM b a JOIN b n ON a.bkt = n.bkt AND a.vec_id <> n.vec_id
             WHERE a.vec_id < 10),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, neighbor_id) AS rank,
+                   CAST(floor(c * 10000) AS BIGINT) AS cos_x10000
+            FROM scored)
+        SELECT query_id, neighbor_id, rank, cos_x10000 FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ivf_oracle(cos_qn: str) -> str:
+    """DuckDB twin of ivf_topk with decimal-rounded centroids: cell
+    assignment is argmax dot product against the same literal
+    constants (score desc, cell asc — matching make_cell_udf's
+    deterministic order); rerank reuses the proven-portable cosine."""
+    from llogtail_spark.operators.similarity import rounded_centroids
+
+    cents = rounded_centroids(IVF_CONF["dim"], IVF_CONF["n_cells"],
+                              IVF_CONF["seed"], IVF_CONF["decimals"])
+    rows = ", ".join(
+        "(" + str(c) + ", [" + ", ".join(repr(float(v)) for v in cents[c]) + "])"
+        for c in range(IVF_CONF["n_cells"])
+    )
+    k, nprobe = IVF_CONF["k"], IVF_CONF["nprobe"]
+    return f"""
+        WITH cells AS (SELECT * FROM (VALUES {rows}) t(cell, cv)),
+        sc AS (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), cv) DESC,
+                                cell) AS cr
+            FROM embeddings, cells),
+        n AS (SELECT vec_id, embedding, cell FROM sc WHERE cr = 1),
+        q AS (SELECT vec_id, embedding, cell FROM sc
+              WHERE cr <= {nprobe} AND vec_id < 10),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {cos_qn} AS c
+            FROM q JOIN n ON q.cell = n.cell AND q.vec_id <> n.vec_id),
         ranked AS (
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
@@ -1031,4 +1080,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_oracle(),
         "ann_lsh": _ann_oracle(cos.replace("b.embedding", "n.embedding")),
+        "ann_ivf": _ivf_oracle(
+            cos.replace("a.embedding", "q.embedding").replace(
+                "b.embedding", "n.embedding"
+            )
+        ),
     }

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "simhash",
     "ann_lsh",
+    "ann_ivf",
     "embedding_near_dup",
     "dedup_resolve",
     "multimodal_stats",

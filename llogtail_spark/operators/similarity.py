@@ -227,6 +227,125 @@ def make_bucket_udf(dim: int, n_bits: int = 12, seed: int = 7,
     return bucket
 
 
+def rounded_centroids(
+    dim: int, n_cells: int, seed: int, decimals: int = 6
+) -> np.ndarray:
+    """Seeded spherical centroids rounded to fixed decimals: every
+    coefficient has an exact short decimal literal, so an independent
+    engine recomputes identical cell assignments from the same
+    constants (the oracle path — same technique as
+    rounded_hyperplanes). At production scale the centroids come from
+    train_centroids() over a sample instead; the query plan is
+    identical either way."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_cells, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, decimals)
+
+
+def train_centroids(
+    sample: np.ndarray, n_cells: int, seed: int = 11, iters: int = 10
+) -> np.ndarray:
+    """Seeded spherical k-means (Lloyd) over a driver-side sample —
+    the production coarse-quantizer fit. Assignment is max dot
+    product against unit centroids (ties -> lowest cell id, matching
+    make_cell_udf); update is the renormalized mean. Deterministic:
+    fixed rng for init, empty cells re-seeded from the farthest
+    points. At 10^12 vectors the sample is a bounded reservoir pulled
+    by one Spark job; fitting 2^10..2^16 centroids on the driver is
+    trivial next to the scan."""
+    m = sample.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=n_cells, replace=False)]
+    for _ in range(iters):
+        scores = m @ cents.T
+        assign = np.argmax(scores, axis=1)  # ties -> lowest id
+        for c in range(n_cells):
+            members = m[assign == c]
+            if len(members) == 0:
+                cents[c] = m[np.argmin(scores.max(axis=1))]
+            else:
+                mean = members.mean(axis=0)
+                n = np.linalg.norm(mean)
+                if n > 0:
+                    cents[c] = mean / n
+    return cents
+
+
+def make_cell_udf(centroids: np.ndarray, nprobe: int):
+    """Arrow pandas_udf: embedding -> the `nprobe` nearest cell ids
+    (max dot product, deterministic order: score desc then cell asc).
+    One numpy matmul per Arrow batch."""
+    cents = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        scores = m @ cents.T  # (n, n_cells)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return cells
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+    decimals: int | None = 6,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-flavored approximate top-k: a coarse quantizer assigns each
+    vector to its max-dot centroid cell; queries probe their `nprobe`
+    nearest cells; exact cosine rerank runs only inside probed cells.
+
+    This is the inverted-file alternative to lsh_topk: the shuffle is
+    keyed on `n_cells` cell ids (tune n_cells ~ sqrt(N) so cells hold
+    ~N/n_cells vectors; AQE splits skewed cells), the query side is
+    broadcast, and a (query, neighbor) pair appears at most once
+    because a neighbor lives in exactly one cell. Recall/nprobe is the
+    usual IVF dial — probing all cells degrades to exact search.
+    Output schema matches brute_force_topk. Reference anchor:
+    cheap-identity-first, exact-verify-after (utils.go:36-46).
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else rounded_centroids(dim, n_cells, seed, decimals or 6)
+    )
+    assign1 = make_cell_udf(cents, 1)
+    probe_udf = make_cell_udf(cents, nprobe)
+    n = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    ).withColumn("_cell", F.element_at(assign1(F.col("_nv")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_cell", F.explode(probe_udf(F.col("_qv"))))
+    scored = (
+        n.join(F.broadcast(q), on="_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_cos", cosine_sim("_qv", "_nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("_cos") * 10000).cast("long").alias("cos_x10000"),
+        )
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
