@@ -382,6 +382,42 @@ def _q_dedup_exact_docs(spark, sf):
     )
 
 
+MIX_WEIGHTS = {"en": 100, "de": 60, "fr": 60, "es": 40, "zh": 30}
+
+
+def _q_sample_deterministic(spark, sf):
+    from llogtail_spark.operators.sampling import (
+        deterministic_sample,
+        sample_bucket,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return deterministic_sample(docs, "doc_id", 37).select(
+        "doc_id", sample_bucket("doc_id").alias("h_bucket")
+    )
+
+
+def _q_mixture_by_lang(spark, sf):
+    from llogtail_spark.operators.sampling import mixture_weights
+
+    docs = _t(spark, sf, "documents")
+    return (
+        mixture_weights(docs, "lang", "doc_id", MIX_WEIGHTS, seed_i=1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("chars_total"),
+        )
+    )
+
+
+def _q_length_buckets(spark, sf):
+    from llogtail_spark.operators.sampling import length_buckets
+
+    docs = _t(spark, sf, "documents")
+    return length_buckets(docs, "n_chars")
+
+
 def _q_embedding_topk(spark, sf):
     from llogtail_spark.operators.similarity import brute_force_topk
 
@@ -571,6 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "dedup_exact_docs": _q_dedup_exact_docs,
+        "sample_deterministic": _q_sample_deterministic,
+        "mixture_by_lang": _q_mixture_by_lang,
+        "length_buckets": _q_length_buckets,
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_lsh": _q_minhash_lsh,
@@ -794,6 +833,44 @@ def _ivf_oracle(cos_qn: str) -> str:
                    CAST(floor(c * 10000) AS BIGINT) AS cos_x10000
             FROM scored)
         SELECT query_id, neighbor_id, rank, cos_x10000 FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sample_oracle() -> str:
+    from llogtail_spark.operators.sampling import sample_bucket_sql
+
+    b = sample_bucket_sql("doc_id", 0)
+    return f"""
+        SELECT doc_id, {b} AS h_bucket FROM documents WHERE {b} < 37
+    """
+
+
+def _mixture_oracle() -> str:
+    from llogtail_spark.operators.sampling import sample_bucket_sql
+
+    b = sample_bucket_sql("doc_id", 1)
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total
+        FROM documents
+        WHERE {b} < (CASE {cases} ELSE 100 END)
+        GROUP BY lang
+    """
+
+
+def _length_buckets_oracle() -> str:
+    from llogtail_spark.operators.sampling import len_bucket_sql
+
+    return f"""
+        SELECT CAST({len_bucket_sql('n_chars')} AS BIGINT) AS bucket,
+               count(*) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS len_total,
+               min(CAST(n_chars AS BIGINT)) AS len_min,
+               max(CAST(n_chars AS BIGINT)) AS len_max
+        FROM documents GROUP BY 1
     """
 
 
@@ -1026,6 +1103,9 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT {_NORM_SQL}) AS n_unique
             FROM documents
         """,
+        "sample_deterministic": _sample_oracle(),
+        "mixture_by_lang": _mixture_oracle(),
+        "length_buckets": _length_buckets_oracle(),
         "embedding_topk": f"""
             WITH scored AS (
                 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

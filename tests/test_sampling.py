@@ -1,0 +1,100 @@
+"""Deterministic sampling / mixture / length-bucket operators:
+layout invariance, rate accuracy, seed decorrelation, exact bucket
+math, shuffle-free plans."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from llogtail_spark.operators.sampling import (
+    deterministic_sample,
+    len_bucket,
+    length_buckets,
+    mixture_weights,
+    sample_bucket,
+)
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"doc-{i:06d}", ["en", "de", "fr", "es", "zh"][i % 5], 40 + (i * 37) % 900)
+        for i in range(N)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, name string, lang string, n_chars long"
+    ).cache()
+
+
+def test_sample_stable_under_repartition(docs):
+    """The sampled row SET is a pure function of the keys — identical
+    across partition layouts (what df.sample() does NOT guarantee)."""
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 30).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(13), "doc_id", 30).collect()
+    }
+    assert a == b and a
+
+
+def test_sample_rate_accuracy(docs):
+    got = deterministic_sample(docs, "doc_id", 30).count()
+    assert abs(got / N - 0.30) < 0.05
+
+
+def test_sample_seeds_decorrelated(docs):
+    """Seed 0 at 30% and seed 1 at 30%: overlap ~= 9%, not 30%
+    (a nested split would be a correlated-eval-set bug)."""
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 30, 0).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 30, 1).collect()}
+    overlap = len(a & b) / N
+    assert 0.04 < overlap < 0.16, overlap
+
+
+def test_mixture_rates_per_category(docs):
+    w = {"en": 100, "de": 50, "zh": 10}
+    out = (
+        mixture_weights(docs, "lang", "doc_id", w, default_pct=80)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    per = {r["lang"]: r["count"] / (N / 5) for r in out}
+    assert per["en"] == 1.0
+    assert abs(per["de"] - 0.5) < 0.1
+    assert per.get("zh", 0.0) < 0.2
+    for lang in ("fr", "es"):  # default bucket
+        assert abs(per[lang] - 0.8) < 0.1
+
+
+def test_len_bucket_exact(spark):
+    vals = [1, 2, 3, 4, 7, 8, 255, 256, 1023, 1024, 99999]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = {r["n"]: r["b"] for r in df.select("n", len_bucket("n").alias("b")).collect()}
+    for v in vals:
+        assert got[v] == int(math.floor(math.log2(v))), v
+
+
+def test_length_buckets_totals(docs):
+    rows = length_buckets(docs, "n_chars").collect()
+    assert sum(r["n_rows"] for r in rows) == N
+    for r in rows:
+        assert 2 ** r["bucket"] <= r["len_min"] <= r["len_max"] < 2 ** (r["bucket"] + 1)
+
+
+def test_sample_plan_is_shuffle_free(docs):
+    plan = (
+        deterministic_sample(docs, "doc_id", 30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bucket_range(docs):
+    rows = docs.select(sample_bucket("doc_id").alias("b")).collect()
+    assert all(0 <= r["b"] < 100 for r in rows)
