@@ -135,3 +135,33 @@ def read_table(
             )
             return spark.read.parquet(path)
     return spark.read.format(fmt).load(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist `df` as a bucketed (+sorted) table so every later join
+    or aggregation keyed on `bucket_col` is co-located: both sides
+    hash-partitioned at WRITE time into the same `n_buckets`, so the
+    join plan has NO Exchange (pinned in tests/test_plans.py). This is
+    the 100 TB answer to a fact table that is joined on the same key
+    by many downstream queries — pay the shuffle once at write, never
+    again at read. At cluster scale the catalog is Iceberg/HMS; here
+    the session catalog holds the bucketing metadata and `path` makes
+    the table external (no warehouse-dir dependence).
+
+    n_buckets sizing: target ~100-500 MB per bucket file at the
+    expected table size; too few buckets caps read parallelism, too
+    many makes small files.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

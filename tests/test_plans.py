@@ -167,3 +167,28 @@ def test_pivot_explicit_values_no_distinct_scan(spark):
     df = entry.queries()["pivot_event_counts"](spark, sf)
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1
+
+
+def test_bucketed_cojoin_and_agg_are_exchange_free(spark, tmp_path):
+    """Bucketed tables: the shuffle is paid once at write time; a join
+    of two tables bucketed identically on the join key, and an
+    aggregation on the bucket key, must plan with NO Exchange at all.
+    (The 100 TB fact-table pattern: co-located joins forever after.)"""
+    from llogtail_spark.sources.reader import write_bucketed
+
+    a = spark.range(0, 5000).withColumn("v", F.col("id") % 7)
+    b = spark.range(0, 5000).withColumn("w", F.col("id") % 13)
+    write_bucketed(a, "t_bkt_a", "id", 4, path=str(tmp_path / "a"))
+    write_bucketed(b, "t_bkt_b", "id", 4, path=str(tmp_path / "b"))
+    try:
+        ta, tb = spark.table("t_bkt_a"), spark.table("t_bkt_b")
+        # merge hint forces the SMJ path (broadcast would trivially
+        # have no shuffle); bucketing must remove BOTH exchanges
+        join_plan = _plan(ta.hint("merge").join(tb, "id"))
+        assert "SortMergeJoin" in join_plan
+        assert "Exchange" not in join_plan
+        agg_plan = _plan(ta.groupBy("id").agg(F.sum("v")))
+        assert "Exchange" not in agg_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
