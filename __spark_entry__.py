@@ -385,6 +385,61 @@ def _q_dedup_exact_docs(spark, sf):
 MIX_WEIGHTS = {"en": 100, "de": 60, "fr": 60, "es": 40, "zh": 30}
 
 
+def _q_window_moving_avg(spark, sf):
+    # frame-based window: trailing 3-row average per user (classical
+    # sliding aggregate; frame order is a deterministic total order so
+    # both engines fold the identical values in the identical order)
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w) * 100).cast("long").alias("avg3_cents"),
+    )
+
+
+def _q_ntile_quartiles(spark, sf):
+    # ntile bucketing: value quartiles per event_type, rolled up
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("tile", F.ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value") * 100).cast("long").alias("min_cents"),
+            F.round(F.max("value") * 100).cast("long").alias("max_cents"),
+        )
+    )
+
+
+def _q_ngram_top_bigrams(spark, sf):
+    # corpus n-gram stats (training-data prep): top-20 bigrams by
+    # frequency with a deterministic tiebreak; explode -> partial+final
+    # count -> global TakeOrdered (no full sort of the corpus)
+    from llogtail_spark.operators.dedup import WS_CLASS
+
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), WS_CLASS), lambda x: x != ""
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 def _q_sample_deterministic(spark, sf):
     from llogtail_spark.operators.sampling import (
         deterministic_sample,
@@ -607,6 +662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "dedup_exact_docs": _q_dedup_exact_docs,
+        "window_moving_avg": _q_window_moving_avg,
+        "ntile_quartiles": _q_ntile_quartiles,
+        "ngram_top_bigrams": _q_ngram_top_bigrams,
         "sample_deterministic": _q_sample_deterministic,
         "mixture_by_lang": _q_mixture_by_lang,
         "length_buckets": _q_length_buckets,
@@ -833,6 +891,23 @@ def _ivf_oracle(cos_qn: str) -> str:
                    CAST(floor(c * 10000) AS BIGINT) AS cos_x10000
             FROM scored)
         SELECT query_id, neighbor_id, rank, cos_x10000 FROM ranked WHERE rank <= {k}
+    """
+
+
+def _bigram_oracle() -> str:
+    from llogtail_spark.operators.dedup import WS_CLASS
+
+    return f"""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(text), '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        grams AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks)
+        SELECT bigram, count(*) AS n FROM grams
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
     """
 
 
@@ -1103,6 +1178,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT {_NORM_SQL}) AS n_unique
             FROM documents
         """,
+        "window_moving_avg": """
+            SELECT event_id, user_id,
+                   CAST(round(avg(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100)
+                        AS BIGINT) AS avg3_cents
+            FROM events
+        """,
+        "ntile_quartiles": """
+            WITH t AS (
+                SELECT event_type, value,
+                       ntile(4) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS tile
+                FROM events)
+            SELECT event_type, CAST(tile AS BIGINT) AS tile, count(*) AS n,
+                   CAST(round(min(value) * 100) AS BIGINT) AS min_cents,
+                   CAST(round(max(value) * 100) AS BIGINT) AS max_cents
+            FROM t GROUP BY 1, 2
+        """,
+        "ngram_top_bigrams": _bigram_oracle(),
         "sample_deterministic": _sample_oracle(),
         "mixture_by_lang": _mixture_oracle(),
         "length_buckets": _length_buckets_oracle(),
