@@ -192,3 +192,35 @@ def test_bucketed_cojoin_and_agg_are_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_bigram_topk_uses_take_ordered_and_partial_agg(spark):
+    """Corpus-wide top-k after an explode must plan as partial+final
+    count then TakeOrderedAndProject — never a full global Sort of
+    the n-gram table (which at 100 TB is bigger than the corpus)."""
+    import pytest
+
+    import __spark_entry__ as entry
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata not present")
+    df = entry.queries()["ngram_top_bigrams"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine + final
+    # no global sort node outside the top-k operator
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_moving_avg_single_exchange(spark):
+    """A frame window partitioned by user hash-shuffles exactly once;
+    the frame itself adds no extra exchange or re-sort pass."""
+    import pytest
+
+    import __spark_entry__ as entry
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata not present")
+    df = entry.queries()["window_moving_avg"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
