@@ -142,3 +142,68 @@ def test_minhash_portable_pairs_match_oracle_on_random_corpus(spark):
     assert got == want
     planted = {(j, 1000 + j) for j in range(10)}
     assert planted <= {(a, b) for a, b, _ in got}
+
+
+def test_route_predicate_dsl_matches_duckdb_fuzz(spark, data_dir):
+    """Routing predicates are arbitrary SQL expressions (the config's
+    sink rules). Fuzz a grammar of comparisons / IN / LIKE / modulo /
+    AND-OR-NOT combos and assert Spark and DuckDB agree on (count,
+    sum(n_tok)) for every predicate — one aggregation per engine."""
+    import os
+
+    from llogtail_spark.operators.parse import parse_stage
+
+    df = parse_stage(
+        spark.read.parquet(os.path.join(data_dir, "sequences"))
+    ).select("doc_id", "source", "n_tok", "level", "level_num", "component")
+    pdf = df.toPandas()
+
+    rng = np.random.default_rng(77)
+    levels = ["DEBUG", "INFO", "WARN", "ERROR", "FATAL"]
+    comps = sorted(pdf["component"].unique())[:6]
+
+    def atom():
+        k = rng.integers(0, 6)
+        if k == 0:
+            return f"level_num >= {int(rng.integers(10, 60))}"
+        if k == 1:
+            return f"n_tok % {int(rng.integers(2, 9))} = {int(rng.integers(0, 2))}"
+        if k == 2:
+            pick = ", ".join(f"'{c}'" for c in rng.choice(comps, size=2, replace=False))
+            return f"component IN ({pick})"
+        if k == 3:
+            return f"level = '{levels[rng.integers(0, 5)]}'"
+        if k == 4:
+            return f"source LIKE '%{int(rng.integers(0, 6))}'"
+        return f"n_tok BETWEEN {int(rng.integers(50, 150))} AND {int(rng.integers(150, 400))}"
+
+    def pred():
+        a, b = atom(), atom()
+        op = ["AND", "OR", "AND NOT", "OR NOT"][rng.integers(0, 4)]
+        return f"({a}) {op} ({b})"
+
+    preds = [pred() for _ in range(40)]
+
+    agg = df.agg(
+        *[
+            F.sum(F.when(F.expr(p), F.lit(1)).otherwise(F.lit(0))).alias(f"c{i}")
+            for i, p in enumerate(preds)
+        ],
+        *[
+            F.sum(F.when(F.expr(p), F.col("n_tok")).otherwise(F.lit(0))).alias(f"s{i}")
+            for i, p in enumerate(preds)
+        ],
+    ).collect()[0]
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sel = ", ".join(
+        f"count(*) FILTER (WHERE {p}) AS c{i}, "
+        f"coalesce(sum(n_tok) FILTER (WHERE {p}), 0) AS s{i}"
+        for i, p in enumerate(preds)
+    )
+    want = con.execute(f"SELECT {sel} FROM t").df().iloc[0]
+
+    for i, p in enumerate(preds):
+        assert agg[f"c{i}"] == int(want[f"c{i}"]), (p, agg[f"c{i}"], want[f"c{i}"])
+        assert agg[f"s{i}"] == int(want[f"s{i}"]), (p, agg[f"s{i}"], want[f"s{i}"])
