@@ -199,3 +199,69 @@ def test_stateful_debounce_across_microbatches(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM debounced").collect())
     assert got == [1, 3, 5, 10]
+
+
+def test_stateful_debounce_matches_reference_on_random_stream(spark, tmp_path):
+    """Randomized equivalence: seeded random events chunked into
+    time-ordered micro-batches -> the streaming debounce must emit
+    exactly what a single-pass reference debounce over the whole
+    ordered history emits (micro-batch boundaries are invisible)."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.stateful import debounce_stream
+
+    rng = np.random.default_rng(31)
+    base = dt.datetime(2024, 1, 1)
+    n = 400
+    users = rng.integers(0, 5, size=n)
+    # exponential inter-arrival per event stream; mean 0.8s vs 1s
+    # debounce interval -> roughly half the events are suppressed
+    ts = np.cumsum(rng.exponential(0.8, size=n))
+    rows = [
+        {"event_id": i, "user_id": int(users[i]),
+         "ts": base + dt.timedelta(seconds=float(ts[i]))}
+        for i in range(n)
+    ]
+    rows.sort(key=lambda r: r["ts"])
+
+    # reference: one pass over the ordered history, per-user state
+    last: dict[int, float] = {}
+    expect = []
+    for r in rows:
+        tv = r["ts"].timestamp()
+        u = r["user_id"]
+        if u not in last or tv - last[u] >= 1.0:
+            expect.append(r["event_id"])
+            last[u] = tv
+
+    d = tmp_path / "rndstream"
+    os.makedirs(d)
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us"))])
+    for b, chunk in enumerate(np.array_split(np.arange(len(rows)), 6)):
+        pq.write_table(
+            pa.Table.from_pylist([rows[i] for i in chunk], schema=schema),
+            str(d / f"b{b}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = debounce_stream(stream, ["user_id"], ts_col="ts", interval_sec=1.0)
+    q = (
+        out.writeStream.format("memory").queryName("rnd_debounced")
+        .option("checkpointLocation", str(tmp_path / "rnd_cpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM rnd_debounced").collect()
+    )
+    assert got == sorted(expect)
+    assert 0 < len(got) < n  # both emission and suppression exercised
