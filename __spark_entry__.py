@@ -440,6 +440,41 @@ def _q_ngram_top_bigrams(spark, sf):
     )
 
 
+def _q_above_mean_events(spark, sf):
+    # scalar-subquery pattern: the 1-row global aggregate is broadcast
+    # and the big side is filtered against it — no second full scan
+    # shape, no shuffle beyond the final rollup
+    ev = _t(spark, sf, "events")
+    mean_df = ev.agg(F.avg("value").alias("_mean"))
+    return (
+        ev.join(F.broadcast(mean_df))
+        .filter(F.col("value") > F.col("_mean"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+
+
+def _q_fuzzy_source_pairs(spark, sf):
+    # fuzzy matching on a DIMENSION (edit distance <= 1 between source
+    # names — the data-cleaning "near-identical label" sweep). The
+    # distinct source list is dim-sized, so the all-pairs comparison is
+    # a broadcast of a tiny side; a corpus-sized fuzzy join would go
+    # through q-gram LSH instead (operators/dedup.py).
+    docs = _t(spark, sf, "documents")
+    s = docs.select("source").distinct()
+    a = s.select(F.col("source").alias("src_a"))
+    b = s.select(F.col("source").alias("src_b"))
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .withColumn("dist", F.levenshtein("src_a", "src_b").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("src_a", "src_b", "dist")
+    )
+
+
 def _q_sample_deterministic(spark, sf):
     from llogtail_spark.operators.sampling import (
         deterministic_sample,
@@ -664,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "window_moving_avg": _q_window_moving_avg,
         "ntile_quartiles": _q_ntile_quartiles,
+        "above_mean_events": _q_above_mean_events,
+        "fuzzy_source_pairs": _q_fuzzy_source_pairs,
         "ngram_top_bigrams": _q_ngram_top_bigrams,
         "sample_deterministic": _q_sample_deterministic,
         "mixture_by_lang": _q_mixture_by_lang,
@@ -1198,6 +1235,20 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY 1, 2
         """,
         "ngram_top_bigrams": _bigram_oracle(),
+        "above_mean_events": """
+            SELECT event_type, count(*) AS n,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+            FROM events
+            WHERE value > (SELECT avg(value) FROM events)
+            GROUP BY event_type
+        """,
+        "fuzzy_source_pairs": """
+            WITH s AS (SELECT DISTINCT source FROM documents)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
+            FROM s a JOIN s b ON a.source < b.source
+            WHERE levenshtein(a.source, b.source) <= 1
+        """,
         "sample_deterministic": _sample_oracle(),
         "mixture_by_lang": _mixture_oracle(),
         "length_buckets": _length_buckets_oracle(),
