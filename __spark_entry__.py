@@ -7,10 +7,13 @@ value-hash compare sorts columns by name). Float-derived outputs are
 integerized (x100 / x10000 + floor/round) so both engines hash
 identically.
 
-Ops without an oracle entry (minhash LSH, simhash, hyperplane-LSH ANN)
-are non-SQL-expressible (engine hash functions / seeded hyperplanes)
-and get the driver's rows-only check; their exact-equality coverage
-lives in tests/.
+Every queries() entry has an oracle_sql() twin — including the
+hash-derived ops (minhash LSH, simhash, LSH/IVF ANN), which run on an
+engine-portable hash family / decimal-rounded constants that DuckDB
+recomputes value-exactly (functions/portable_hash.py,
+similarity.rounded_hyperplanes / rounded_centroids). The
+engine-native xxhash64 variants remain the production fast path and
+are exact-equality unit-tested in tests/.
 """
 
 from __future__ import annotations

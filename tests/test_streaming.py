@@ -184,6 +184,11 @@ def test_stateful_debounce_across_microbatches(spark, tmp_path):
     pq.write_table(pa.Table.from_pylist(
         [row(4, 7, 2.5), row(5, 7, 5.0)], schema=schema),
         str(d / "b2.parquet"))
+    # the file source orders batches by mtime; sub-ms writes tie and
+    # the tie-break is unstable, so pin strictly increasing mtimes
+    # (the real tail scenario: files appear over time)
+    os.utime(str(d / "b1.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(str(d / "b2.parquet"), (1_700_000_100, 1_700_000_100))
 
     stream = (
         spark.readStream.schema("event_id long, user_id long, ts timestamp")
@@ -243,10 +248,13 @@ def test_stateful_debounce_matches_reference_on_random_stream(spark, tmp_path):
     schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                         ("ts", pa.timestamp("us"))])
     for b, chunk in enumerate(np.array_split(np.arange(len(rows)), 6)):
+        f = str(d / f"b{b}.parquet")
         pq.write_table(
-            pa.Table.from_pylist([rows[i] for i in chunk], schema=schema),
-            str(d / f"b{b}.parquet"),
+            pa.Table.from_pylist([rows[i] for i in chunk], schema=schema), f
         )
+        # pin strictly increasing mtimes: the file source orders
+        # micro-batches by mtime and sub-ms writes tie unstably
+        os.utime(f, (1_700_000_000 + 100 * b, 1_700_000_000 + 100 * b))
 
     stream = (
         spark.readStream.schema("event_id long, user_id long, ts timestamp")
