@@ -273,3 +273,65 @@ def test_stateful_debounce_matches_reference_on_random_stream(spark, tmp_path):
     )
     assert got == sorted(expect)
     assert 0 < len(got) < n  # both emission and suppression exercised
+
+
+def test_windowed_agg_watermark_late_data_semantics(spark, tmp_path):
+    """True streaming watermark semantics, pinned end-to-end in append
+    mode: a late row still inside the watermark is counted into its
+    (not yet finalized) window; a too-late row is dropped; windows are
+    emitted exactly once, when the watermark passes their end."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.tail import windowed_severity_counts
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def row(eid, sec):
+        return {"event_id": eid, "ts": t + dt.timedelta(seconds=sec),
+                "event_type": "error", "value": 1.0}
+
+    # Spark keeps TWO watermarks per micro-batch: late rows are
+    # filtered against the PREVIOUS batch's watermark (lenient),
+    # state eviction/finalization uses the current one.
+    batches = [
+        [row(1, 10), row(2, 70)],   # w10:00 and w10:01 open
+        [row(3, 20), row(4, 300)],  # late-but-OK (late-wm 10:00:10)
+        [row(6, 600)],              # eviction wm 10:04 -> w10:00/:01 final
+        [row(5, 30), row(7, 1200)], # late-wm now 10:09 -> row 5 DROPPED
+    ]
+    d = tmp_path / "wmstream"
+    os.makedirs(d)
+    schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                        ("event_type", pa.string()), ("value", pa.float64())])
+    for b, rows in enumerate(batches):
+        f = str(d / f"b{b}.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
+        os.utime(f, (1_700_000_000 + 100 * b,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    agg = windowed_severity_counts(stream, window="1 minute",
+                                   watermark="1 minute")
+    q = (
+        agg.writeStream.format("memory").queryName("wm_counts")
+        .option("checkpointLocation", str(tmp_path / "wm_cpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window"]["start"].minute: r["n"]
+        for r in spark.sql("SELECT * FROM wm_counts").collect()
+    }
+    # minute 0: events 1 + 3 (late-but-in-time; finalized BEFORE row 5
+    # arrived); row 5 dropped as too late, so 6 of 7 rows are counted.
+    # minute 10 closes in the final no-data flush batch; minute 20
+    # (row 7) never finalizes before the stream drains -> absent.
+    assert got == {0: 2, 1: 1, 5: 1, 10: 1}
+    assert sum(got.values()) == 5  # 7 rows - 1 dropped - 1 unfinalized
