@@ -398,3 +398,56 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_x10000") >= threshold_x10000)
         .select("id_a", "id_b", "cos_x10000")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_path: str,
+    key: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dedup a NEW batch against the corpus history: the production
+    pattern where 100 TB of already-ingested documents live behind a
+    compact persistent fingerprint index and each incoming increment
+    must drop (a) repeats of history and (b) repeats within itself.
+
+    Returns (survivors_df, commit_fn). survivors_df is lazily planned:
+    within-batch exact dedup, then a LEFT ANTI join against the index
+    (shuffle keyed on the 8-byte fingerprint — the index side carries
+    no payload, so the shuffle is fingerprints only, not documents).
+    commit_fn(survivors_df) appends the survivors' fingerprints to the
+    index AFTER the caller has durably shipped the batch — the same
+    push-then-checkpoint ordering as the pipeline manifest
+    (llogtail checkpoints only after a successful sink push,
+    log_collector.go:209-214), so a crash between ship and commit
+    re-processes and re-ships idempotently rather than losing docs.
+
+    At cluster scale the index is an Iceberg table (compaction,
+    snapshot isolation between concurrent increments); here it is a
+    parquet directory appended per batch. The index stays ~16 bytes
+    per historical doc — 10^12 docs is ~16 TB of fingerprints vs the
+    corpus' 100 TB+, and the anti join prunes on the fingerprint
+    column alone.
+    """
+    spark = new_docs.sparkSession
+    batch = exact_dedup(new_docs, key=key, id_col=id_col).withColumn(
+        "_fp", F.xxhash64(normalize_text(key))
+    )
+    try:
+        seen = spark.read.parquet(index_path).select("fp")
+        have_index = True
+    except Exception:
+        have_index = False
+    if have_index:
+        survivors = batch.join(
+            seen, batch["_fp"] == seen["fp"], "left_anti"
+        ).drop("_fp")
+    else:
+        survivors = batch.drop("_fp")
+
+    def commit_fn(shipped: DataFrame) -> None:
+        shipped.select(
+            F.xxhash64(normalize_text(key)).alias("fp")
+        ).distinct().write.mode("append").parquet(index_path)
+
+    return survivors, commit_fn

@@ -198,3 +198,47 @@ def test_normalize_whitespace_class_consistent_with_duckdb(spark):
     ).fetchone()[0]
     py_norm = __import__("re").sub("[ \t\n\r\f\x0b]+", " ", tricky.lower()).strip(" ")
     assert spark_norm["n"] == duck_norm == py_norm == "a b c d e"
+
+
+def test_incremental_dedup_against_history(spark, tmp_path):
+    """Batch 2 drops repeats of batch 1 (via the persistent index) and
+    repeats of itself; crash-before-commit re-processes idempotently."""
+    from llogtail_spark.operators.dedup import incremental_dedup
+
+    idx = str(tmp_path / "fp_index")
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma  DELTA"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    s1, commit1 = incremental_dedup(b1, idx)
+    got1 = sorted(r["doc_id"] for r in s1.collect())
+    assert got1 == [1, 2]  # within-batch dup 3 dropped
+    commit1(s1)
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),   # repeat of history (normalized)
+            (11, "epsilon zeta"),   # new
+            (12, "epsilon  ZETA"),  # within-batch repeat of 11
+            (13, "gamma delta"),    # repeat of history
+        ],
+        "doc_id long, text string",
+    )
+    s2, commit2 = incremental_dedup(b2, idx)
+    got2 = sorted(r["doc_id"] for r in s2.collect())
+    assert got2 == [11]
+
+    # crash BEFORE commit: re-running the same batch yields the same
+    # survivors (no index mutation happened)
+    s2b, commit2b = incremental_dedup(b2, idx)
+    assert sorted(r["doc_id"] for r in s2b.collect()) == [11]
+    commit2b(s2b)
+
+    # after commit, the batch is fully absorbed: nothing survives
+    s2c, _ = incremental_dedup(b2, idx)
+    assert s2c.count() == 0
+
+    # index holds fingerprints only (16B/doc at scale), not documents
+    assert spark.read.parquet(idx).columns == ["fp"]
+    assert spark.read.parquet(idx).distinct().count() == 3
