@@ -133,8 +133,11 @@ def generate_sequences(
     body[offsets[:-1]] = level_tok
     body[offsets[:-1] + 1] = comp_tok
 
-    tokens = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()), pa.array(body, type=pa.int32())
+    # 64-bit offsets: a 10M-row fixture holds ~2.6B tokens, past
+    # int32 ListArray offsets; parquet's LIST encoding is identical
+    # either way, so readers (Spark: array<int>) see no difference
+    tokens = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), pa.array(body, type=pa.int32())
     )
     return pa.table(
         {
