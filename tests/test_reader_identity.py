@@ -53,3 +53,23 @@ def test_files_identity_batch_and_uri_scheme(tmp_path):
     _write(p, ["a"], [[7]])
     out = files_identity({"part-a": "file://" + p, "part-b": p})
     assert out["part-a"] == out["part-b"]
+
+
+def test_read_table_iceberg_mode_is_explicit(spark, data_dir):
+    """fmt='iceberg' without the runtime jar must FAIL LOUDLY unless
+    the caller explicitly opts into the documented parquet-only
+    sandbox fallback — a silent downgrade would hide that snapshot
+    isolation and manifest pruning are gone."""
+    import pytest
+
+    from llogtail_spark.sources.reader import read_table
+
+    path = os.path.join(data_dir, "sequences")
+
+    with pytest.raises(RuntimeError, match="iceberg"):
+        read_table(spark, path, fmt="iceberg")
+
+    df = read_table(spark, path, fmt="iceberg", parquet_fallback=True)
+    assert df.count() == spark.read.parquet(path).count()
+
+    assert read_table(spark, path).count() == df.count()
