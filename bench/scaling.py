@@ -8,8 +8,9 @@ back-to-back pairs cancel drift that sequential blocks don't:
 
     pair_i = (T_N_i / T_4N_i) / 4;  efficiency = median(pair_i)
 
-Writes BENCH/BASELINE.md. Usage:
-    python bench/scaling.py [--rows 1600000] [--n 4] [--pairs 3]
+Prints one JSON line; pass --write to (re)record BENCH/BASELINE.md.
+Usage:
+    python bench/scaling.py [--rows 1600000] [--n 2] [--pairs 3] [--write]
 """
 
 from __future__ import annotations
@@ -48,6 +49,10 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=1_600_000)
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--write", action="store_true",
+                    help="overwrite BENCH/BASELINE.md with this run "
+                         "(default: print JSON only, keep the recorded "
+                         "canonical evidence)")
     args = ap.parse_args()
 
     from llogtail_spark.generate import write_fixture
@@ -93,6 +98,10 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    shutil.rmtree(data_tmp, ignore_errors=True)  # tmpfs fixture = RAM
+    shutil.rmtree(scratch, ignore_errors=True)
+    if not args.write:
+        return
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH/BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
@@ -129,8 +138,6 @@ Method notes:
 Reproduce: `python bench/scaling.py --rows {args.rows} --n {small} --pairs {args.pairs}`
 """)
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
-    shutil.rmtree(data_tmp, ignore_errors=True)  # tmpfs fixture = RAM
-    shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -400,6 +400,18 @@ def embedding_near_dup_pairs(
     )
 
 
+def _index_exists(index_path: str) -> bool:
+    """True iff the fingerprint index has data files. Local-path check
+    here; on a cluster filesystem this is one driver-side listing (or
+    an Iceberg catalog lookup) — never a data read."""
+    import glob
+    import os
+
+    if not os.path.isdir(index_path):
+        return False
+    return bool(glob.glob(os.path.join(index_path, "*.parquet")))
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     index_path: str,
@@ -433,10 +445,13 @@ def incremental_dedup(
     batch = exact_dedup(new_docs, key=key, id_col=id_col).withColumn(
         "_fp", F.xxhash64(normalize_text(key))
     )
-    try:
+    # ONLY a missing index (first increment ever) may skip the anti
+    # join; a corrupt/unreadable index must fail loudly — silently
+    # skipping it would ship duplicates of the whole corpus history
+    if _index_exists(index_path):
         seen = spark.read.parquet(index_path).select("fp")
         have_index = True
-    except Exception:
+    else:
         have_index = False
     if have_index:
         survivors = batch.join(
