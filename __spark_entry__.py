@@ -443,6 +443,26 @@ def _q_ngram_top_bigrams(spark, sf):
     )
 
 
+def _q_schema_evolution_union(spark, sf):
+    # corpus snapshots whose schemas drifted (columns added/dropped):
+    # unionByName with missing-column fill — the schema-evolution
+    # merge a long-lived 100 TB corpus needs when old partitions
+    # predate new columns. Catalyst fills nulls; no shuffle until the
+    # final rollup.
+    docs = _t(spark, sf, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", "n_chars"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.agg(
+        F.count("*").alias("n"),
+        F.count("lang").alias("n_lang"),
+        F.count("source").alias("n_src"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars_total"),
+    )
+
+
 def _q_above_mean_events(spark, sf):
     # scalar-subquery pattern: the 1-row global aggregate is broadcast
     # and the big side is filtered against it — no second full scan
@@ -703,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_moving_avg": _q_window_moving_avg,
         "ntile_quartiles": _q_ntile_quartiles,
         "above_mean_events": _q_above_mean_events,
+        "schema_evolution_union": _q_schema_evolution_union,
         "fuzzy_source_pairs": _q_fuzzy_source_pairs,
         "ngram_top_bigrams": _q_ngram_top_bigrams,
         "sample_deterministic": _q_sample_deterministic,
@@ -1238,6 +1259,17 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY 1, 2
         """,
         "ngram_top_bigrams": _bigram_oracle(),
+        "schema_evolution_union": """
+            SELECT count(*) AS n, count(lang) AS n_lang,
+                   count(source) AS n_src,
+                   CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_total
+            FROM (
+                SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+                UNION ALL BY NAME
+                SELECT doc_id, source, n_chars FROM documents
+                WHERE doc_id % 3 = 0
+            )
+        """,
         "above_mean_events": """
             SELECT event_type, count(*) AS n,
                    CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
