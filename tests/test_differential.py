@@ -207,3 +207,62 @@ def test_route_predicate_dsl_matches_duckdb_fuzz(spark, data_dir):
     for i, p in enumerate(preds):
         assert agg[f"c{i}"] == int(want[f"c{i}"]), (p, agg[f"c{i}"], want[f"c{i}"])
         assert agg[f"s{i}"] == int(want[f"s{i}"]), (p, agg[f"s{i}"], want[f"s{i}"])
+
+
+def test_grouped_aggregation_semantics_match_duckdb_fuzz(spark):
+    """Randomized grouped aggregations with NULLs: count/count(col)/
+    min/max/sum over integer columns must agree with DuckDB exactly —
+    including null-group membership and empty-group absence."""
+    rng = np.random.default_rng(99)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "g1": rng.choice(["a", "b", "c", None], size=n, p=[0.4, 0.3, 0.2, 0.1]),
+            "g2": rng.integers(0, 5, size=n),
+            "v1": rng.integers(-1000, 1000, size=n).astype("int64"),
+            "v2": rng.integers(0, 100, size=n).astype("float64"),
+        }
+    )
+    pdf.loc[rng.choice(n, size=200, replace=False), "v1"] = None
+    df = spark.createDataFrame(pdf)
+
+    got = (
+        df.groupBy("g1", "g2")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("v1").alias("n_v1"),
+            F.min("v1").alias("min_v1"),
+            F.max("v1").alias("max_v1"),
+            F.sum("v1").alias("sum_v1"),
+            F.countDistinct("v2").alias("nd_v2"),
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        """
+        SELECT g1, g2, count(*) AS n, count(v1) AS n_v1,
+               min(v1) AS min_v1, max(v1) AS max_v1,
+               CAST(sum(v1) AS BIGINT) AS sum_v1,
+               count(DISTINCT v2) AS nd_v2
+        FROM t GROUP BY g1, g2
+        """
+    ).df()
+
+    def norm(d):
+        d = d.copy()
+        d["g1"] = d["g1"].fillna("<null>")
+        return (
+            d.sort_values(["g1", "g2"]).reset_index(drop=True)
+            .astype({"n": "int64", "n_v1": "int64", "nd_v2": "int64"})
+        )
+
+    g, w = norm(got), norm(want)
+    assert len(g) == len(w)
+    for col in ["g1", "g2", "n", "n_v1", "nd_v2"]:
+        assert g[col].tolist() == w[col].tolist(), col
+    for col in ["min_v1", "max_v1", "sum_v1"]:
+        a = g[col].astype("float64").fillna(float("nan"))
+        b = w[col].astype("float64").fillna(float("nan"))
+        assert ((a == b) | (a.isna() & b.isna())).all(), col
