@@ -375,6 +375,31 @@ def _q_text_fingerprint(spark, sf):
     return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
 
 
+def _q_text_redact_pii(spark, sf):
+    # PII scrub contract row: counts per kind + a portable fingerprint
+    # of the REDACTED text (cross-engine equality of the rewritten
+    # string, not just the counts). The fixture corpus is PII-free, so
+    # planted-PII behavior is pinned by tests/test_text.py; this row
+    # pins that both engines rewrite identically on real data.
+    from llogtail_spark.functions.text import (
+        EMAIL_RX,
+        IPV4_RX,
+        PHONE_RX,
+        pii_count,
+        redact_pii,
+        rolling_fingerprint,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        pii_count("text", EMAIL_RX).alias("n_email"),
+        pii_count("text", IPV4_RX).alias("n_ip"),
+        pii_count("text", PHONE_RX).alias("n_phone"),
+        rolling_fingerprint(redact_pii("text")).alias("redacted_fp"),
+    )
+
+
 def _q_dedup_exact_docs(spark, sf):
     from llogtail_spark.operators.dedup import normalize_text
 
@@ -719,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
+        "text_redact_pii": _q_text_redact_pii,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "window_moving_avg": _q_window_moving_avg,
         "ntile_quartiles": _q_ntile_quartiles,
@@ -952,6 +978,27 @@ def _ivf_oracle(cos_qn: str) -> str:
                    CAST(floor(c * 10000) AS BIGINT) AS cos_x10000
             FROM scored)
         SELECT query_id, neighbor_id, rank, cos_x10000 FROM ranked WHERE rank <= {k}
+    """
+
+
+def _redact_oracle() -> str:
+    from llogtail_spark.functions.text import EMAIL_RX, IPV4_RX, PHONE_RX
+
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RX}', '<EMAIL>', 'g'), "
+        f"'{IPV4_RX}', '<IP>', 'g'), "
+        f"'{PHONE_RX}', '<PHONE>', 'g')"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RX}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{IPV4_RX}')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(text, '{PHONE_RX}')) AS BIGINT) AS n_phone,
+               CAST(list_sum(list_transform(string_split({red}, ' '),
+                    (w, i) -> i * (31 * length(w) + ascii(substr(w, 1, 1)))))
+                    AS BIGINT) % 2147483647 AS redacted_fp
+        FROM documents
     """
 
 
@@ -1234,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) % 2147483647 AS fp
             FROM documents
         """,
+        "text_redact_pii": _redact_oracle(),
         "dedup_exact_docs": f"""
             SELECT count(*) AS n_total,
                    count(DISTINCT {_NORM_SQL}) AS n_unique

@@ -110,3 +110,26 @@ def rolling_fingerprint(col: Column | str, mod: int = 2147483647) -> Column:
     return F.pmod(
         F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x), F.lit(mod)
     )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB/Arrow): character classes, bounded repeats, and \b only.
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RX = r"\+\d[\d-]{7,}\d"
+
+
+def pii_count(col: Column | str, rx: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(rx), F.lit(0))).cast("long")
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Redact emails, IPv4s, and phone-like numbers to typed tags —
+    the training-corpus PII scrub, as pure Catalyst expressions (scan
+    stage, no shuffle, no Python). Order matters: emails first (their
+    bodies contain digits/dots), then IPs, then phones."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, EMAIL_RX, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RX, "<IP>")
+    return F.regexp_replace(c, PHONE_RX, "<PHONE>")

@@ -62,3 +62,63 @@ def test_fingerprint_position_sensitive(spark):
     )
     fps = [r["fp"] for r in df.select(rolling_fingerprint("text").alias("fp")).collect()]
     assert fps[0] != fps[1]  # same bag of words, different order
+
+
+def test_redact_pii_planted_and_matches_duckdb(spark):
+    """Planted emails/IPs/phones: counts and the REDACTED STRING must
+    agree exactly between Spark (Java regex) and DuckDB (RE2) — the
+    patterns are written to the dialect intersection."""
+    import duckdb
+    import pandas as pd
+
+    from llogtail_spark.functions.text import (
+        EMAIL_RX,
+        IPV4_RX,
+        PHONE_RX,
+        pii_count,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or alice@test.io now"),
+        (2, "server at 10.0.255.3 and 192.168.1.1 rebooted"),
+        (3, "call +1-555-0100-123 about ticket"),
+        (4, "mixed a@b.io via 8.8.8.8 dial +49-30-1234567 end"),
+        (5, "clean text with no pii at all"),
+        (6, "v1.2.3 is not an ip, nor is 1.2.3.4.5 a clean one"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = (
+        df.select(
+            "id",
+            pii_count("text", EMAIL_RX).alias("ne"),
+            pii_count("text", IPV4_RX).alias("ni"),
+            pii_count("text", PHONE_RX).alias("np"),
+            redact_pii("text").alias("red"),
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "text"]))
+    want = con.execute(f"""
+        SELECT id,
+               len(regexp_extract_all(text, '{EMAIL_RX}')) AS ne,
+               len(regexp_extract_all(text, '{IPV4_RX}')) AS ni,
+               len(regexp_extract_all(text, '{PHONE_RX}')) AS np,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{EMAIL_RX}', '<EMAIL>', 'g'),
+                   '{IPV4_RX}', '<IP>', 'g'),
+                   '{PHONE_RX}', '<PHONE>', 'g') AS red
+        FROM t ORDER BY id
+    """).df()
+    assert got["red"].tolist() == want["red"].tolist()
+    for c in ("ne", "ni", "np"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
+    # semantic spot checks
+    red = dict(zip(got["id"], got["red"]))
+    assert red[1] == "contact <EMAIL> or <EMAIL> now"
+    assert red[2] == "server at <IP> and <IP> rebooted"
+    assert "<PHONE>" in red[3] and "<EMAIL>" in red[4] and "<IP>" in red[4]
+    assert red[5] == "clean text with no pii at all"
