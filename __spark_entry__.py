@@ -375,6 +375,28 @@ def _q_text_fingerprint(spark, sf):
     return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
 
 
+def _q_sequence_packing(spark, sf):
+    # sequence packing for training batches: within each source shard,
+    # docs are packed greedily in stable doc_id order into fixed token
+    # budgets via a windowed cumulative sum — pack_id is a pure
+    # function of the shard's prefix sums. Partitioning by source keeps
+    # the cumsum parallel at 10^12 rows (a GLOBAL cumsum would need a
+    # two-phase per-partition-offset plan); one shuffle on source.
+    from pyspark.sql import Window as W
+
+    budget = 2048
+    docs = _t(spark, sf, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_chars").over(w)
+    packed = docs.withColumn(
+        "pack_id", F.floor((cum - F.col("n_chars")) / budget).cast("long")
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_total"),
+    )
+
+
 def _q_text_redact_pii(spark, sf):
     # PII scrub contract row: counts per kind + a portable fingerprint
     # of the REDACTED text (cross-engine equality of the rewritten
@@ -745,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "text_redact_pii": _q_text_redact_pii,
+        "sequence_packing": _q_sequence_packing,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "window_moving_avg": _q_window_moving_avg,
         "ntile_quartiles": _q_ntile_quartiles,
@@ -1282,6 +1305,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_redact_pii": _redact_oracle(),
+        "sequence_packing": """
+            WITH p AS (
+                SELECT source, n_chars,
+                       CAST(floor((sum(n_chars) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_chars) / 2048) AS BIGINT) AS pack_id
+                FROM documents)
+            SELECT source, pack_id, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total
+            FROM p GROUP BY source, pack_id
+        """,
         "dedup_exact_docs": f"""
             SELECT count(*) AS n_total,
                    count(DISTINCT {_NORM_SQL}) AS n_unique
