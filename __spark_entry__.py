@@ -477,10 +477,19 @@ def _q_ngram_top_bigrams(spark, sf):
     toks = F.filter(
         F.split(F.lower(F.col("text")), WS_CLASS), lambda x: x != ""
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    # zip_with over two slices, NOT element_at-inside-transform:
+    # Catalyst re-inlines the split() expression at every element_at
+    # call site (project collapse), turning per-doc cost O(len) into
+    # O(len^2) — measured 8x slower on the sf0.1 corpus. zip_with
+    # evaluates each array argument once.
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
