@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "dedup_resolve",
     "multimodal_stats",
+    "ngram_top_bigrams",
+    "text_redact_pii",
+    "sequence_packing",
+    "sample_deterministic",
 ]
 
 
