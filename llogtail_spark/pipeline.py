@@ -92,6 +92,17 @@ def run_pipeline(
     conf: PipelineConf,
     failpoint: Failpoint | None = None,
 ) -> RunResult:
+    # the staging/ship/manifest machinery below walks and renames the
+    # workdir with local filesystem calls; a remote workdir URI would
+    # silently find no staged files and commit zero-count manifests
+    # over real data. Fail loudly instead (the cluster-scale path is
+    # Iceberg data-file commits, as documented in the module header).
+    if reader.local_path(conf.workdir) is None:
+        raise NotImplementedError(
+            f"workdir must be a local path (got {conf.workdir!r}); on a "
+            "cluster, stage to an Iceberg table commit instead"
+        )
+
     if conf.validate_on_start:
         validate_manifest(spark, conf)
 

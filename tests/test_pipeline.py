@@ -240,3 +240,23 @@ def test_partition_layout_invariance(spark, tmp_path):
     (m1, r1), (m2, r2) = results
     assert m1 == m2  # per-sink counts, token totals AND checksums
     assert r1 == r2  # routed rows byte-identical across layouts
+
+
+def test_remote_workdir_rejected_loudly(spark, data_dir, tmp_path):
+    """A remote workdir URI would make the local staging walk find
+    nothing and commit zero-count manifests over real data — it must
+    be rejected up front instead."""
+    import pytest
+
+    from llogtail_spark.config import PipelineConf
+    from llogtail_spark.operators.route import SinkRule
+    from llogtail_spark.pipeline import run_pipeline
+
+    conf = PipelineConf(
+        input_path=os.path.join(data_dir, "sequences"),
+        lookup_path=None,
+        workdir="hdfs://nn/flow/work",
+        sinks=[SinkRule("all", "true", str(tmp_path / "out"))],
+    )
+    with pytest.raises(NotImplementedError, match="workdir"):
+        run_pipeline(spark, conf)
