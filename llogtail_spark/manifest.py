@@ -50,7 +50,12 @@ class ManifestEntry:
 
 
 def _entry_path(manifest_dir: str, sink: str, part: str) -> str:
-    return os.path.join(manifest_dir, f"{sink}__{part}.json")
+    # '=' cannot appear in a SAFE_NAME-validated sink or part, so the
+    # filename is an unambiguous encoding of the (sink, part) pair —
+    # '__' was ambiguous (sink 'a__b' + part 'c' vs 'a' + 'b__c'
+    # collided on one file, livelocking both as perpetually
+    # uncommitted)
+    return os.path.join(manifest_dir, f"{sink}={part}.json")
 
 
 def commit(manifest_dir: str, entry: ManifestEntry) -> str:

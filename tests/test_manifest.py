@@ -87,7 +87,7 @@ def test_read_all_ignores_unknown_extra_fields(tmp_path):
 
     d = str(tmp_path)
     mf.commit(d, _entry("errors", "p1"))
-    path = os.path.join(d, "errors__p1.json")
+    path = os.path.join(d, "errors=p1.json")
     with open(path) as f:
         data = json.load(f)
     data["future_field"] = "x"
@@ -113,3 +113,18 @@ def test_read_all_surfaces_schema_mismatch_as_error(tmp_path):
     with pytest.raises(ValueError, match="unrecognized schema"):
         mf.read_all(d)
     assert os.path.exists(path)  # entry preserved for inspection
+
+
+def test_entry_filenames_unambiguous(tmp_path):
+    """sink 'a__b' + part 'c' and sink 'a' + part 'b__c' must be two
+    distinct entries (the old '__' separator collided them onto one
+    file, each commit orphaning the other)."""
+    d = str(tmp_path / "m")
+    e1 = mf.ManifestEntry("a__b", "c", 1, 1, 1, 1, "t")
+    e2 = mf.ManifestEntry("a", "b__c", 2, 2, 2, 2, "t")
+    mf.commit(d, e1)
+    mf.commit(d, e2)
+    got = {(e.sink, e.part) for e in mf.read_all(d)}
+    assert got == {("a__b", "c"), ("a", "b__c")}
+    assert mf.committed_parts(d, "a__b") == {"c"}
+    assert mf.committed_parts(d, "a") == {"b__c"}
