@@ -118,3 +118,17 @@ def test_asof_tolerance_masks_asof_ts_too(frames):
            asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
                      right_cols=["v"], tolerance_sec=60).collect()}
     assert out["l10"] == (None, None)  # stale match: whole group null
+
+
+def test_asof_plan_single_exchange_no_join_node(frames):
+    """The union-window as-of formulation must plan as ONE hash
+    exchange on the key and zero join nodes — no range explosion, no
+    nested loop (the property that makes it survive 10^12 rows)."""
+    left, right = frames
+    df = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                   right_cols=["v"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
