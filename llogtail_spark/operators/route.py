@@ -77,9 +77,20 @@ def explode_routed(df: DataFrame, rules: list[SinkRule]) -> DataFrame:
     uses per-sink filters (fan_out) so each sink write only shuffles
     its own rows.
     """
-    return assign_sinks(df, rules).withColumn(
-        "sink", F.explode("sinks")
-    ).drop("sinks")
+    # explode_outer + null filter, NOT plain explode: non-outer explode
+    # makes the optimizer synthesize a `size(sinks) > 0` filter below
+    # the projection, re-inlining the sinks expression — which
+    # references parse-UDF fields — into a SECOND ArrowEvalPython node
+    # (measured: the whole parse ran twice per row in the pipeline
+    # heavy pass). The null filter on the GENERATED column cannot be
+    # pushed below the Generate, so the UDF evaluates exactly once
+    # (pinned in tests/test_plans.py).
+    return (
+        assign_sinks(df, rules)
+        .withColumn("sink", F.explode_outer("sinks"))
+        .filter(F.col("sink").isNotNull())
+        .drop("sinks")
+    )
 
 
 def fan_out(df: DataFrame, rules: list[SinkRule]) -> dict[str, DataFrame]:

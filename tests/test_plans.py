@@ -108,6 +108,12 @@ def test_pipeline_write_path_has_no_shuffle(spark, data_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastExchange" in plan  # the lookup rides to executors
+    # the parse UDF must run ONCE in the full routed frame, not just in
+    # parse_stage alone: plain (non-outer) explode once synthesized a
+    # size()>0 filter that re-inlined UDF fields into a second
+    # ArrowEvalPython — the whole parse executed twice per row
+    n_eval = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_eval == 1, plan[:2000]
 
 
 def test_embedding_near_dup_query_has_no_cartesian(spark):
