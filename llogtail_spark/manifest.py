@@ -121,7 +121,24 @@ def read_all(manifest_dir: str) -> list[ManifestEntry]:
                 f"{sorted(d) if isinstance(d, dict) else type(d).__name__}"
             )
         # unknown extra keys are ignored (forward compatibility)
-        out.append(ManifestEntry(**{k: v for k, v in d.items() if k in _FIELDS}))
+        e = ManifestEntry(**{k: v for k, v in d.items() if k in _FIELDS})
+        # migrate legacy-named files (pre-separator-rename 'sink__part
+        # .json') to the canonical 'sink=part.json': read_all accepts
+        # any *.json, so a legacy entry counted as committed, but
+        # invalidate() only computes the canonical path — the stale
+        # entry could never be deleted and validate_manifest flagged
+        # it every run while the changed input was never reprocessed
+        # (ADVICE r02). The JSON content is authoritative for
+        # (sink, part); the rename is atomic.
+        canonical = _entry_path(manifest_dir, e.sink, e.part)
+        if path != canonical:
+            if os.path.exists(canonical):
+                # a canonical twin already exists (written by a newer
+                # run) — it wins; the legacy file is dead weight
+                os.unlink(path)
+                continue
+            os.replace(path, canonical)
+        out.append(e)
     return out
 
 

@@ -221,26 +221,53 @@ def minhash_lsh_pairs(
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
     if cap_reps is not None:
-        # both join sides derive from the SAME window subtree so the
-        # (band, h) shuffle is planned once and ReuseExchange feeds
-        # both — the scan + key computation runs once, not twice
-        w = W.partitionBy("band", "h").orderBy("_id")
-        ranked = stacked.withColumn("_rk", F.row_number().over(w))
-        left = ranked.filter(F.col("_rk") <= cap_reps).drop("_rk")
-        right = ranked.drop("_rk")
-    else:
-        left = stacked
-        right = stacked
-    joined = (
-        left.alias("l")
-        .join(right.alias("r"), on=["band", "h"])
-        .filter(F.col("l._id") != F.col("r._id"))
-        .select(
-            F.least("l._id", "r._id").alias("id_a"),
-            F.greatest("l._id", "r._id").alias("id_b"),
-            "band",
+        # Zero-join representative pairing: instead of self-joining a
+        # rank-filtered branch against the full branch (which planned
+        # the scan+UDF+explode subtree TWICE — the rank filter's
+        # WindowGroupLimit pushdown made the two exchange subtrees
+        # canonicalize differently, so ReuseExchange never fired, and
+        # AQE broadcast re-executed one side), carry the bucket's first
+        # `cap_reps` ids to every member as window nth_value columns
+        # over ONE (band, h) exchange, then explode. The pair set is
+        # identical to {(rep, member): rep in firstR, member in bucket,
+        # rep != member}; the heavy subtree executes exactly once by
+        # construction (pinned in tests/test_plans.py). Hot buckets
+        # spill in the window buffer (ExternalAppendOnlyUnsafeRowArray)
+        # instead of exploding a join.
+        w_full = (
+            W.partitionBy("band", "h")
+            .orderBy("_id")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         )
-    )
+        reps = F.array(
+            *[F.nth_value("_id", i + 1).over(w_full) for i in range(cap_reps)]
+        )
+        joined = (
+            # two steps: a generator cannot host window expressions, so
+            # the reps array is materialized by the Window node first
+            stacked.withColumn("_reps", reps)
+            .withColumn("_rep", F.explode_outer("_reps"))
+            .drop("_reps")
+            # filter on the GENERATED column — cannot be pushed below
+            # the Generate, so nothing re-inlines (cf. route explode)
+            .filter(F.col("_rep").isNotNull() & (F.col("_rep") != F.col("_id")))
+            .select(
+                F.least("_rep", "_id").alias("id_a"),
+                F.greatest("_rep", "_id").alias("id_b"),
+                "band",
+            )
+        )
+    else:
+        joined = (
+            stacked.alias("l")
+            .join(stacked.alias("r"), on=["band", "h"])
+            .filter(F.col("l._id") != F.col("r._id"))
+            .select(
+                F.least("l._id", "r._id").alias("id_a"),
+                F.greatest("l._id", "r._id").alias("id_b"),
+                "band",
+            )
+        )
     # one bucket per (doc, band) -> countDistinct(band) == bands met in
     return joined.groupBy("id_a", "id_b").agg(
         F.countDistinct("band").alias("n_bands_hit")
@@ -342,6 +369,16 @@ def resolve_components(
         labels = new_labels.select("id", "rep")
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: a component of
+        # diameter > max_iter would silently keep multiple keep=1 rows
+        # (under-dedup) and diverge from the recursive-CTE oracle —
+        # fail loudly instead (ADVICE r02)
+        raise RuntimeError(
+            f"resolve_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — the "
+            "component diameter exceeds it"
+        )
     return labels.select(
         F.col("id").alias(id_col),
         "rep",

@@ -62,6 +62,13 @@ def asof_join(
             right.select(rstruct.alias("_r")).schema["_r"].dataType
         ).alias("_r"),
     )
+    # a NULL right_ts can never satisfy right_ts <= left_ts (ASOF
+    # semantics; DuckDB agrees) — but it would sort FIRST under the
+    # default asc-nulls-first window order and be carried by
+    # last(ignorenulls) as a spurious whole-struct match for left rows
+    # preceding all real right rows (ADVICE r02). Drop such rows, the
+    # same way minhash_lsh_pairs drops null text.
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         *[F.col(c) for c in on],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)

@@ -224,7 +224,15 @@ def make_bucket_udf(dim: int, n_bits: int = 12, seed: int = 7,
             code |= bits[:, j].astype(np.int64) << j
         return pd.Series(code)
 
-    return bucket
+    # The function IS deterministic; the marker exists to bar
+    # PushPredicateThroughProject from re-inlining it. Joining on the
+    # bucket column synthesizes an isnotnull(_bkt) constraint filter
+    # that Catalyst pushes below the projection, substituting the UDF
+    # back in — the quantizer then runs TWICE per row on the 10^12-row
+    # side (measured: 4 ArrowEvalPython nodes where 2 suffice). Same
+    # pathology as the fixed route-explode (commit 7caa621); pinned in
+    # tests/test_plans.py.
+    return bucket.asNondeterministic()
 
 
 def rounded_centroids(
@@ -286,7 +294,11 @@ def make_cell_udf(centroids: np.ndarray, nprobe: int):
         order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
 
-    return cells
+    # Deterministic in fact; marked nondeterministic to bar the
+    # join-key isnotnull constraint filter from being pushed through
+    # the projection and re-inlining the UDF (the coarse quantizer ran
+    # twice per row on the big side — see make_bucket_udf).
+    return cells.asNondeterministic()
 
 
 def ivf_topk(

@@ -97,7 +97,14 @@ def run_pipeline(
     # silently find no staged files and commit zero-count manifests
     # over real data. Fail loudly instead (the cluster-scale path is
     # Iceberg data-file commits, as documented in the module header).
-    if reader.local_path(conf.workdir) is None:
+    # Resolve ONCE and use the resolved path throughout: a 'file:' URI
+    # passes the guard, but if staging were built on the raw string,
+    # Spark would write under the resolved /path while os.scandir on
+    # the literal 'file:/...' string found nothing — staged_any=False
+    # and the ship loop would rmtree real sink data, the exact failure
+    # this guard exists to prevent (ADVICE r02).
+    workdir = reader.local_path(conf.workdir)
+    if workdir is None:
         raise NotImplementedError(
             f"workdir must be a local path (got {conf.workdir!r}); on a "
             "cluster, stage to an Iceberg table commit instead"
@@ -163,7 +170,7 @@ def run_pipeline(
             pair_pred = pair_pred | (
                 (F.col("sink") == rule.name) & F.col("part").isin(pending[rule.name])
             )
-    staging = os.path.join(conf.workdir, "staging")
+    staging = os.path.join(workdir, "staging")
     shutil.rmtree(staging, ignore_errors=True)
     routed.filter(pair_pred).write.format(fmt).mode("overwrite").partitionBy(
         "sink", "part"

@@ -242,3 +242,20 @@ def test_incremental_dedup_against_history(spark, tmp_path):
     # index holds fingerprints only (16B/doc at scale), not documents
     assert spark.read.parquet(idx).columns == ["fp"]
     assert spark.read.parquet(idx).distinct().count() == 3
+
+
+def test_resolve_components_nonconvergence_raises(spark):
+    """ADVICE r02: exhausting max_iter with labels still moving must
+    fail loudly — silently returning unconverged labels under-dedups
+    and diverges from the recursive-CTE oracle."""
+    import pytest
+
+    from llogtail_spark.operators.dedup import resolve_components
+
+    n = 12  # chain of diameter 11 cannot converge in 2 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        resolve_components(pairs, nodes, max_iter=2)

@@ -132,3 +132,23 @@ def test_asof_plan_single_exchange_no_join_node(frames):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                  "BroadcastNestedLoopJoin"):
         assert node not in plan, node
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """ADVICE r02: a right row with NULL right_ts sorts first under
+    asc-nulls-first and was carried by last(ignorenulls) as a spurious
+    match for left rows preceding all real right rows. NULL ts can
+    never satisfy right_ts <= left_ts (DuckDB ASOF agrees) — such rows
+    must be dropped."""
+    left = spark.createDataFrame(
+        [(1, _ts(3), "early"), (1, _ts(10), "late")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999), (1, _ts(5), 100)], "k long, ts timestamp, v long"
+    )
+    out = {r["tag"]: (r["_asof_ts"], r["v"]) for r in
+           asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     right_cols=["v"]).collect()}
+    assert out["early"] == (None, None)  # no real prior row -> null group
+    assert out["late"] == (_ts(5), 100)

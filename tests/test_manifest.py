@@ -128,3 +128,42 @@ def test_entry_filenames_unambiguous(tmp_path):
     assert got == {("a__b", "c"), ("a", "b__c")}
     assert mf.committed_parts(d, "a__b") == {"c"}
     assert mf.committed_parts(d, "a") == {"b__c"}
+
+
+def test_legacy_named_entry_migrates_and_invalidates(tmp_path):
+    """ADVICE r02: entries written by pre-separator-rename runs as
+    'sink__part.json' parsed as committed but invalidate() could never
+    delete them — the stale partition was flagged every run yet never
+    reprocessed. read_all must migrate them to the canonical name so
+    the normal invalidate path works."""
+    import json
+    import os
+
+    d = str(tmp_path / "m")
+    os.makedirs(d)
+    e = _entry(sink="a", part="p-0")
+    with open(os.path.join(d, "a__p-0.json"), "w") as f:
+        json.dump(
+            {k: getattr(e, k) for k in e.__dataclass_fields__}, f
+        )
+    assert mf.committed_parts(d, "a") == {"p-0"}  # migrated on read
+    assert os.path.exists(os.path.join(d, "a=p-0.json"))
+    assert not os.path.exists(os.path.join(d, "a__p-0.json"))
+    mf.invalidate(d, "a", "p-0")
+    assert mf.committed_parts(d, "a") == set()  # deletable now
+
+
+def test_legacy_entry_loses_to_canonical_twin(tmp_path):
+    """If both the legacy and canonical files exist, the canonical one
+    (written by a newer run) wins and the legacy file is removed."""
+    import json
+    import os
+
+    d = str(tmp_path / "m")
+    mf.commit(d, _entry(sink="a", part="p-0", irc=42))
+    stale = _entry(sink="a", part="p-0", irc=7)
+    with open(os.path.join(d, "a__p-0.json"), "w") as f:
+        json.dump({k: getattr(stale, k) for k in stale.__dataclass_fields__}, f)
+    entries = mf.read_all(d)
+    assert [e.in_row_count for e in entries] == [42]
+    assert not os.path.exists(os.path.join(d, "a__p-0.json"))

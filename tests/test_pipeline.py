@@ -260,3 +260,22 @@ def test_remote_workdir_rejected_loudly(spark, data_dir, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="workdir"):
         run_pipeline(spark, conf)
+
+
+def test_file_uri_workdir_resolves_not_corrupts(spark, data_dir, tmp_path, oracle_pdf):
+    """ADVICE r02: a 'file:' URI workdir passes the local-path guard,
+    but if staging were built on the raw URI string, Spark would write
+    under the RESOLVED path while os.scandir on the literal string
+    found nothing — staged_any=False, zero-count manifests, and sink
+    dirs rmtree'd over real data. The URI must behave exactly like the
+    plain path."""
+    wd = tmp_path / "w_uri"
+    conf = make_conf(data_dir, wd)
+    conf = PipelineConf(
+        input_path=conf.input_path, lookup_path=conf.lookup_path,
+        workdir="file://" + str(wd), sinks=conf.sinks,
+    )
+    res = run_pipeline(spark, conf)
+    assert all(len(v) == 6 for v in res.processed.values())
+    for sink, want in _expected(oracle_pdf).items():
+        _assert_sink_equals_oracle(spark, conf, sink, want)

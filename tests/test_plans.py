@@ -218,6 +218,60 @@ def test_bigram_topk_uses_take_ordered_and_partial_agg(spark):
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
 
 
+def test_ann_quantizer_evaluates_once(spark):
+    """VERDICT r02 'what's wrong' #1-2: joining on the LSH-bucket /
+    IVF-cell column synthesized an isnotnull join-key filter that was
+    pushed through the projection and re-inlined the Arrow UDF — the
+    quantizer ran TWICE per row on the 10^12-row side (4 resp. 3 eval
+    nodes where 2 suffice). The UDFs are marked asNondeterministic to
+    bar the re-inline; exactly one eval node per join side."""
+    import pytest
+
+    import __spark_entry__ as entry
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata not present")
+    for name in ("ann_lsh", "ann_ivf"):
+        df = entry.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        n_eval = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+        assert n_eval == 2, (name, plan[:2000])
+
+
+def test_capped_minhash_single_eval_no_join(spark):
+    """VERDICT r02 'what's missing' #3: the capped minhash candidate
+    generator must execute the scan+UDF+explode subtree ONCE. The old
+    rank-filtered self-join planned it twice (WindowGroupLimit made
+    the exchange subtrees canonicalize differently, so ReuseExchange
+    never fired and AQE broadcast re-executed a side). The nth_value
+    representative-explode form has zero join nodes by construction —
+    pinned here both with and without broadcast enabled."""
+    import pytest
+
+    from llogtail_spark.operators.dedup import minhash_lsh_pairs
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata not present")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for thresh in ("10485760", "-1"):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+            for mode, n_eval_want in (("portable", 1), ("xxhash64", 0)):
+                df = minhash_lsh_pairs(docs, hash_mode=mode, cap_reps=4)
+                plan = _plan(df)
+                n_eval = plan.count("ArrowEvalPython") + plan.count(
+                    "BatchEvalPython"
+                )
+                assert n_eval == n_eval_want, (mode, thresh, plan[:2000])
+                for join_node in ("SortMergeJoin", "BroadcastHashJoin",
+                                  "ShuffledHashJoin", "CartesianProduct",
+                                  "BroadcastNestedLoopJoin"):
+                    assert join_node not in plan, (mode, thresh, join_node)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
 def test_moving_avg_single_exchange(spark):
     """A frame window partitioned by user hash-shuffles exactly once;
     the frame itself adds no extra exchange or re-sort pass."""
