@@ -47,7 +47,15 @@ class PipelineConf:
 
     @property
     def manifest_dir(self) -> str:
-        return os.path.join(self.workdir, "manifest")
+        # resolve 'file:' URIs to the local path BEFORE joining: the
+        # manifest module does raw os-level I/O, and joining onto the
+        # raw URI string would silently read/write a literal
+        # 'file:/...' directory relative to the cwd (observed: a test
+        # run left a ./file:/tmp/... tree in the repo root)
+        from llogtail_spark.sources.reader import local_path
+
+        wd = local_path(self.workdir)
+        return os.path.join(wd if wd is not None else self.workdir, "manifest")
 
 
 def load_config(path: str) -> PipelineConf:

@@ -279,3 +279,7 @@ def test_file_uri_workdir_resolves_not_corrupts(spark, data_dir, tmp_path, oracl
     assert all(len(v) == 6 for v in res.processed.values())
     for sink, want in _expected(oracle_pdf).items():
         _assert_sink_equals_oracle(spark, conf, sink, want)
+    # the manifest must land under the RESOLVED workdir, not under a
+    # literal './file:/...' directory relative to the cwd
+    assert (wd / "manifest").is_dir()
+    assert not os.path.exists("file:")
