@@ -604,6 +604,47 @@ def _q_embedding_near_dup(spark, sf):
     return embedding_near_dup_pairs_lsh(emb, threshold_x10000=5000)
 
 
+def _aug_embeddings(spark, sf):
+    """Embeddings table with deterministic planted near-duplicates:
+    every 20th vector gets a twin (vec_id + 1,000,000) shifted by
+    +0.05 per coordinate — cosine(v, v + 0.05·1) lands around
+    0.9-0.99, the production near-dup regime. The shift is exact
+    double arithmetic an independent engine reproduces bit-for-bit
+    (same technique as rounded_hyperplanes)."""
+    emb = _t(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twins = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
+def _q_embedding_near_dup_p90(spark, sf):
+    """Near-dup at the PRODUCTION threshold (cos >= 0.90): the sf
+    fixture's organic max cosine is ~0.6, so the driver-visible
+    near-dup query only ever showed LSH at its pruning-free worst
+    (72% of all pairs were true candidates at 0.5 — VERDICT r02).
+    Planted twins at cos ~0.9-0.99 exercise the regime the operator
+    is built for: candidates collapse to the planted pairs and the
+    band join prunes almost everything."""
+    from llogtail_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    # threshold-aware probe budget: at cos>=0.9 per-bit agreement is
+    # p >= 0.857, so hamming-1 probing already gives per-pair miss
+    # (1 - 0.567)^24 ~ 2e-9 — hamming-2's 1344 keys/vector (the right
+    # call at the 0.5 threshold) would cost 5x the explode+join for
+    # recall digits nobody needs
+    return embedding_near_dup_pairs_lsh(
+        _aug_embeddings(spark, sf), threshold_x10000=9000, probe_hamming=1
+    )
+
+
 # --- hash-derived operators on the PORTABLE hash family
 # (functions/portable_hash.py): full value-level DuckDB oracles; the
 # engine-native xxhash64 variants stay the production fast path and
@@ -789,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _q_length_buckets,
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_p90": _q_embedding_near_dup_p90,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_lsh": _q_ann_lsh,
@@ -1399,6 +1441,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND CAST(floor({cos} * 10000) AS BIGINT) >= 5000
+        """,
+        "embedding_near_dup_p90": f"""
+            WITH aug AS (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x + 0.05)
+                FROM embeddings WHERE vec_id % 20 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor({cos.replace("CAST(a.embedding AS DOUBLE[])", "a.embedding").replace("CAST(b.embedding AS DOUBLE[])", "b.embedding")} * 10000) AS BIGINT) AS cos_x10000
+            FROM aug a, aug b
+            WHERE a.vec_id < b.vec_id
+              AND CAST(floor({cos.replace("CAST(a.embedding AS DOUBLE[])", "a.embedding").replace("CAST(b.embedding AS DOUBLE[])", "b.embedding")} * 10000) AS BIGINT) >= 9000
         """,
         "asof_join_last_purchase": """
             WITH p AS (

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "embedding_near_dup",
+    "embedding_near_dup_p90",
     "dedup_resolve",
     "multimodal_stats",
     "ngram_top_bigrams",
