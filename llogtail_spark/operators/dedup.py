@@ -509,5 +509,64 @@ def incremental_dedup(
         shipped.select(
             F.xxhash64(normalize_text(key)).alias("fp")
         ).distinct().write.mode("append").parquet(index_path)
+        compact_index(spark, index_path)
 
     return survivors, commit_fn
+
+
+def compact_index(
+    spark,
+    index_path: str,
+    target_files: int = 8,
+    trigger_files: int = 64,
+) -> bool:
+    """Size-triggered compaction of the fingerprint index: per-batch
+    appends create unbounded small parquet files (10^6 increments ->
+    10^6 footers to open per anti-join plan); once the count exceeds
+    `trigger_files`, rewrite to `target_files` and drop the originals.
+    Returns True iff a compaction ran.
+
+    Crash-safety without a directory swap: anti-join semantics are
+    invariant under DUPLICATE fingerprints, so the compacted files are
+    moved INTO the live directory first (temp dir + per-file rename,
+    the manifest's atomicity discipline) and the old files deleted
+    after. Every crash window leaves the index a superset of the
+    truth — over-filtering is impossible, the next run re-compacts.
+    A directory swap would instead have a window with NO index, which
+    incremental_dedup reads as 'first increment ever' and ships the
+    entire corpus history as duplicates. At cluster scale this is an
+    Iceberg rewrite_data_files action; same invariant.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    old_files = sorted(glob.glob(os.path.join(index_path, "*.parquet")))
+    if len(old_files) <= trigger_files:
+        return False
+    tmp = tempfile.mkdtemp(dir=index_path, prefix=".compact-")
+    try:
+        # distinct() also dedups fingerprints accumulated across prior
+        # crash-window re-runs; one shuffle over 8-byte keys
+        spark.read.parquet(*old_files).distinct().coalesce(
+            target_files
+        ).write.mode("overwrite").parquet(tmp)
+        import uuid
+
+        # fresh random names: a re-compaction's old_files can contain
+        # earlier compacted-* files — a name collision would rename
+        # over one and then unlink it, losing the new data
+        run_id = uuid.uuid4().hex[:12]
+        for i, f in enumerate(
+            sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+        ):
+            dst = os.path.join(
+                index_path, f"compacted-{run_id}-{i:05d}.parquet"
+            )
+            os.rename(f, dst)
+        for f in old_files:
+            os.unlink(f)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return True

@@ -259,3 +259,100 @@ def test_resolve_components_nonconvergence_raises(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
         resolve_components(pairs, nodes, max_iter=2)
+
+
+def test_index_compaction_bounds_files_same_antijoin(spark, tmp_path):
+    """VERDICT r02 next-round #7: per-batch appends grow the
+    fingerprint index without bound; compaction must rewrite to <=K
+    files while leaving the anti-join result identical."""
+    import glob
+
+    from llogtail_spark.operators.dedup import compact_index
+
+    idx = str(tmp_path / "fpidx")
+    for b in range(12):
+        spark.createDataFrame(
+            [(b * 10 + i,) for i in range(10)], "fp long"
+        ).write.mode("append").parquet(idx)
+    n_before = len(glob.glob(idx + "/*.parquet"))
+    assert n_before >= 12
+    probe = spark.createDataFrame(
+        [(5,), (117,), (9999,), (42,)], "fp long"
+    )
+    before = sorted(
+        r["fp"] for r in probe.join(
+            spark.read.parquet(idx), "fp", "left_anti").collect()
+    )
+    assert compact_index(spark, idx, target_files=4, trigger_files=8)
+    n_after = len(glob.glob(idx + "/*.parquet"))
+    assert n_after <= 4, n_after
+    after = sorted(
+        r["fp"] for r in probe.join(
+            spark.read.parquet(idx), "fp", "left_anti").collect()
+    )
+    assert after == before == [9999]
+    assert spark.read.parquet(idx).distinct().count() == 120
+    # below trigger: no-op
+    assert not compact_index(spark, idx, target_files=4, trigger_files=8)
+
+
+def test_index_compaction_crash_window_is_superset(spark, tmp_path):
+    """Crash-safety contract: compacted files land IN the live dir
+    before old files are deleted, so every crash window leaves the
+    index a superset of the truth — duplicates never change an
+    anti-join, while a directory swap would have a no-index window
+    that ships the whole corpus history as duplicates."""
+    import glob
+    import os
+
+    from llogtail_spark.operators.dedup import compact_index
+
+    idx = str(tmp_path / "fpidx")
+    for b in range(10):
+        spark.createDataFrame(
+            [(b,)], "fp long").write.mode("append").parquet(idx)
+    old = set(glob.glob(idx + "/*.parquet"))
+    # simulate the crash: monkey-run compaction but restore the old
+    # files afterwards (as if unlink never happened)
+    import shutil
+
+    backup = tmp_path / "bk"
+    shutil.copytree(idx, backup)
+    compact_index(spark, idx, target_files=2, trigger_files=4)
+    for f in os.listdir(backup):
+        if f.endswith(".parquet") and not os.path.exists(os.path.join(idx, f)):
+            shutil.copy(os.path.join(backup, f), os.path.join(idx, f))
+    # index now holds compacted + resurrected originals: duplicates
+    got = sorted(r["fp"] for r in spark.read.parquet(idx).distinct().collect())
+    assert got == list(range(10))
+    probe = spark.createDataFrame([(3,), (99,)], "fp long")
+    kept = [r["fp"] for r in probe.join(
+        spark.read.parquet(idx), "fp", "left_anti").collect()]
+    assert kept == [99]
+    # re-compaction converges back to <= target
+    assert compact_index(spark, idx, target_files=2, trigger_files=4)
+    assert len(glob.glob(idx + "/*.parquet")) <= 2
+
+
+def test_incremental_dedup_commit_autocompacts(spark, tmp_path, monkeypatch):
+    """commit_fn triggers compaction once the index crosses the file
+    threshold (defaults lowered here to keep the test fast)."""
+    import glob
+
+    import llogtail_spark.operators.dedup as D
+
+    idx = str(tmp_path / "fpidx")
+    orig = D.compact_index
+    monkeypatch.setattr(
+        D, "compact_index",
+        lambda spark, p: orig(spark, p, target_files=2, trigger_files=3),
+    )
+    for b in range(6):
+        docs = spark.createDataFrame(
+            [(b * 10 + i, f"doc {b} {i}") for i in range(3)],
+            "doc_id long, text string",
+        )
+        survivors, commit = D.incremental_dedup(docs, idx)
+        commit(survivors)
+    assert len(glob.glob(idx + "/*.parquet")) <= 3
+    assert spark.read.parquet(idx).distinct().count() == 18
