@@ -335,3 +335,49 @@ def test_windowed_agg_watermark_late_data_semantics(spark, tmp_path):
     # (row 7) never finalizes before the stream drains -> absent.
     assert got == {0: 2, 1: 1, 5: 1, 10: 1}
     assert sum(got.values()) == 5  # 7 rows - 1 dropped - 1 unfinalized
+
+
+def test_inplace_rotation_stream_limit_batch_detects(spark, tmp_path):
+    """VERDICT r02 next-round #8: pin the documented streaming limit
+    (tail.py module header). llogtail's live loop detects in-place
+    rotation of a file it already tailed (log_watcher.go:228-261);
+    Spark's file-stream source assumes seen files are immutable, so
+    the stream must NOT re-ship a rewritten file — and the BATCH
+    path's identity validation (validate_manifest + parquet footer
+    identity) must detect the replacement and reprocess exactly that
+    partition on the next run."""
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.pipeline import run_pipeline, validate_manifest
+
+    data = str(tmp_path / "data")
+    write_fixture(data, 300, seed=21, n_files=3)
+    conf = _conf(data, tmp_path / "w")
+
+    q = stream_pipeline(spark, conf)
+    q.awaitTermination(120)
+    assert spark.read.parquet(conf.sinks[1].path).count() == 300
+
+    # rotation: the SAME path is rewritten in place with new content
+    rotated = os.path.join(data, "sequences", "part-00001.parquet")
+    replacement = generate_sequences(150, seed=77)
+    pq.write_table(replacement, rotated)
+
+    # the stream does not re-ship (the pinned limit): same totals
+    q2 = stream_pipeline(spark, conf)
+    q2.awaitTermination(120)
+    fire = spark.read.parquet(conf.sinks[1].path)
+    assert fire.count() == 300
+    old_part1 = fire.filter(F.col("part") == "part-00001").count()
+    assert old_part1 == 100  # still the pre-rotation rows
+
+    # the batch path detects the changed footer identity and
+    # reprocesses exactly the rotated partition
+    stale = validate_manifest(spark, conf)
+    assert sorted(stale) == ["errors/part-00001", "firehose/part-00001"]
+    res = run_pipeline(spark, conf)
+    assert res.processed["firehose"] == ["part-00001"]
+    assert sorted(res.skipped["firehose"]) == ["part-00000", "part-00002"]
+    fire2 = spark.read.parquet(conf.sinks[1].path)
+    assert fire2.count() == 350  # 100 + 100 untouched + 150 rotated
+    assert fire2.filter(F.col("part") == "part-00001").count() == 150
