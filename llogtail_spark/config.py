@@ -44,6 +44,19 @@ class PipelineConf:
     scan_strategy: str = "one_pass"
     committed_at: str = "1970-01-01T00:00:00Z"  # injected, deterministic tests
     validate_on_start: bool = False
+    # ship_mode:
+    #   "rename"  — stage + per-part directory rename (default; local /
+    #               HDFS-style filesystems)
+    #   "iceberg" — stage + ONE atomic Iceberg overwritePartitions
+    #               commit per sink (sink paths are table identifiers;
+    #               requires the iceberg-spark-runtime jar). The
+    #               cluster-scale answer to 10^6 serial driver renames.
+    ship_mode: str = "rename"
+    # rename-mode parallelism: >1 ships a sink's staged partition dirs
+    # with a thread pool (renames are independent metadata ops); the
+    # manifest commits stay ordered after ALL of the sink's renames
+    # land, preserving push-then-checkpoint
+    ship_workers: int = 1
 
     @property
     def manifest_dir(self) -> str:

@@ -283,3 +283,117 @@ def test_file_uri_workdir_resolves_not_corrupts(spark, data_dir, tmp_path, oracl
     # literal './file:/...' directory relative to the cwd
     assert (wd / "manifest").is_dir()
     assert not os.path.exists("file:")
+
+
+def test_parallel_ship_equals_sequential(spark, data_dir, oracle_pdf, tmp_path):
+    """VERDICT r02 next-round #4: the serial per-part driver rename
+    loop is the 10^6-partition bottleneck; ship_workers > 1 renames a
+    sink's staged partition dirs concurrently. Results — sink
+    contents, manifests, metrics — must be identical to sequential."""
+    outs = []
+    for workers in (1, 8):
+        wd = tmp_path / f"w{workers}"
+        base = make_conf(data_dir, wd)
+        conf = PipelineConf(
+            input_path=base.input_path, lookup_path=base.lookup_path,
+            workdir=str(wd), sinks=base.sinks, ship_workers=workers,
+        )
+        res = run_pipeline(spark, conf)
+        assert all(len(v) == 6 for v in res.processed.values())
+        for sink, want in _expected(oracle_pdf).items():
+            _assert_sink_equals_oracle(spark, conf, sink, want)
+        m = {(e.sink, e.part): (e.row_count, e.tok_total, e.checksum)
+             for e in mf.read_all(conf.manifest_dir)}
+        outs.append(m)
+    assert outs[0] == outs[1]
+
+
+def test_parallel_ship_crash_before_commit_resumes(spark, data_dir, tmp_path):
+    """With parallel ship, a crash after the renames but before any
+    manifest commit must leave all partitions uncommitted; the re-run
+    replaces the same dirs idempotently and commits everything."""
+    import pytest
+
+    wd = tmp_path / "w"
+    base = make_conf(data_dir, wd)
+    conf = PipelineConf(
+        input_path=base.input_path, lookup_path=base.lookup_path,
+        workdir=str(wd), sinks=base.sinks[:1], ship_workers=4,
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    def fp(stage, sink, part):
+        if stage == "before_commit":
+            raise Boom()
+
+    with pytest.raises(Boom):
+        run_pipeline(spark, conf, failpoint=fp)
+    assert mf.committed_parts(conf.manifest_dir, "errors") == set()
+    res = run_pipeline(spark, conf)  # clean resume
+    assert len(res.processed["errors"]) == 6
+    got = read_sink(spark, conf, "errors")
+    assert got.select("doc_id").distinct().count() == got.count()
+
+
+def _has_iceberg(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_ship_fails_loudly_without_runtime(spark, data_dir, tmp_path):
+    """ship_mode='iceberg' must never silently fall back: without the
+    runtime jar the ship raises with setup guidance BEFORE any
+    manifest row is committed (a committed manifest over a commit no
+    table received would be data loss on resume)."""
+    import pytest
+
+    if _has_iceberg(spark):
+        pytest.skip("iceberg runtime present; the loud-failure branch "
+                    "is unreachable — covered by the round-trip test")
+    wd = tmp_path / "w"
+    base = make_conf(data_dir, wd)
+    conf = PipelineConf(
+        input_path=base.input_path, lookup_path=base.lookup_path,
+        workdir=str(wd),
+        sinks=[SinkRule("all", "true", "lake.db.routed_all")],
+        ship_mode="iceberg",
+    )
+    with pytest.raises(RuntimeError, match="iceberg ship failed"):
+        run_pipeline(spark, conf)
+    assert mf.committed_parts(conf.manifest_dir, "all") == set()
+
+
+def test_iceberg_ship_roundtrip(spark, data_dir, tmp_path):
+    """Jar-gated integration: with iceberg-spark-runtime + a catalog
+    configured, ship_mode='iceberg' commits each sink as ONE atomic
+    overwritePartitions snapshot and read_sink reads it back equal to
+    the rename path's output."""
+    import pytest
+
+    if not _has_iceberg(spark):
+        pytest.skip("iceberg-spark-runtime jar not on classpath "
+                    "(sandbox image); runs on a real deployment via "
+                    "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13")
+    wd = tmp_path / "w"
+    base = make_conf(data_dir, wd)
+    conf = PipelineConf(
+        input_path=base.input_path, lookup_path=base.lookup_path,
+        workdir=str(wd),
+        sinks=[SinkRule("all", "true", "lake.db.routed_all")],
+        ship_mode="iceberg",
+    )
+    res = run_pipeline(spark, conf)
+    assert len(res.processed["all"]) == 6
+    got = read_sink(spark, conf, "all")
+    want = spark.read.parquet(os.path.join(data_dir, "sequences"))
+    assert got.count() == want.count()
+    # idempotent re-run: same snapshot content, all skipped
+    res2 = run_pipeline(spark, conf)
+    assert res2.processed["all"] == []
