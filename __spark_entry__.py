@@ -625,6 +625,18 @@ def _aug_embeddings(spark, sf):
     return base.unionByName(twins)
 
 
+def _q_decontaminate_docs(spark, sf):
+    """Benchmark decontamination: corpus docs sharing any word 5-gram
+    with the (deterministic) benchmark split — broadcast n-gram set,
+    zero corpus shuffle before the per-doc hit count."""
+    from llogtail_spark.operators.dedup import contamination_hits
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_hits(corpus, bench, n=5, min_hits=1)
+
+
 def _q_embedding_near_dup_p90(spark, sf):
     """Near-dup at the PRODUCTION threshold (cos >= 0.90): the sf
     fixture's organic max cosine is ~0.6, so the driver-visible
@@ -831,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_p90": _q_embedding_near_dup_p90,
+        "decontaminate_docs": _q_decontaminate_docs,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_lsh": _q_ann_lsh,
@@ -1441,6 +1454,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND CAST(floor({cos} * 10000) AS BIGINT) >= 5000
+        """,
+        "decontaminate_docs": f"""
+            WITH norm AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(ws) - 4, 1) + 1),
+                           i -> array_to_string(ws[i:i+4], ' '))) AS gs
+                FROM norm),
+            bench AS (
+                SELECT DISTINCT unnest(gs) AS g FROM grams
+                WHERE doc_id % 50 = 0),
+            corpus AS (
+                SELECT doc_id, unnest(gs) AS g FROM grams
+                WHERE doc_id % 50 <> 0)
+            SELECT c.doc_id, count(*) AS n_hits
+            FROM corpus c JOIN bench b ON c.g = b.g
+            GROUP BY c.doc_id
+            HAVING count(*) >= 1
         """,
         "embedding_near_dup_p90": f"""
             WITH aug AS (

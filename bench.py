@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_fingerprint",
     "dedup_exact_docs",
+    "decontaminate_docs",
     "embedding_topk",
     "minhash_lsh",
     "simhash",

@@ -445,6 +445,45 @@ def embedding_near_dup_pairs(
     )
 
 
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    `min_hits` distinct word n-grams with any benchmark document —
+    the standard guard against evaluation data leaking into training
+    corpora.
+
+    Scale shape: the benchmark side is always tiny next to the corpus
+    (thousands of eval documents vs 10^12 training docs), so its
+    distinct n-gram set is BROADCAST — the corpus scan explodes its
+    n-grams and hash-joins executor-locally with zero corpus shuffle;
+    only the matching (doc, gram) rows (rare by construction) reach
+    the per-doc count agg. Grams are compared as normalized STRINGS,
+    not hashes: no collision risk and the oracle recomputes them
+    exactly. Output: (id_col, n_hits), n_hits = distinct shared
+    n-grams, filtered to >= min_hits. Reference anchor:
+    cheap-identity filtering before shipping (utils.go:36-46).
+    """
+    d = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("_g"),
+    )
+    b = benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("_g")
+    ).distinct()
+    return (
+        d.join(F.broadcast(b), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 def _index_exists(index_path: str) -> bool:
     """True iff the fingerprint index has data files. Local-path check
     here; on a cluster filesystem this is one driver-side listing (or

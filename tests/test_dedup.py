@@ -356,3 +356,48 @@ def test_incremental_dedup_commit_autocompacts(spark, tmp_path, monkeypatch):
         commit(survivors)
     assert len(glob.glob(idx + "/*.parquet")) <= 3
     assert spark.read.parquet(idx).distinct().count() == 18
+
+
+def test_contamination_hits_semantics(spark):
+    """Known overlaps: doc sharing a 3-gram with the benchmark is
+    flagged with the right distinct-gram count; clean docs are not."""
+    from llogtail_spark.operators.dedup import contamination_hits
+
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "look the quick brown fox appeared"),      # 2 shared 3-grams
+            (2, "entirely unrelated text about spark"),    # clean
+            (3, "THE  Quick   BROWN fox jumps here"),      # normalization: 3
+            (4, None),                                     # null text: dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in
+           contamination_hits(corpus, bench, n=3).collect()}
+    assert got == {1: 2, 3: 3}
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The corpus side must never shuffle before the hit count: the
+    benchmark n-gram set rides a BroadcastExchange, and the only hash
+    exchange is the per-doc count agg over matching rows."""
+    import os
+
+    import pytest
+
+    import __spark_entry__ as entry
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata not present")
+    df = entry.queries()["decontaminate_docs"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly two hash exchanges, both benchmark/result-sized: the
+    # tiny benchmark-side distinct and the per-doc count agg over
+    # matching rows; the CORPUS scan feeds the broadcast join directly
+    assert plan.count("Exchange hashpartitioning") == 2
