@@ -625,6 +625,34 @@ def _aug_embeddings(spark, sf):
     return base.unionByName(twins)
 
 
+def _q_stratified_sample_events(spark, sf):
+    """Exact-quota stratified sample: 20 events per event_type in
+    seeded-hash order — balanced subsets that Bernoulli sampling
+    can't guarantee (binomial counts per stratum)."""
+    from llogtail_spark.operators.sampling import stratified_fixed_n
+
+    ev = _t(spark, sf, "events")
+    return stratified_fixed_n(
+        ev, group_col="event_type", key_col="event_id", n=20, seed_i=2
+    ).select("event_type", "event_id")
+
+
+def _q_leakage_safe_split(spark, sf):
+    """Near-dup-cluster-keyed train/val split: the hash decision uses
+    the component representative, so a benchmark answer duplicated
+    across 50 docs lands entirely in train or entirely in val, never
+    both."""
+    from llogtail_spark.operators.dedup import minhash_lsh_pairs, resolve_components
+    from llogtail_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, hash_mode="portable", **MINHASH_CONF)
+    labels = resolve_components(pairs, docs.select("doc_id"))
+    return leakage_safe_split(labels, train_pct=90).select(
+        "doc_id", "rep", "split"
+    )
+
+
 def _q_decontaminate_docs(spark, sf):
     """Benchmark decontamination: corpus docs sharing any word 5-gram
     with the (deterministic) benchmark split — broadcast n-gram set,
@@ -844,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_p90": _q_embedding_near_dup_p90,
         "decontaminate_docs": _q_decontaminate_docs,
+        "stratified_sample_events": _q_stratified_sample_events,
+        "leakage_safe_split": _q_leakage_safe_split,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_lsh": _q_ann_lsh,
@@ -908,6 +938,39 @@ def _minhash_oracle() -> str:
             WHERE l.rk <= {cap} AND l.doc_id <> r.doc_id)
         SELECT id_a, id_b, count(DISTINCT band) AS n_bands_hit
         FROM pairs GROUP BY id_a, id_b
+    """
+
+
+def _stratified_oracle() -> str:
+    """Exact-quota stratified sample twin: same portable seeded hash,
+    same (hash, key) order, row_number <= n per stratum."""
+    from llogtail_spark.functions.portable_hash import (
+        char_fold_hash_sql,
+        order_hash_sql,
+    )
+
+    h = order_hash_sql(char_fold_hash_sql("CAST(event_id AS VARCHAR)"), 2)
+    return f"""
+        SELECT event_type, event_id FROM (
+            SELECT event_type, event_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY {h}, event_id) AS rk
+            FROM events)
+        WHERE rk <= 20
+    """
+
+
+def _leakage_split_oracle() -> str:
+    """Recursive-CTE components (same as dedup_resolve) + the portable
+    hash-threshold split keyed on the component representative."""
+    from llogtail_spark.operators.sampling import sample_bucket_sql
+
+    bucket = sample_bucket_sql("rep", 3)
+    return f"""
+        WITH labels AS ({_dedup_resolve_oracle()})
+        SELECT doc_id, rep,
+               CASE WHEN {bucket} < 90 THEN 'train' ELSE 'val' END AS split
+        FROM labels
     """
 
 
@@ -1455,6 +1518,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND CAST(floor({cos} * 10000) AS BIGINT) >= 5000
         """,
+        "stratified_sample_events": _stratified_oracle(),
+        "leakage_safe_split": _leakage_split_oracle(),
         "decontaminate_docs": f"""
             WITH norm AS (
                 SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws

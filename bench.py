@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "text_redact_pii",
     "sequence_packing",
     "sample_deterministic",
+    "stratified_sample_events",
 ]
 
 

@@ -50,6 +50,22 @@ def seeded_hash(h_col, i: int) -> "F.Column":
     return (h * a + b) % MOD
 
 
+def order_mults(i: int) -> tuple[int, int]:
+    """(a_i, b_i) for ORDERING hashes. seed_mults' small multipliers
+    (3, 5, ...) are fine for `% 100` threshold bucketing but never
+    wrap MOD for short-key char-folds (MULT=131 keeps them small), so
+    'hash order' would degenerate to key order. The Knuth-style large
+    multiplier wraps for every h >= 1; h < MOD (~1e9) times a
+    (~2.65e9) stays < 2^63 — exact in BIGINT on both engines."""
+    return 2654435761 + 2 * i, 7919 * i + 104729
+
+
+def order_hash(h_col, i: int) -> "F.Column":
+    a, b = order_mults(i)
+    h = F.col(h_col) if isinstance(h_col, str) else h_col
+    return (h * a + b) % MOD
+
+
 def fold_values(cols: list) -> "F.Column":
     """Combine already-reduced hash values (each < MOD) into one —
     the band-hash combiner."""
@@ -73,6 +89,11 @@ def char_fold_hash_sql(expr: str) -> str:
 
 def seeded_hash_sql(expr: str, i: int) -> str:
     a, b = seed_mults(i)
+    return f"(({expr}) * {a} + {b}) % {MOD}"
+
+
+def order_hash_sql(expr: str, i: int) -> str:
+    a, b = order_mults(i)
     return f"(({expr}) * {a} + {b}) % {MOD}"
 
 

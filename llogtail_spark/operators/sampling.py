@@ -94,6 +94,61 @@ def length_buckets(df: DataFrame, len_col: str) -> DataFrame:
     )
 
 
+def stratified_fixed_n(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    seed_i: int = 0,
+) -> DataFrame:
+    """EXACT-quota stratified sample: the first `n` rows per stratum
+    in seeded-hash order (ties broken by the key) — the balanced-
+    eval-subset primitive that Bernoulli hash-threshold sampling
+    can't give (its per-stratum counts are binomial, not exact).
+
+    One shuffle keyed on the stratum; the rank filter plans as
+    WindowGroupLimit (per-partition top-n heaps before the exchange),
+    so a 10^12-row stratum ships at most n rows per map task. Order is
+    (hash, key): deterministic under re-runs and any layout, and
+    decorrelated across seed_i values.
+    """
+    from pyspark.sql import Window as W
+
+    from llogtail_spark.functions.portable_hash import order_hash
+
+    c = F.col(key_col)
+    # order_hash, not seeded_hash: the threshold family's small
+    # multipliers never wrap MOD for short-key folds, so its "hash
+    # order" degenerates to key order (measured: identical samples
+    # for every seed)
+    h = order_hash(char_fold_hash(c.cast("string")), seed_i)
+    w = W.partitionBy(group_col).orderBy(h.asc(), c.asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def leakage_safe_split(
+    labels: DataFrame,
+    train_pct: int = 90,
+    rep_col: str = "rep",
+    seed_i: int = 3,
+) -> DataFrame:
+    """Train/val assignment that can never leak near-duplicates
+    across the split: the decision hashes the dedup COMPONENT
+    representative, not the document id, so every member of a
+    near-dup cluster lands on the same side. Input is
+    resolve_components' output (doc_id, rep, keep); the split is a
+    pure projection — zero extra shuffle on top of resolution."""
+    bucket = sample_bucket(F.col(rep_col).cast("string"), seed_i)
+    return labels.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val")),
+    )
+
+
 # ---- SQL twins (DuckDB dialect) ----
 
 def sample_bucket_sql(key_expr: str, seed_i: int = 0) -> str:

@@ -98,3 +98,59 @@ def test_sample_plan_is_shuffle_free(docs):
 def test_bucket_range(docs):
     rows = docs.select(sample_bucket("doc_id").alias("b")).collect()
     assert all(0 <= r["b"] < 100 for r in rows)
+
+
+def test_stratified_fixed_n_exact_quota_and_determinism(spark):
+    """Exactly n per stratum (or the whole stratum when smaller),
+    identical under different partitioning, decorrelated across
+    seeds."""
+    from llogtail_spark.operators.sampling import stratified_fixed_n
+
+    rows = [(i, "big" if i % 3 else "small") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = stratified_fixed_n(df, "grp", "id", n=10, seed_i=0)
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 10}
+    # stratum smaller than n: keep all of it
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, grp string")
+    assert stratified_fixed_n(tiny, "grp", "id", 10).count() == 2
+    # layout invariance
+    a = set(r["id"] for r in out.collect())
+    b = set(r["id"] for r in
+            stratified_fixed_n(df.repartition(13), "grp", "id", 10, 0).collect())
+    assert a == b
+    # seed decorrelation: different seeds pick different members
+    c = set(r["id"] for r in
+            stratified_fixed_n(df, "grp", "id", 10, seed_i=7).collect())
+    assert a != c
+
+
+def test_stratified_plan_uses_window_group_limit(spark):
+    """The rank filter must push per-partition top-n heaps BELOW the
+    stratum exchange (WindowGroupLimit) — a 10^12-row stratum ships
+    at most n rows per map task, not the stratum."""
+    from llogtail_spark.operators.sampling import stratified_fixed_n
+
+    df = spark.range(0, 10000).withColumn("grp", (F.col("id") % 5).cast("string"))
+    plan = stratified_fixed_n(df, "grp", "id", 10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """No near-dup component may straddle train/val: every doc in a
+    component inherits the representative's split."""
+    from llogtail_spark.operators.sampling import leakage_safe_split
+
+    labels = spark.createDataFrame(
+        [(i, i // 10 * 10, 1 if i % 10 == 0 else 0) for i in range(200)],
+        "doc_id long, rep long, keep int",
+    )
+    out = leakage_safe_split(labels, train_pct=70)
+    per_rep = out.groupBy("rep").agg(
+        F.countDistinct("split").alias("nsplits")).collect()
+    assert all(r["nsplits"] == 1 for r in per_rep)
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val"}  # both sides populated at 70%
