@@ -1,0 +1,128 @@
+"""Streaming dedup ingest: the training-corpus landing zone.
+
+New documents stream in (file-source discovery == the Discover/Modify
+inotify events, log_watcher.go:369-394); every micro-batch is deduped
+WITHIN itself and AGAINST all previously-ingested history, survivors
+ship to the corpus, and only then do their fingerprints commit to the
+persistent index — the push-then-checkpoint ordering of the batch
+pipeline (log_collector.go:208-215), per micro-batch.
+
+Replay-exactness (the part naive index appends get wrong): the index
+is laid out as one directory PER MICRO-BATCH (`tag=b<batch_id>/`).
+A batch's anti-join reads every OTHER tag and its ship + index write
+both OVERWRITE its own tag/dir, so every crash-replay case converges:
+
+- crash before ship: nothing landed, replay is a fresh run;
+- crash between ship and index commit: replay recomputes the same
+  survivors (its own fps are not in the index yet) and overwrites the
+  same output dir — effectively-once;
+- crash AFTER index commit but before the stream checkpoint: replay
+  anti-joins against history MINUS its own tag, so it still sees the
+  original survivor set — without the tag exclusion the batch's own
+  committed fingerprints would anti-join its replay down to ZERO rows
+  and overwrite the already-shipped output with nothing (data loss).
+
+At cluster scale the tag directories are Iceberg partitions of the
+fingerprint table and `compact_index`'s superset-safe rewrite applies
+within tags; the per-batch layout also gives retention/GC a natural
+unit (drop the oldest tags with their corpus shard).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from llogtail_spark.operators.dedup import exact_dedup, normalize_text
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _history_tags(index_path: str, own_tag: str) -> list[str]:
+    """Every committed tag dir except the current batch's own —
+    driver-side metadata listing (an Iceberg partition listing at
+    cluster scale), never a data read."""
+    if not os.path.isdir(index_path):
+        return []
+    return sorted(
+        os.path.join(index_path, d)
+        for d in os.listdir(index_path)
+        if d.startswith("tag=") and d != f"tag={own_tag}"
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    bdf,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Process ONE micro-batch: within-batch dedup -> anti-join vs
+    history (all other tags) -> overwrite-ship to batch=<id> ->
+    overwrite-commit fingerprints to tag=b<id>. Shuffle is keyed on
+    the 8-byte fingerprint; the history side carries fingerprints
+    only, never documents."""
+    tag = f"b{batch_id}"
+    batch = exact_dedup(bdf, key=text_col, id_col=id_col).withColumn(
+        "_fp", F.xxhash64(normalize_text(text_col))
+    )
+    hist = _history_tags(index_path, tag)
+    if hist:
+        seen = spark.read.parquet(*hist).select("fp")
+        survivors = batch.join(
+            seen, batch["_fp"] == seen["fp"], "left_anti"
+        )
+    else:
+        survivors = batch
+    out_dir = os.path.join(out_path, f"batch={batch_id}")
+    survivors.drop("_fp").write.mode("overwrite").parquet(out_dir)
+    # commit fingerprints of what LANDED (read back from the shipped
+    # files, not the plan — the index must describe the corpus, not
+    # an intention), strictly after the ship
+    shipped = spark.read.parquet(out_dir)
+    shipped.select(
+        F.xxhash64(normalize_text(text_col)).alias("fp")
+    ).distinct().write.mode("overwrite").parquet(
+        os.path.join(index_path, f"tag={tag}")
+    )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType = DOCS_SCHEMA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming dedup ingest. Returns the StreamingQuery."""
+    opts = {}
+    if max_files_per_trigger:
+        opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    stream = (
+        spark.readStream.schema(schema).options(**opts).parquet(input_path)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda bdf, bid: ingest_batch(
+            spark, bdf, bid, index_path, out_path,
+            text_col=text_col, id_col=id_col,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -381,3 +381,79 @@ def test_inplace_rotation_stream_limit_batch_detects(spark, tmp_path):
     fire2 = spark.read.parquet(conf.sinks[1].path)
     assert fire2.count() == 350  # 100 + 100 untouched + 150 rotated
     assert fire2.filter(F.col("part") == "part-00001").count() == 150
+
+
+def _docs_table(rows):
+    import pyarrow as pa
+
+    ids, texts = zip(*rows)
+    return pa.table({"doc_id": list(ids), "text": list(texts)})
+
+
+def test_stream_dedup_ingest_drops_history_and_self_dups(spark, tmp_path):
+    """Streaming corpus ingest: each micro-batch drops within-batch
+    duplicates AND repeats of everything already ingested; the
+    fingerprint index commits strictly after the ship."""
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.ingest import stream_dedup_ingest
+
+    inp = tmp_path / "landing"
+    os.makedirs(inp)
+    idx, out, cpt = (str(tmp_path / d) for d in ("idx", "corpus", "cpt"))
+
+    pq.write_table(_docs_table([
+        (1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+        (3, "ALPHA  beta gamma"),     # within-batch near-exact dup of 1
+    ]), str(inp / "f1.parquet"))
+    q = stream_dedup_ingest(spark, str(inp), idx, out, cpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+
+    # second drop: one repeat of history, one novel doc
+    pq.write_table(_docs_table([
+        (10, "alpha beta gamma"),     # history dup (of doc 1)
+        (11, "eta theta iota"),
+    ]), str(inp / "f2.parquet"))
+    q2 = stream_dedup_ingest(spark, str(inp), idx, out, cpt)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2, 11]
+    # the index holds fingerprints only, one tag dir per batch
+    # (tag surfaces as a partition column when reading the root)
+    tags = sorted(d for d in os.listdir(idx) if d.startswith("tag="))
+    assert len(tags) == 2
+    assert spark.read.parquet(idx).columns == ["fp", "tag"]
+
+
+def test_stream_dedup_ingest_replay_after_commit_is_lossless(spark, tmp_path):
+    """The failure the tagged index layout exists to prevent: a batch
+    replayed AFTER its fingerprints committed (crash before the
+    stream checkpoint) must re-ship the SAME survivors — an untagged
+    index would anti-join the replay against its own fingerprints
+    down to zero rows and overwrite the shipped output with nothing."""
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.ingest import ingest_batch
+
+    inp = tmp_path / "landing"
+    os.makedirs(inp)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    pq.write_table(_docs_table([(1, "alpha beta"), (2, "gamma delta")]),
+                   str(inp / "f1.parquet"))
+    bdf = spark.read.parquet(str(inp))
+    ingest_batch(spark, bdf, 0, idx, out)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+    # replay the SAME batch id (simulates crash after index commit,
+    # before stream checkpoint): output must be identical, not empty
+    ingest_batch(spark, bdf, 0, idx, out)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == [1, 2]
+    # and a LATER batch still sees batch 0's fingerprints as history
+    bdf2 = spark.createDataFrame([(9, "alpha beta"), (10, "novel text")],
+                                 "doc_id long, text string")
+    ingest_batch(spark, bdf2, 1, idx, out)
+    final = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert final == [1, 2, 10]
