@@ -60,13 +60,19 @@ def exact_dedup(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> Dat
     )
 
 
-def word_shingles(col, n: int = 3) -> "F.Column":
-    """Distinct word n-gram shingles as array<string> (expression)."""
+def word_shingles(col, n: int = 3, distinct: bool = True) -> "F.Column":
+    """Word n-gram shingles as array<string> (expression).
+
+    distinct=True dedups in the array (needed when the ARRAY itself is
+    the value, e.g. jaccard's array_intersect). Pass distinct=False
+    when a downstream explode feeds an aggregation that dedups anyway
+    (countDistinct / min): array_distinct compares every pair of
+    ~doc-length strings per row — O(n^2) string equality that measured
+    ~2x the whole decontamination query."""
     ws = F.split(normalize_text(col), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
-    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def _portable_band_keys_udf(num_hashes: int, bands: int, shingle_n: int):
@@ -445,6 +451,34 @@ def embedding_near_dup_pairs(
     )
 
 
+def _word_grams_udf(n: int):
+    """Arrow UDF: text -> array of word n-gram strings (NOT distinct).
+
+    A UDF rather than the word_shingles Catalyst expression because
+    expressions in a HOF lambda body are re-evaluated PER ELEMENT:
+    `transform(idx, i -> concat_ws(slice(split(regexp(text)),i,n)))`
+    re-runs the regexp+split once per gram — measured ~50x per doc and
+    ~5s of a 4.6s query at sf0.1. The eval node materializes the gram
+    array once per row. Normalization is byte-identical to
+    normalize_text / the SQL twins (same explicit whitespace class).
+    asNondeterministic bars constraint filters from re-inlining it
+    (same rationale as similarity.make_bucket_udf)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)  # null text -> null array -> explode drops
+                continue
+            ws = _WS_RE.sub(" ", t.lower()).strip(" ").split(" ")
+            k = max(len(ws) - (n - 1), 1)
+            out.append([" ".join(ws[i:i + n]) for i in range(k)])
+        return pd.Series(out)
+
+    return grams.asNondeterministic()
+
+
 def contamination_hits(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -469,17 +503,22 @@ def contamination_hits(
     n-grams, filtered to >= min_hits. Reference anchor:
     cheap-identity filtering before shipping (utils.go:36-46).
     """
+    # Arrow-UDF grams + countDistinct: the Catalyst HOF form re-ran
+    # regexp+split per gram (see _word_grams_udf), and a per-row
+    # array_distinct is an O(n_grams^2) string scan — the hash agg
+    # dedups for free instead
+    grams = _word_grams_udf(n)
     d = docs.select(
         F.col(id_col),
-        F.explode(word_shingles(text_col, n)).alias("_g"),
+        F.explode(grams(F.col(text_col))).alias("_g"),
     )
     b = benchmark.select(
-        F.explode(word_shingles(text_col, n)).alias("_g")
+        F.explode(grams(F.col(text_col))).alias("_g")
     ).distinct()
     return (
         d.join(F.broadcast(b), "_g")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.countDistinct("_g").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
 

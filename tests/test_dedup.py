@@ -397,7 +397,9 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # exactly two hash exchanges, both benchmark/result-sized: the
-    # tiny benchmark-side distinct and the per-doc count agg over
-    # matching rows; the CORPUS scan feeds the broadcast join directly
-    assert plan.count("Exchange hashpartitioning") == 2
+    # the gram UDF runs once per side (Arrow eval), and every hash
+    # exchange is benchmark/result-sized (benchmark distinct + the
+    # two-phase per-doc distinct count over matching rows); the
+    # CORPUS scan feeds the broadcast join directly, no corpus shuffle
+    assert plan.count("ArrowEvalPython") == 2
+    assert plan.count("Exchange hashpartitioning") == 3
