@@ -202,9 +202,14 @@ def minhash_lsh_pairs(
             F.posexplode(band_udf(F.col(text_col))).alias("band", "h"),
         )
     elif hash_mode == "xxhash64":
+        # Arrow-UDF grams, not the word_shingles expression: HOF
+        # lambda bodies evaluate per ELEMENT, so the expression form
+        # re-ran regexp+split once per shingle (measured 4.3s -> ~1s
+        # at sf0.1). No distinct: the seeded mins are invariant under
+        # duplicate shingles.
         exploded = df.select(
             F.col(id_col).alias("_id"),
-            F.explode(word_shingles(text_col, shingle_n)).alias("_s"),
+            F.explode(_word_grams_udf(shingle_n)(F.col(text_col))).alias("_s"),
         )
         mins = exploded.groupBy("_id").agg(
             *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
@@ -282,14 +287,22 @@ def minhash_lsh_pairs(
 
 def ngram_jaccard(df_pairs: DataFrame, a_col: str, b_col: str, n: int = 3) -> DataFrame:
     """Exact word-n-gram Jaccard (x10000, integer) for explicit pairs.
-    Expects columns a_col/b_col holding the two texts."""
-    sa = word_shingles(a_col, n)
-    sb = word_shingles(b_col, n)
-    inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(F.array_union(sa, sb))
-    return df_pairs.withColumn(
-        "jaccard_x10000", F.floor(inter * 10000 / union).cast("long")
+    Expects columns a_col/b_col holding the two texts.
+
+    The shingle arrays come from one Arrow UDF per side (materialized
+    by the eval node) rather than the word_shingles expression:
+    array_intersect AND array_union each reference both arrays, and a
+    Catalyst HOF expression would rebuild them — with regexp+split
+    re-run per element — once per reference."""
+    g = _word_grams_udf(n, distinct=True)
+    staged = df_pairs.withColumn("_sa", g(F.col(a_col))).withColumn(
+        "_sb", g(F.col(b_col))
     )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.array_union(F.col("_sa"), F.col("_sb")))
+    return staged.withColumn(
+        "jaccard_x10000", F.floor(inter * 10000 / union).cast("long")
+    ).drop("_sa", "_sb")
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -451,7 +464,7 @@ def embedding_near_dup_pairs(
     )
 
 
-def _word_grams_udf(n: int):
+def _word_grams_udf(n: int, distinct: bool = False):
     """Arrow UDF: text -> array of word n-gram strings (NOT distinct).
 
     A UDF rather than the word_shingles Catalyst expression because
@@ -473,7 +486,9 @@ def _word_grams_udf(n: int):
                 continue
             ws = _WS_RE.sub(" ", t.lower()).strip(" ").split(" ")
             k = max(len(ws) - (n - 1), 1)
-            out.append([" ".join(ws[i:i + n]) for i in range(k)])
+            gs = [" ".join(ws[i:i + n]) for i in range(k)]
+            # dict.fromkeys == array_distinct: dedup, first-occurrence order
+            out.append(list(dict.fromkeys(gs)) if distinct else gs)
         return pd.Series(out)
 
     return grams.asNondeterministic()

@@ -257,7 +257,10 @@ def test_capped_minhash_single_eval_no_join(spark):
     try:
         for thresh in ("10485760", "-1"):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-            for mode, n_eval_want in (("portable", 1), ("xxhash64", 0)):
+            # both modes now carry exactly ONE Arrow eval: the portable
+            # band-key UDF resp. the shingle-gram UDF (the expression
+            # form re-ran regexp+split per shingle element)
+            for mode, n_eval_want in (("portable", 1), ("xxhash64", 1)):
                 df = minhash_lsh_pairs(docs, hash_mode=mode, cap_reps=4)
                 plan = _plan(df)
                 n_eval = plan.count("ArrowEvalPython") + plan.count(
