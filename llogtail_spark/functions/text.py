@@ -1,15 +1,19 @@
 """Text-analysis functions for training-data pipelines.
 
-All pure Catalyst column expressions (split / regexp / higher-order
-array functions) — they stay inside whole-stage codegen, shuffle
-nothing, and scale linearly. Each has an ANSI-SQL twin used as the
-DuckDB oracle in __spark_entry__.py.
+Pure Catalyst column expressions (split / regexp / higher-order array
+functions) — they stay inside whole-stage codegen, shuffle nothing,
+and scale linearly — EXCEPT lang_id, which is a vectorized Arrow UDF
+because its expression form re-inlined the scores struct into every
+argmax reference (~N_langs^2 split+filter passes per row). Each has
+an ANSI-SQL twin used as the DuckDB oracle in __spark_entry__.py.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # A BPE-ish tokenizer regex: word pieces or single non-space symbols.
 BPE_ISH_RX = r"\w+|[^\w\s]"
@@ -79,16 +83,35 @@ def lang_scores(col: Column | str, markers: dict[str, list[str]] | None = None) 
 
 def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
     """argmax language by marker hits; 'und' when all scores are 0.
-    Ties break by the (deterministic) ordering of `markers`."""
+    Ties break by the (deterministic) ordering of `markers`.
+
+    One Arrow UDF, not the lang_scores expression: the argmax
+    references the scores struct ~3x per language, and Catalyst
+    inlines the full struct — 4 marker filters, each re-splitting the
+    text — into every reference (~N_langs^2 split+filter passes per
+    row; measured ~3x the whole lang-id query at sf0.1). The UDF
+    computes counts in one pass per row and replicates the expression
+    semantics exactly: split on single space, first-marker-order tie
+    break, 'und' for zero hits and null text."""
     m = markers or LANG_MARKERS
-    scores = lang_scores(col, m)
-    best = F.greatest(*[scores[lang] for lang in m])
-    pred = F.lit("und")
-    # reversed so that earlier languages win ties (last WHEN evaluated
-    # first in the fold below)
-    for lang in reversed(list(m)):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    return F.when(best > 0, pred).otherwise(F.lit("und"))
+    langs = list(m)
+    marker_sets = [frozenset(m[lang]) for lang in langs]
+
+    @F.pandas_udf(T.StringType())
+    def lid(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append("und")
+                continue
+            ws = t.split(" ")
+            counts = [sum(w in ms for w in ws) for ms in marker_sets]
+            best = max(counts)
+            out.append(langs[counts.index(best)] if best > 0 else "und")
+        return pd.Series(out)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return lid(c)
 
 
 def rolling_fingerprint(col: Column | str, mod: int = 2147483647) -> Column:
