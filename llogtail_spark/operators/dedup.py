@@ -177,10 +177,12 @@ def minhash_lsh_pairs(
     """
     from pyspark.sql import Window as W
 
+    from llogtail_spark.sources.reader import ensure_parallelism
+
     # null text can't shingle: drop it in BOTH modes (xxhash64 mode
     # dropped such rows implicitly via explode-of-null; the portable
     # UDF must not see a mode-dependent row set)
-    df = df.filter(F.col(text_col).isNotNull())
+    df = ensure_parallelism(df.filter(F.col(text_col).isNotNull()), id_col)
     rows_per_band = num_hashes // bands
     if hash_mode == "portable":
         # One vectorized Arrow UDF computes the band keys end-to-end
@@ -309,6 +311,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit simhash per document: majority vote per bit over
     xxhash64 of distinct words. explode + 64 conditional sums — a
     narrow, map-side-combinable aggregation. Output: (id, simhash)."""
+    from llogtail_spark.sources.reader import ensure_parallelism
+
+    df = ensure_parallelism(df, id_col)
     wordsdf = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("_w"),
@@ -424,7 +429,9 @@ def simhash_portable(
     geometry at 30 bits is equivalent for near-dup thresholds.
     Output: (id_col, simhash)."""
     from llogtail_spark.functions import portable_hash as ph
+    from llogtail_spark.sources.reader import ensure_parallelism
 
+    df = ensure_parallelism(df, id_col)
     words = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("_w"),

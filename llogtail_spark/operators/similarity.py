@@ -54,10 +54,14 @@ def brute_force_topk(
     per-query top-k (tiny: N_q * k rows after partial sort).
     Output: (query_id, neighbor_id, rank, cos_x10000).
     """
+    from llogtail_spark.sources.reader import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    n = ensure_parallelism(emb, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
     scored = (
         n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("_cos", cosine_sim("_qv", "_nv"))
@@ -159,6 +163,11 @@ def embedding_near_dup_pairs_lsh(
     survives 10^12 vectors. Reference anchor: cheap-identity-first,
     exact-verify-after (utils.go:36-46).
     """
+    from llogtail_spark.sources.reader import ensure_parallelism
+
+    # single-row-group test files scan as ONE partition; the 1000x
+    # band-key explode below must not inherit that (no-op at scale)
+    emb = ensure_parallelism(emb, id_col)
     keys_base = make_band_keys_udf(dim, n_bits, n_bands, seed, 0)
     keys_probe = make_band_keys_udf(dim, n_bits, n_bands, seed, probe_hamming)
     base = emb.select(
@@ -327,6 +336,9 @@ def ivf_topk(
     Output schema matches brute_force_topk. Reference anchor:
     cheap-identity-first, exact-verify-after (utils.go:36-46).
     """
+    from llogtail_spark.sources.reader import ensure_parallelism
+
+    emb = ensure_parallelism(emb, id_col)
     cents = (
         centroids
         if centroids is not None
@@ -378,6 +390,9 @@ def lsh_topk(
     decimals: round hyperplanes to fixed decimals so an oracle engine
     can recompute identical buckets from literal constants.
     """
+    from llogtail_spark.sources.reader import ensure_parallelism
+
+    emb = ensure_parallelism(emb, id_col)
     bucket = make_bucket_udf(dim, n_bits, seed, decimals)
     n = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")

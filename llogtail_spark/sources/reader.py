@@ -48,6 +48,30 @@ def read_files(spark: SparkSession, files: list[str]) -> DataFrame:
     return spark.read.parquet(*files)
 
 
+def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition `df` to the session's core count — but ONLY
+    when its current scan parallelism is below that floor.
+
+    Why: a heavy per-row stage (band-key UDF + 1000x explode, shingle
+    minhash, vector quantizers) inherits the SCAN's partitioning, and
+    parquet splits by row group — a small single-row-group file is one
+    partition no matter what maxPartitionBytes says, so the whole
+    fan-out stage runs on one core (measured 2.6x on the near-dup
+    candidate stage at sf0.1). Shuffling the RAW rows (pre-explode,
+    the narrow side) is the cheap place to restore parallelism.
+
+    At production scale the gate makes this a no-op: a 100 TB scan
+    already has >> cores partitions, so no extra exchange is paid.
+    Hash partitioning on `key_cols` keeps row placement deterministic
+    under retry (round-robin repartition is not).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    # metadata-only peek at the planned partition count (no job runs)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])
+
+
 def with_partition_id(df: DataFrame, col: str = "part") -> DataFrame:
     """Attach the partition id each row came from, derived from
     input_file_name() — pure expression, no shuffle."""
