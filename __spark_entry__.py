@@ -675,13 +675,21 @@ def _q_embedding_near_dup_p90(spark, sf):
     band join prunes almost everything."""
     from llogtail_spark.operators.similarity import embedding_near_dup_pairs_lsh
 
-    # threshold-aware probe budget: at cos>=0.9 per-bit agreement is
-    # p >= 0.857, so hamming-1 probing already gives per-pair miss
-    # (1 - 0.567)^24 ~ 2e-9 — hamming-2's 1344 keys/vector (the right
-    # call at the 0.5 threshold) would cost 5x the explode+join for
-    # recall digits nobody needs
+    # threshold-aware BAND calibration, not just probe budget: 10-bit
+    # bands (right for the 0.5 threshold) are so weak that even
+    # near-orthogonal pairs collide somewhere (P ~ 0.25 per RANDOM
+    # pair across 24 probed bands — candidates grow 0.25*N^2, a scale
+    # bug, measured 560k candidates on this 2.2M-pair fixture). At
+    # cos>=0.9 per-bit agreement is p>=0.856, so 16-bit bands keep
+    # worst-case planted-pair miss at (1 - 0.305)^28 ~ 4e-5 while a
+    # random pair hits a band with prob 17/2^16 — measured: candidates
+    # 560k -> 24k (23x), identical 100-row result, 2x faster.
     return embedding_near_dup_pairs_lsh(
-        _aug_embeddings(spark, sf), threshold_x10000=9000, probe_hamming=1
+        _aug_embeddings(spark, sf),
+        threshold_x10000=9000,
+        n_bits=16,
+        n_bands=28,
+        probe_hamming=1,
     )
 
 
