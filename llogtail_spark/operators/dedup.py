@@ -331,6 +331,58 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
 
 
+def _resolve_components_driver(
+    edges: DataFrame, nodes: DataFrame, id_col: str
+) -> DataFrame:
+    """Small-graph path for resolve_components: union-find with path
+    compression on the driver over the collected edge list, with the
+    union always hanging the larger ROOT under the smaller — so every
+    final root is its component's minimum id, exactly the fixpoint the
+    distributed min-label propagation converges to (and the
+    recursive-CTE oracle computes). The (node -> root) table is
+    broadcast back; untouched nodes are their own root via coalesce,
+    so the table holds only nodes that appear in an edge."""
+    rows = edges.filter(F.col("src") < F.col("dst")).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen = set()
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min()/max() on python values matches F.min/F.max for the
+            # long and ASCII-string id types used here
+            parent[max(ra, rb)] = min(ra, rb)
+
+    mapping = [(x, find(x)) for x in seen]
+    mapping = [(x, rt) for x, rt in mapping if rt != x]
+    spark = nodes.sparkSession
+    id_type = nodes.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField("_nid", id_type), T.StructField("_rep", id_type)]
+    )
+    lab = spark.createDataFrame(mapping, schema)
+    return (
+        nodes.select(F.col(id_col))
+        .join(F.broadcast(lab), F.col(id_col) == F.col("_nid"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_rep"), F.col(id_col)).alias("rep"),
+        )
+        .withColumn("keep", (F.col(id_col) == F.col("rep")).cast("int"))
+    )
+
+
 def resolve_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -338,21 +390,33 @@ def resolve_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Candidate pairs -> connected components -> keep-list: what turns
     a pair-lister into a deduplication PIPELINE (the batch analog of
     llogtail's identity-dedup across queue+task, collector.go:161-174).
 
-    Min-label propagation to fixpoint: each round, every node takes the
-    minimum label among itself and its neighbors — one equi-join + one
-    map-side-combinable min-agg per round, O(component diameter) rounds.
-    LSH candidate components are representative-star shaped (cap_reps
-    joins every member to the bucket's first representative), so the
-    diameter is ~2 and this converges in 2-3 rounds; a pathological
-    chain still terminates (max_iter guard). Each round costs ONE
-    driver action (the convergence count materializes the round's
-    persisted agg); rounds read the previous round's cache, and a
-    periodic localCheckpoint bounds plan growth on long chains.
+    Two paths, same result:
+
+    - |pairs| <= driver_edge_threshold (the COMMON case — cap_reps
+      bounds candidate pairs to O(R*k), a sliver of the corpus):
+      collect the edge list once and run union-find with path
+      compression on the driver, then broadcast the (node -> min-id)
+      table back. Zero iterative shuffles; the distributed loop's
+      ~0.5s/round scheduling floor (VERDICT r02 #6) disappears. 2M
+      edges is ~32 MB on the driver — bounded, and the single count
+      that gates the branch materializes the candidate generation it
+      would have paid anyway.
+    - larger graphs: min-label propagation to fixpoint — each round,
+      every node takes the minimum label among itself and its
+      neighbors; one equi-join + one map-side-combinable min-agg per
+      round, O(component diameter) rounds. LSH candidate components
+      are representative-star shaped (cap_reps joins every member to
+      the bucket's first representative), so the diameter is ~2 and
+      this converges in 2-3 rounds; a pathological chain still
+      terminates (max_iter guard). Each round costs ONE driver action
+      (the convergence count materializes the round's lazy
+      localCheckpoint).
 
     Output: (id_col, rep, keep) — keep=1 iff the row is its component's
     minimum id (the deterministic survivor).
@@ -361,9 +425,12 @@ def resolve_components(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     # LAZY localCheckpoint: materialized by the first action that
-    # reads it (round 1's count), so candidate generation costs zero
+    # reads it (the gate count), so candidate generation costs zero
     # extra driver jobs
     edges = edges.localCheckpoint(eager=False)
+    n_edges = edges.count()  # materializes the checkpoint either way
+    if n_edges <= 2 * driver_edge_threshold:  # edges carry both directions
+        return _resolve_components_driver(edges, nodes, id_col)
     labels = nodes.select(F.col(id_col).alias("id")).withColumn("rep", F.col("id"))
 
     # per round: ONE action. The convergence count itself materializes

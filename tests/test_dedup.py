@@ -127,9 +127,14 @@ def test_simhash_portable_clusters_like_simhash64(spark, corpus):
     assert 0 <= sh[1] < (1 << 30)
 
 
-def test_resolve_components_known_graph(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("thresh", [2_000_000, 0])  # driver / iterative
+def test_resolve_components_known_graph(spark, thresh):
     """chain 1-2-3, pair 5-6, singleton 9: components resolve to the
-    min id; keep flags exactly one survivor per component."""
+    min id; keep flags exactly one survivor per component — on BOTH
+    the driver union-find path and the distributed iterative path."""
     from llogtail_spark.operators.dedup import resolve_components
 
     pairs = spark.createDataFrame(
@@ -137,14 +142,17 @@ def test_resolve_components_known_graph(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], "doc_id long")
     got = {r["doc_id"]: (r["rep"], r["keep"]) for r in
-           resolve_components(pairs, nodes).collect()}
+           resolve_components(pairs, nodes,
+                              driver_edge_threshold=thresh).collect()}
     assert got == {1: (1, 1), 2: (1, 0), 3: (1, 0),
                    5: (5, 1), 6: (5, 0), 9: (9, 1)}
 
 
-def test_resolve_components_long_chain_converges(spark):
+@_pytest.mark.parametrize("thresh", [2_000_000, 0])
+def test_resolve_components_long_chain_converges(spark, thresh):
     """a 12-node path graph (worst-case diameter) still converges to
-    one component under the iteration guard."""
+    one component on both paths (iteration guard on the distributed
+    one)."""
     from llogtail_spark.operators.dedup import resolve_components
 
     n = 12
@@ -152,7 +160,7 @@ def test_resolve_components_long_chain_converges(spark):
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
-    rows = resolve_components(pairs, nodes).collect()
+    rows = resolve_components(pairs, nodes, driver_edge_threshold=thresh).collect()
     assert all(r["rep"] == 0 for r in rows)
     assert sum(r["keep"] for r in rows) == 1
 
@@ -258,7 +266,9 @@ def test_resolve_components_nonconvergence_raises(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        resolve_components(pairs, nodes, max_iter=2)
+        # driver_edge_threshold=0 forces the iterative path the guard
+        # protects (the union-find path cannot fail to converge)
+        resolve_components(pairs, nodes, max_iter=2, driver_edge_threshold=0)
 
 
 def test_index_compaction_bounds_files_same_antijoin(spark, tmp_path):
