@@ -104,12 +104,12 @@ def bench_pipeline(spark, tmp: str) -> dict:
     run_pipeline(spark, make_conf("warmup"))
     shutil.rmtree(os.path.join(tmp, "work-warmup"), ignore_errors=True)
 
-    # best-of-2 timed reps: this host shows 5-30% hypervisor steal
-    # spikes (see BASELINE.md), so a single rep is a coin flip; the
-    # min time is the engine's envelope (timeit convention)
+    # best-of-3 timed reps: this host shows 5-30% hypervisor steal
+    # spikes (see BASELINE.md) that can span a whole 2-rep window, so
+    # the min of 3 is the engine's envelope (timeit convention)
     times = []
     routed = 0
-    for rep in ("timed1", "timed2"):
+    for rep in ("timed1", "timed2", "timed3"):
         t0 = time.time()
         run_pipeline(spark, make_conf(rep))
         times.append(time.time() - t0)
@@ -146,9 +146,13 @@ def bench_queries(spark) -> dict[str, float]:
         # (dedup_resolve) do their work eagerly at construction, so
         # timing only the final write would measure a checkpoint read
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()  # warm
-        t0 = time.time()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2 timed: steal spikes (BASELINE.md)
+            t0 = time.time()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
         log(f"query {name}: {out[name]}s")
     return out
 
