@@ -467,15 +467,14 @@ def _q_ntile_quartiles(spark, sf):
     )
 
 
-def _q_ngram_top_bigrams(spark, sf):
-    # corpus n-gram stats (training-data prep): top-20 bigrams by
-    # frequency with a deterministic tiebreak; explode -> partial+final
-    # count -> global TakeOrdered (no full sort of the corpus)
+def _toks_and_grams():
+    """(normalized token array, bigram array) column expressions over
+    `text` — shared by the bigram-count and repetition queries."""
     from llogtail_spark.operators.dedup import WS_CLASS
 
-    docs = _t(spark, sf, "documents")
     toks = F.filter(
-        F.split(F.lower(F.col("text")), WS_CLASS), lambda x: x != ""
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), WS_CLASS),
+        lambda x: x != "",
     )
     # zip_with over two slices, NOT element_at-inside-transform:
     # Catalyst re-inlines the split() expression at every element_at
@@ -490,12 +489,39 @@ def _q_ngram_top_bigrams(spark, sf):
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return toks, grams
+
+
+def _q_ngram_top_bigrams(spark, sf):
+    # corpus n-gram stats (training-data prep): top-20 bigrams by
+    # frequency with a deterministic tiebreak; explode -> partial+final
+    # count -> global TakeOrdered (no full sort of the corpus)
+    docs = _t(spark, sf, "documents")
+    _, grams = _toks_and_grams()
     return (
         docs.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
+    )
+
+
+def _q_text_repetition(spark, sf):
+    # Gopher-style repetition quality signals: duplicate-token and
+    # duplicate-bigram fractions per document gate boilerplate and
+    # degenerate text out of a pretraining corpus. Pure scan-stage
+    # HOF expressions — no shuffle, no Python.
+    from llogtail_spark.functions.text import dup_fraction_x10000
+
+    docs = _t(spark, sf, "documents")
+    toks, grams = _toks_and_grams()
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        dup_fraction_x10000(toks).alias("dup_tok_x10000"),
+        F.size(grams).cast("long").alias("n_bigrams"),
+        dup_fraction_x10000(grams).alias("dup_bigram_x10000"),
     )
 
 
@@ -873,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_union": _q_schema_evolution_union,
         "fuzzy_source_pairs": _q_fuzzy_source_pairs,
         "ngram_top_bigrams": _q_ngram_top_bigrams,
+        "text_repetition": _q_text_repetition,
         "sample_deterministic": _q_sample_deterministic,
         "mixture_by_lang": _q_mixture_by_lang,
         "length_buckets": _q_length_buckets,
@@ -1177,6 +1204,40 @@ def _bigram_oracle() -> str:
     """
 
 
+def _repetition_oracle() -> str:
+    """DuckDB twin of _q_text_repetition: identical normalization
+    (WS_CLASS split, empty filter), bigram construction, and
+    basis-point floor arithmetic (integer*10000 / len in double —
+    exact below 2^53)."""
+    from llogtail_spark.operators.dedup import WS_CLASS
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        g AS (
+            SELECT doc_id, t,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i + 1])
+                        ELSE [] END AS b
+            FROM toks)
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_toks,
+               CAST(CASE WHEN len(t) > 0
+                    THEN floor((len(t) - len(list_distinct(t))) * 10000 / len(t))
+                    ELSE 0 END AS BIGINT) AS dup_tok_x10000,
+               CAST(len(b) AS BIGINT) AS n_bigrams,
+               CAST(CASE WHEN len(b) > 0
+                    THEN floor((len(b) - len(list_distinct(b))) * 10000 / len(b))
+                    ELSE 0 END AS BIGINT) AS dup_bigram_x10000
+        FROM g
+    """
+
+
 def _sample_oracle() -> str:
     from llogtail_spark.operators.sampling import sample_bucket_sql
 
@@ -1477,6 +1538,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY 1, 2
         """,
         "ngram_top_bigrams": _bigram_oracle(),
+        "text_repetition": _repetition_oracle(),
         "schema_evolution_union": """
             SELECT count(*) AS n, count(lang) AS n_lang,
                    count(source) AS n_src,

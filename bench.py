@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_resolve",
     "multimodal_stats",
     "ngram_top_bigrams",
+    "text_repetition",
     "text_redact_pii",
     "sequence_packing",
     "sample_deterministic",

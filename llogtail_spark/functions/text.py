@@ -135,6 +135,23 @@ def rolling_fingerprint(col: Column | str, mod: int = 2147483647) -> Column:
     )
 
 
+def dup_fraction_x10000(arr: Column) -> Column:
+    """Duplicate-element fraction of an array, in basis points:
+    floor(10000 * (len - distinct) / len), 0 for the empty array.
+
+    Fed token / n-gram arrays, this is the Gopher-style repetition
+    quality signal (duplicate-word and duplicate-n-gram fractions
+    gate boilerplate and degenerate generations out of pretraining
+    corpora). Pure Catalyst HOF — scan stage, no shuffle."""
+    n = F.size(arr)
+    dup = n - F.size(F.array_distinct(arr))
+    return (
+        F.when(n > 0, F.floor(dup * F.lit(10000) / n))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
 # RE2 (DuckDB/Arrow): character classes, bounded repeats, and \b only.
 EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -122,3 +122,44 @@ def test_redact_pii_planted_and_matches_duckdb(spark):
     assert red[2] == "server at <IP> and <IP> rebooted"
     assert "<PHONE>" in red[3] and "<EMAIL>" in red[4] and "<IP>" in red[4]
     assert red[5] == "clean text with no pii at all"
+
+
+def test_dup_fraction_repetition_signals(spark):
+    """Gopher-style repetition: hand-computed duplicate-token and
+    duplicate-bigram fractions, including the empty and single-token
+    edge cases."""
+    from llogtail_spark.functions.text import dup_fraction_x10000
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a a a a"),          # 4 toks, 1 distinct -> 7500; 3 bigrams "a a" -> 6666
+        (2, "w x y z"),          # all unique -> 0; bigrams unique -> 0
+        (3, "spam spam x spam spam"),  # 5 toks 2 distinct -> 6000
+        (4, "solo"),             # 1 tok -> 0 dup; no bigrams -> 0
+        (5, ""),                 # empty -> all zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    got = {
+        r["doc_id"]: (r["dt"], r["db"])
+        for r in df.select(
+            "doc_id",
+            dup_fraction_x10000(toks).alias("dt"),
+            dup_fraction_x10000(grams).alias("db"),
+        ).collect()
+    }
+    assert got == {
+        1: (7500, 6666),
+        2: (0, 0),
+        3: (6000, 2500),
+        4: (0, 0),
+        5: (0, 0),
+    }
