@@ -73,3 +73,19 @@ def test_read_table_iceberg_mode_is_explicit(spark, data_dir):
     assert df.count() == spark.read.parquet(path).count()
 
     assert read_table(spark, path).count() == df.count()
+
+
+def test_ensure_parallelism_gate(spark):
+    """Below the core floor: hash-repartition to defaultParallelism.
+    At or above it: identity (production inputs never pay the
+    exchange)."""
+    from llogtail_spark.sources.reader import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.range(100)  # planned with few partitions
+    if small.rdd.getNumPartitions() < target:
+        up = ensure_parallelism(small, "id")
+        assert up.rdd.getNumPartitions() == target
+        assert sorted(r["id"] for r in up.collect()) == list(range(100))
+    wide = spark.range(100).repartition(target + 4, "id")
+    assert ensure_parallelism(wide, "id") is wide
