@@ -334,38 +334,59 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def _resolve_components_driver(
     edges: DataFrame, nodes: DataFrame, id_col: str
 ) -> DataFrame:
-    """Small-graph path for resolve_components: union-find with path
-    compression on the driver over the collected edge list, with the
-    union always hanging the larger ROOT under the smaller — so every
-    final root is its component's minimum id, exactly the fixpoint the
-    distributed min-label propagation converges to (and the
-    recursive-CTE oracle computes). The (node -> root) table is
-    broadcast back; untouched nodes are their own root via coalesce,
-    so the table holds only nodes that appear in an edge."""
-    rows = edges.filter(F.col("src") < F.col("dst")).collect()
-    parent: dict = {}
+    """Small-graph path for resolve_components: vectorized min-label
+    propagation with pointer jumping AND graph contraction over the
+    collected edge arrays — every node's final label is its
+    component's minimum id, exactly the fixpoint the distributed loop
+    converges to (and the recursive-CTE oracle computes). All numpy,
+    no per-edge Python. Contraction (relabel edges to component
+    labels, drop solved/duplicate edges each round) is what bounds
+    the round count: plain propagation moves labels one hop per round
+    and needed 115 rounds on a near-percolation random graph, vs 7
+    with contraction (~5s for 2M worst-case edges — about the
+    crossover vs the distributed path, hence the default threshold;
+    the REAL candidate graphs are representative stars that contract
+    in one round, ~ms). Node ids are relabeled to indices of the
+    SORTED unique array, so index order == id order and the minimum
+    index maps back to the minimum id (holds for longs and for
+    strings under lexicographic order, matching F.min). The
+    (node -> root) table is broadcast back; untouched nodes are their
+    own root via coalesce, so the table holds only nodes that appear
+    in an edge."""
+    pdf = edges.filter(F.col("src") < F.col("dst")).select("src", "dst").toPandas()
+    a = pdf["src"].to_numpy()
+    b = pdf["dst"].to_numpy()
+    ids = np.unique(np.concatenate([a, b])) if len(a) else np.array([])
+    nv = len(ids)
+    ea = np.searchsorted(ids, a).astype(np.int64)
+    eb = np.searchsorted(ids, b).astype(np.int64)
+    lab = np.arange(nv, dtype=np.int64)
+    while len(ea):
+        m = np.minimum(lab[ea], lab[eb])
+        np.minimum.at(lab, ea, m)
+        np.minimum.at(lab, eb, m)
+        while True:  # pointer jumping: halve chain depth per pass
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        # contract: edges between same-label nodes are solved; the
+        # rest re-key to (label, label) super-nodes, deduplicated
+        # (nv^2 < 2^63 for any collectable graph, so the flat key fits)
+        ea, eb = lab[ea], lab[eb]
+        alive = ea != eb
+        ea, eb = ea[alive], eb[alive]
+        if len(ea):
+            lo = np.minimum(ea, eb)
+            hi = np.maximum(ea, eb)
+            key = np.unique(lo * nv + hi)
+            ea, eb = key // nv, key % nv
+    moved = np.nonzero(lab != np.arange(nv))[0]
 
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
+    def _py(v):  # numpy scalar -> python; object-dtype (str) is already python
+        return v.item() if hasattr(v, "item") else v
 
-    seen = set()
-    for r in rows:
-        a, b = r["src"], r["dst"]
-        seen.add(a)
-        seen.add(b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # min()/max() on python values matches F.min/F.max for the
-            # long and ASCII-string id types used here
-            parent[max(ra, rb)] = min(ra, rb)
-
-    mapping = [(x, find(x)) for x in seen]
-    mapping = [(x, rt) for x, rt in mapping if rt != x]
+    mapping = [(_py(ids[i]), _py(ids[lab[i]])) for i in moved]
     spark = nodes.sparkSession
     id_type = nodes.schema[id_col].dataType
     schema = T.StructType(
