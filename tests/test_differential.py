@@ -266,3 +266,72 @@ def test_grouped_aggregation_semantics_match_duckdb_fuzz(spark):
         a = g[col].astype("float64").fillna(float("nan"))
         b = w[col].astype("float64").fillna(float("nan"))
         assert ((a == b) | (a.isna() & b.isna())).all(), col
+
+
+def test_window_functions_match_duckdb_fuzz(spark):
+    """Randomized window functions over partitions with NULLs, order
+    ties, and frame boundaries: ranking (tie semantics), lag/lead
+    (boundary NULLs), rows frames over a total order, and a RANGE
+    frame over the tied order column must agree with DuckDB exactly.
+    Order columns are non-null (Spark defaults NULLS FIRST, DuckDB
+    NULLS LAST — the portability footgun is avoided, not papered
+    over)."""
+    rng = np.random.default_rng(4242)
+    n = 1500
+    pdf = pd.DataFrame(
+        {
+            "p": rng.choice(["a", "b", "c", None], size=n, p=[0.4, 0.3, 0.2, 0.1]),
+            "o": rng.integers(0, 40, size=n).astype("int64"),  # many ties
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.integers(-500, 500, size=n).astype("float64"),
+        }
+    )
+    pdf.loc[rng.choice(n, size=150, replace=False), "v"] = None
+    pdf["v"] = pdf["v"].astype("Int64")
+    df = spark.createDataFrame(pdf)
+
+    from pyspark.sql import Window as W
+
+    total = W.partitionBy("p").orderBy("o", "id")
+    tied = W.partitionBy("p").orderBy("o")
+    got = (
+        df.select(
+            "id",
+            F.row_number().over(total).alias("rn"),
+            F.rank().over(tied).alias("rk"),
+            F.dense_rank().over(tied).alias("drk"),
+            F.lag("v").over(total).alias("lg"),
+            F.lead("v", 2).over(total).alias("ld"),
+            F.sum("v").over(total.rowsBetween(-2, 0)).alias("s3"),
+            F.min("v").over(total.rowsBetween(0, 3)).alias("m4"),
+            F.sum("v").over(tied.rangeBetween(-5, 0)).alias("sr"),
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        """
+        SELECT id,
+          row_number() OVER (PARTITION BY p ORDER BY o, id) AS rn,
+          rank() OVER (PARTITION BY p ORDER BY o) AS rk,
+          dense_rank() OVER (PARTITION BY p ORDER BY o) AS drk,
+          lag(v) OVER (PARTITION BY p ORDER BY o, id) AS lg,
+          lead(v, 2) OVER (PARTITION BY p ORDER BY o, id) AS ld,
+          sum(v) OVER (PARTITION BY p ORDER BY o, id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3,
+          min(v) OVER (PARTITION BY p ORDER BY o, id
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m4,
+          sum(v) OVER (PARTITION BY p ORDER BY o
+                       RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS sr
+        FROM t ORDER BY id
+        """
+    ).df()
+    for col in ["rn", "rk", "drk"]:
+        assert got[col].astype("int64").tolist() == want[col].astype("int64").tolist(), col
+    for col in ["lg", "ld", "s3", "m4", "sr"]:
+        a = got[col].astype("float64")
+        b = want[col].astype("float64")
+        assert ((a == b) | (a.isna() & b.isna())).all(), col
