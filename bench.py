@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_p90",
     "dedup_resolve",
+    "dedup_verified",
     "multimodal_stats",
     "ngram_top_bigrams",
     "text_repetition",
