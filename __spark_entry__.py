@@ -525,6 +525,47 @@ def _q_text_repetition(spark, sf):
     )
 
 
+def _q_quality_filter_docs(spark, sf):
+    # FineWeb-style composite quality GATE: each document gets a
+    # keep/drop decision plus the ordered list of failed rules
+    # (too_short / repetitive / pii) — the deliverable of a
+    # pretraining filter pipeline, composed from the individual
+    # signals (token count, duplicate-token fraction, PII hits) as
+    # pure scan-stage expressions. Thresholds sit inside the fixture's
+    # signal distribution (n_toks q10 = 20, dup q90 = 6785 bps) so the
+    # gate exercises both outcomes.
+    from llogtail_spark.functions.text import (
+        EMAIL_RX,
+        IPV4_RX,
+        PHONE_RX,
+        dup_fraction_x10000,
+        pii_count,
+    )
+
+    docs = _t(spark, sf, "documents")
+    toks, _ = _toks_and_grams()
+    n_toks = F.size(toks)
+    dup = dup_fraction_x10000(toks)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    pii = pii_count(txt, EMAIL_RX) + pii_count(txt, IPV4_RX) + pii_count(txt, PHONE_RX)
+    reasons = F.filter(
+        F.array(
+            F.when(n_toks < 25, F.lit("too_short")),
+            F.when(dup > 6000, F.lit("repetitive")),
+            F.when(pii > 0, F.lit("pii")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_toks"),
+        dup.alias("dup_tok_x10000"),
+        pii.cast("long").alias("pii_hits"),
+        (F.size(reasons) == 0).cast("int").alias("keep"),
+        F.concat_ws(",", reasons).alias("reasons"),
+    )
+
+
 def _q_schema_evolution_union(spark, sf):
     # corpus snapshots whose schemas drifted (columns added/dropped):
     # unionByName with missing-column fill — the schema-evolution
@@ -900,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_source_pairs": _q_fuzzy_source_pairs,
         "ngram_top_bigrams": _q_ngram_top_bigrams,
         "text_repetition": _q_text_repetition,
+        "quality_filter_docs": _q_quality_filter_docs,
         "sample_deterministic": _q_sample_deterministic,
         "mixture_by_lang": _q_mixture_by_lang,
         "length_buckets": _q_length_buckets,
@@ -1238,6 +1280,53 @@ def _repetition_oracle() -> str:
     """
 
 
+def _quality_filter_oracle() -> str:
+    """DuckDB twin of _q_quality_filter_docs: identical tokenization,
+    duplicate-fraction arithmetic, PII regexes (RE2-compatible by
+    construction, functions/text.py), thresholds, and reason order."""
+    from llogtail_spark.functions.text import EMAIL_RX, IPV4_RX, PHONE_RX
+    from llogtail_spark.operators.dedup import WS_CLASS
+
+    pii = (
+        f"len(regexp_extract_all(coalesce(text, ''), '{EMAIL_RX}')) + "
+        f"len(regexp_extract_all(coalesce(text, ''), '{IPV4_RX}')) + "
+        f"len(regexp_extract_all(coalesce(text, ''), '{PHONE_RX}'))"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t,
+                   {pii} AS pii
+            FROM documents),
+        sig AS (
+            SELECT doc_id, pii,
+                   len(t) AS n_toks,
+                   CASE WHEN len(t) > 0
+                        THEN floor((len(t) - len(list_distinct(t))) * 10000 / len(t))
+                        ELSE 0 END AS dup
+            FROM toks),
+        r AS (
+            SELECT doc_id, n_toks, dup, pii,
+                   list_filter([
+                       CASE WHEN n_toks < 25 THEN 'too_short' END,
+                       CASE WHEN dup > 6000 THEN 'repetitive' END,
+                       CASE WHEN pii > 0 THEN 'pii' END
+                   ], x -> x IS NOT NULL) AS reasons
+            FROM sig)
+        SELECT doc_id,
+               CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(dup AS BIGINT) AS dup_tok_x10000,
+               CAST(pii AS BIGINT) AS pii_hits,
+               CAST(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS INTEGER) AS keep,
+               -- concat_ws('' on empty) vs array_to_string(NULL on
+               -- empty): coalesce aligns the engines
+               coalesce(array_to_string(reasons, ','), '') AS reasons
+        FROM r
+    """
+
+
 def _sample_oracle() -> str:
     from llogtail_spark.operators.sampling import sample_bucket_sql
 
@@ -1539,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_top_bigrams": _bigram_oracle(),
         "text_repetition": _repetition_oracle(),
+        "quality_filter_docs": _quality_filter_oracle(),
         "schema_evolution_union": """
             SELECT count(*) AS n, count(lang) AS n_lang,
                    count(source) AS n_src,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "multimodal_stats",
     "ngram_top_bigrams",
     "text_repetition",
+    "quality_filter_docs",
     "text_redact_pii",
     "sequence_packing",
     "sample_deterministic",
