@@ -163,3 +163,38 @@ def test_dup_fraction_repetition_signals(spark):
         4: (0, 0),
         5: (0, 0),
     }
+
+
+def test_quality_filter_rules_fire_individually(spark, tmp_path):
+    """Each gate rule fires on a crafted document and the reasons list
+    keeps rule order; a clean doc passes."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    long_unique = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, long_unique),                          # clean -> keep
+        (2, "short doc"),                          # too_short
+        (3, " ".join(["spam"] * 40)),              # repetitive
+        (4, long_unique + " mail me a@b.com"),     # pii
+        (5, "tiny " + " ".join(["x"] * 9)),        # too_short AND repetitive
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    got = {
+        r["doc_id"]: (r["keep"], r["reasons"])
+        for r in entry._q_quality_filter_docs(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, "")
+    assert got[2] == (0, "too_short")
+    assert got[3] == (0, "repetitive")
+    assert got[4] == (0, "pii")
+    assert got[5] == (0, "too_short,repetitive")
