@@ -566,6 +566,37 @@ def _q_quality_filter_docs(spark, sf):
     )
 
 
+def _q_boilerplate_strip(spark, sf):
+    # CCNet/RefinedWeb-style cross-document boilerplate removal: text
+    # chunks appearing in >= 3 distinct docs (site footers, nav bars,
+    # license blurbs at web scale) are stripped and each doc is
+    # reassembled from its surviving chunks in order. Two chunk-keyed
+    # shuffles (frequency + membership, co-partitioned) and one
+    # doc_id shuffle for reassembly — all JVM-side, no Python.
+    from llogtail_spark.operators.corpus import boilerplate_strip
+
+    return boilerplate_strip(_t(spark, sf, "documents"))
+
+
+def _q_token_budget_select(spark, sf):
+    # greedy data selection under a token budget (keep the least-
+    # repetitive 40% of corpus tokens) WITHOUT a global ordered
+    # cumsum: per-score-class histogram + broadcast cutoff; only the
+    # boundary score class is windowed (see operators/corpus.py).
+    from llogtail_spark.operators.corpus import token_budget_select
+
+    return token_budget_select(_t(spark, sf, "documents"))
+
+
+def _q_corpus_shuffle_shards(spark, sf):
+    # deterministic training-order shuffle: portable 60-bit hash of
+    # doc_id -> shard = h % 8, pos = rank of h within the shard. One
+    # nshards-way shuffle, reproducible across reruns and engines.
+    from llogtail_spark.operators.corpus import corpus_shuffle_shards
+
+    return corpus_shuffle_shards(_t(spark, sf, "documents"))
+
+
 def _q_schema_evolution_union(spark, sf):
     # corpus snapshots whose schemas drifted (columns added/dropped):
     # unionByName with missing-column fill — the schema-evolution
@@ -942,6 +973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top_bigrams": _q_ngram_top_bigrams,
         "text_repetition": _q_text_repetition,
         "quality_filter_docs": _q_quality_filter_docs,
+        "boilerplate_strip": _q_boilerplate_strip,
+        "token_budget_select": _q_token_budget_select,
+        "corpus_shuffle_shards": _q_corpus_shuffle_shards,
         "sample_deterministic": _q_sample_deterministic,
         "mixture_by_lang": _q_mixture_by_lang,
         "length_buckets": _q_length_buckets,
@@ -1327,6 +1361,12 @@ def _quality_filter_oracle() -> str:
     """
 
 
+def _corpus_mod():
+    from llogtail_spark.operators import corpus
+
+    return corpus
+
+
 def _sample_oracle() -> str:
     from llogtail_spark.operators.sampling import sample_bucket_sql
 
@@ -1654,6 +1694,9 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.source < b.source
             WHERE levenshtein(a.source, b.source) <= 1
         """,
+        "boilerplate_strip": _corpus_mod().boilerplate_strip_sql(),
+        "token_budget_select": _corpus_mod().token_budget_select_sql(),
+        "corpus_shuffle_shards": _corpus_mod().corpus_shuffle_shards_sql(),
         "sample_deterministic": _sample_oracle(),
         "mixture_by_lang": _mixture_oracle(),
         "length_buckets": _length_buckets_oracle(),

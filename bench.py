@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "sequence_packing",
     "sample_deterministic",
     "stratified_sample_events",
+    "boilerplate_strip",
+    "token_budget_select",
+    "corpus_shuffle_shards",
 ]
 
 

@@ -1,0 +1,296 @@
+"""Corpus-preparation operators for pretraining-data pipelines:
+cross-document boilerplate removal, token-budget corpus selection,
+and deterministic shard shuffle.
+
+These generalize the reference's per-file routing/dedup discipline
+(llogtail routes every sequence exactly once and dedups work items by
+identity — collector.go:125-174, log_watcher.go:97-126) to the
+corpus-level decisions a 100 TB training-data pipeline makes: which
+spans of text to keep, which documents fit a token budget, and a
+reproducible global ordering for training shards.
+
+Scale notes (100 TB):
+- boilerplate_strip shuffles twice on the chunk key (frequency agg +
+  membership join, same partitioning → co-located SMJ / ReuseExchange
+  candidate) and once on doc_id for reassembly. No broadcast
+  assumption on the boilerplate set: it is corpus-frequency output
+  and can be large (every site footer on the web).
+- token_budget_select never does a global ordered cumsum (a
+  single-partition window is a non-starter at 10^12 rows). It
+  aggregates per-score-class token totals (score domain is bounded:
+  basis points, ≤ 10001 classes), runs the cumulative over that
+  dim-sized histogram, and broadcasts the cutoff back. Only the one
+  boundary score class needs an exact per-doc ordering, and only
+  that class is windowed (documented skew caveat: a pathological
+  corpus where one score class holds most tokens would bound the
+  boundary window by that class size).
+- corpus_shuffle_shards is embarrassingly parallel: hash → shard,
+  one shuffle to number rows within each of the nshards partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from llogtail_spark.operators.dedup import WS_CLASS
+
+# Chunk width (tokens) used as the "paragraph" unit for boilerplate
+# detection. Real pipelines use newline-split lines (CCNet) or
+# paragraphs (RefinedWeb); the synthetic corpus is single-line token
+# text, so a fixed token window is the deterministic stand-in. The
+# machinery (posexplode → corpus frequency → membership join →
+# ordered reassembly) is identical.
+CHUNK_TOKENS = 4
+# A chunk appearing in >= this many distinct documents is boilerplate.
+BOILERPLATE_MIN_DOCS = 3
+
+
+def _tokens(text_col) -> Column:
+    return F.filter(
+        F.split(F.lower(F.coalesce(text_col, F.lit(""))), WS_CLASS),
+        lambda x: x != "",
+    )
+
+
+def doc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Explode each document into (id, pos, chunk) rows of
+    CHUNK_TOKENS-token chunks; empty documents drop out."""
+    toks = _tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda g: F.array_join(
+            F.slice(toks, g * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    return (
+        df.filter(F.size(toks) > 0)
+        .select(id_col, F.posexplode(chunks).alias("pos", "chunk"))
+    )
+
+
+def boilerplate_strip(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_docs: int = BOILERPLATE_MIN_DOCS) -> DataFrame:
+    """CCNet/RefinedWeb-style cross-document boilerplate removal:
+    drop every text chunk that appears in >= min_docs distinct
+    documents (site footers, navigation, license blurbs), and
+    reassemble each document from its surviving chunks in original
+    order.
+
+    Returns (id, n_chunks, n_kept, text_clean) — one row per
+    non-empty input document (a fully-boilerplate document survives
+    with text_clean = '').
+
+    Reference anchor: the demux filter ships each sequence to exactly
+    one sink (log_watcher.go:97-126); here the "filter" is a
+    corpus-frequency predicate rather than a per-line regex.
+    """
+    chunks = doc_chunks(df, text_col, id_col)
+    freq = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("chunk")
+    )
+    # LEFT join (not anti): fully-stripped documents must survive
+    # with empty text_clean so the output row count equals the input
+    # document count. Both sides shuffle on `chunk` — co-partitioned.
+    flagged = chunks.join(
+        freq.withColumn("_bp", F.lit(1)), "chunk", "left"
+    ).select(
+        id_col, "pos", "chunk",
+        F.when(F.col("_bp").isNull(), 1).otherwise(0).alias("keep"),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("keep") == 1, F.struct("pos", "chunk"))
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_structs, lambda s: s["chunk"]), " "
+        ).alias("text_clean"),
+    )
+
+
+def boilerplate_strip_sql(min_docs: int = BOILERPLATE_MIN_DOCS) -> str:
+    """DuckDB twin of boilerplate_strip over the `documents` view:
+    identical tokenization (WS_CLASS regex split), chunking (1-based
+    clamped list slice == Spark slice), frequency threshold, and
+    ordered reassembly (string_agg ORDER BY pos skips NULLs ==
+    collect_list skipping nulls + array_sort by pos)."""
+    k = CHUNK_TOKENS
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        chunks AS (
+            SELECT doc_id, CAST(g AS INTEGER) AS pos,
+                   array_to_string(t[(g*{k}+1):(g*{k}+{k})], ' ') AS chunk
+            FROM toks,
+                 LATERAL (SELECT unnest(range(CAST(ceil(len(t)/{k}.0) AS BIGINT))) AS g)
+            WHERE len(t) > 0),
+        bp AS (
+            SELECT chunk FROM chunks
+            GROUP BY chunk HAVING count(DISTINCT doc_id) >= {min_docs}),
+        flagged AS (
+            SELECT c.doc_id, c.pos, c.chunk,
+                   CASE WHEN b.chunk IS NULL THEN 1 ELSE 0 END AS keep
+            FROM chunks c LEFT JOIN bp b USING (chunk))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               coalesce(string_agg(CASE WHEN keep = 1 THEN chunk END,
+                                   ' ' ORDER BY pos), '') AS text_clean
+        FROM flagged GROUP BY doc_id
+    """
+
+
+# Token-budget selection: fraction of the corpus token mass to keep.
+BUDGET_FRACTION = 0.4
+
+
+def token_budget_select(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        fraction: float = BUDGET_FRACTION) -> DataFrame:
+    """Greedy data selection under a token budget: score every
+    document (here: 10000 - duplicate-token basis points — less
+    repetitive is better), walk documents in (score DESC, id ASC)
+    order, and keep each while the running token total stays within
+    floor(fraction * corpus_tokens).
+
+    Equivalent to the SQL `sum(n_toks) OVER (ORDER BY qscore DESC,
+    doc_id) <= budget`, but computed WITHOUT a global ordered window:
+
+      1. per-score-class token totals (shuffle on qscore, <= 10001
+         classes — dim-sized),
+      2. cumulative over that histogram + the 1-row budget aggregate
+         (broadcast),
+      3. classes strictly inside the budget keep every document;
+         the single boundary class gets an exact per-doc running sum
+         windowed only over itself.
+
+    Returns the selected rows (id, qscore, n_toks).
+    """
+    from llogtail_spark.functions.text import dup_fraction_x10000
+
+    toks = _tokens(F.col(text_col))
+    sig = df.select(
+        id_col,
+        (F.lit(10000) - dup_fraction_x10000(toks)).cast("long").alias("qscore"),
+        F.size(toks).cast("long").alias("n_toks"),
+    )
+    budget = sig.agg(
+        F.floor(F.sum("n_toks") * F.lit(fraction)).alias("_budget")
+    )
+    hist = sig.groupBy("qscore").agg(F.sum("n_toks").alias("_class_toks"))
+    # Histogram cumulative: <= 10001 rows, the single-partition window
+    # is over a dim-sized aggregate, never the corpus.
+    w = Window.orderBy(F.desc("qscore")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "qscore", "_class_toks",
+        F.coalesce(F.sum("_class_toks").over(w), F.lit(0)).alias("_cum_before"),
+    )
+    ann = sig.join(F.broadcast(cum), "qscore").join(F.broadcast(budget))
+    full_keep = ann.filter(
+        F.col("_cum_before") + F.col("_class_toks") <= F.col("_budget")
+    )
+    boundary = ann.filter(
+        (F.col("_cum_before") < F.col("_budget"))
+        & (F.col("_cum_before") + F.col("_class_toks") > F.col("_budget"))
+    )
+    bw = Window.partitionBy("qscore").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    boundary_keep = boundary.withColumn(
+        "_run", F.sum("n_toks").over(bw)
+    ).filter(F.col("_cum_before") + F.col("_run") <= F.col("_budget"))
+    cols = [id_col, "qscore", "n_toks"]
+    return full_keep.select(*cols).unionByName(boundary_keep.select(*cols))
+
+
+def token_budget_select_sql(fraction: float = BUDGET_FRACTION) -> str:
+    """DuckDB twin of token_budget_select: the direct global-window
+    formulation (fine at oracle scale) that the histogram+boundary
+    decomposition reproduces exactly."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        sig AS (
+            SELECT doc_id,
+                   CAST(10000 - CASE WHEN len(t) > 0
+                        THEN floor((len(t) - len(list_distinct(t))) * 10000 / len(t))
+                        ELSE 0 END AS BIGINT) AS qscore,
+                   CAST(len(t) AS BIGINT) AS n_toks
+            FROM toks),
+        b AS (SELECT CAST(floor(sum(n_toks) * {fraction}) AS BIGINT) AS budget
+              FROM sig),
+        c AS (SELECT doc_id, qscore, n_toks,
+                     sum(n_toks) OVER (ORDER BY qscore DESC, doc_id) AS cum
+              FROM sig)
+        SELECT doc_id, qscore, n_toks FROM c, b WHERE cum <= budget
+    """
+
+
+N_SHARDS = 8
+
+
+def corpus_shuffle_shards(df: DataFrame, id_col: str = "doc_id",
+                          nshards: int = N_SHARDS) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data
+    export: every document gets a reproducible (shard, pos) from an
+    engine-portable hash of its id (md5 hex → 60-bit int — identical
+    in Spark and DuckDB, no engine-private hash). Shard assignment is
+    hash mod nshards; position is the rank of the hash within the
+    shard. Re-running on the same corpus yields the same order — the
+    reproducible-training-order requirement.
+
+    One shuffle (row_number per shard, nshards-way); no global sort.
+    Reference anchor: deterministic work-item identity keyed by
+    (dev, inode) — utils.go:36-46; here the identity is the portable
+    hash and the "queue position" is the shard-local rank.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(id_col, h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(nshards)).cast("int"))
+        .select(
+            id_col, "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+def corpus_shuffle_shards_sql(nshards: int = N_SHARDS) -> str:
+    """DuckDB twin of corpus_shuffle_shards (hex-parse via '0x' ||
+    substr, the portable-hash technique shared with the minhash
+    oracles)."""
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS hv
+            FROM documents)
+        SELECT doc_id,
+               CAST(hv % {nshards} AS INTEGER) AS shard,
+               CAST(row_number() OVER (PARTITION BY hv % {nshards}
+                                       ORDER BY hv, doc_id) AS BIGINT) AS pos
+        FROM h
+    """

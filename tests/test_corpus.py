@@ -1,0 +1,115 @@
+"""Corpus-prep operators: boilerplate chunk stripping, token-budget
+selection (histogram decomposition == direct greedy), deterministic
+shard shuffle."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from llogtail_spark.operators.corpus import (
+    boilerplate_strip,
+    corpus_shuffle_shards,
+    token_budget_select,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_strip_crafted(spark):
+    # chunk width is 4 tokens; "the same old footer" appears in 3 docs
+    # (>= min_docs=3 -> stripped), "a rare shared line" in only 2
+    # (kept). Doc 4 is pure boilerplate and must survive with ''.
+    bp = "the same old footer"
+    rare = "a rare shared line"
+    rows = [
+        (1, f"alpha beta gamma delta {bp} keep one two three"),
+        (2, f"{bp} {rare} epsilon zeta eta theta"),
+        (3, f"unique text here now {rare}"),
+        (4, bp),
+        (5, "totally original words only"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(_docs(spark, rows)).collect()
+    }
+    assert len(out) == 5
+    assert out[4]["n_kept"] == 0 and out[4]["text_clean"] == ""
+    assert out[1]["text_clean"] == "alpha beta gamma delta keep one two three"
+    assert out[2]["text_clean"] == f"{rare} epsilon zeta eta theta"
+    assert out[3]["text_clean"] == f"unique text here now {rare}"
+    assert out[5]["n_kept"] == out[5]["n_chunks"]
+
+
+def test_boilerplate_strip_preserves_chunk_order(spark):
+    # surviving chunks must reassemble in original position order even
+    # when the stripped chunk sits in the middle
+    bp = "x x x x"
+    rows = [
+        (1, f"a1 a2 a3 a4 {bp} b1 b2 b3 b4"),
+        (2, f"c1 c2 c3 c4 {bp} d1 d2 d3 d4"),
+        (3, f"e1 e2 e3 e4 {bp} f1 f2 f3 f4"),
+    ]
+    out = boilerplate_strip(_docs(spark, rows)).collect()
+    for r in out:
+        assert "x" not in r["text_clean"]
+        parts = r["text_clean"].split(" ")
+        assert parts == sorted(parts)  # a1..a4 b1..b4 stay ordered
+
+
+def test_token_budget_histogram_matches_direct_greedy(spark):
+    # the scalable histogram+boundary decomposition must reproduce the
+    # direct global greedy exactly, including the boundary class split
+    rows = [
+        (i, " ".join(f"w{j % (1 + i % 7)}" for j in range(5 + 3 * (i % 11))))
+        for i in range(120)
+    ]
+    df = _docs(spark, rows)
+    got = token_budget_select(df).toPandas()
+
+    # direct greedy recompute on the same signals
+    from llogtail_spark.functions.text import dup_fraction_x10000
+    from llogtail_spark.operators.corpus import _tokens
+
+    toks = _tokens(F.col("text"))
+    sig = df.select(
+        "doc_id",
+        (F.lit(10000) - dup_fraction_x10000(toks)).cast("long").alias("qscore"),
+        F.size(toks).cast("long").alias("n_toks"),
+    ).toPandas().sort_values(["qscore", "doc_id"], ascending=[False, True])
+    budget = int(0.4 * sig.n_toks.sum())
+    sig["cum"] = sig.n_toks.cumsum()
+    want = sig[sig.cum <= budget][["doc_id", "qscore", "n_toks"]]
+
+    got_s = got.sort_values("doc_id").reset_index(drop=True)
+    want_s = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s, want_s[got_s.columns], check_dtype=False
+    )
+    # the boundary class must actually split (some docs of the
+    # boundary qscore kept, some dropped) or the test is vacuous
+    boundary_scores = set(sig.qscore) - set(want.qscore)
+    kept_scores = set(want.qscore)
+    assert kept_scores, "budget kept nothing — fixture too small"
+    assert len(want) < len(sig), "budget kept everything — fixture too big"
+
+
+def test_corpus_shuffle_shards_deterministic_and_dense(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = corpus_shuffle_shards(df).toPandas()
+    b = corpus_shuffle_shards(df.repartition(7)).toPandas()
+    key = lambda p: p.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(a), key(b))  # layout-invariant
+    assert set(a.shard.unique()) <= set(range(8))
+    for s, grp in a.groupby("shard"):
+        # positions are a dense 1..n ranking within each shard
+        assert sorted(grp.pos) == list(range(1, len(grp) + 1))
+
+
+def test_corpus_plans_stay_jvm_side(spark):
+    docs = _docs(spark, [(i, f"t{i} u v w x y z a b c") for i in range(50)])
+    for op in (boilerplate_strip, token_budget_select, corpus_shuffle_shards):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, op.__name__
+        assert "ArrowEvalPython" not in plan, op.__name__
+        assert "BatchEvalPython" not in plan, op.__name__
