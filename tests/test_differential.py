@@ -335,3 +335,55 @@ def test_window_functions_match_duckdb_fuzz(spark):
         a = got[col].astype("float64")
         b = want[col].astype("float64")
         assert ((a == b) | (a.isna() & b.isna())).all(), col
+
+
+def test_corpus_ops_match_duckdb_on_random_texts(spark):
+    """boilerplate_strip (greedy-regex chunking) vs its DuckDB oracle
+    (list-slice chunking) plus token_budget_select and
+    corpus_shuffle_shards, on adversarial random texts: mixed
+    whitespace runs, punctuation-glued tokens, case noise, empty and
+    whitespace-only documents. The two chunking algorithms are
+    independent derivations — exactly what a differential test is
+    for."""
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(SEED)
+    vocab = ["foo", "BAR", "baz,", "q-x", "the", "a!", "zz9", "..", "&"]
+    docs = []
+    for i in range(150):
+        n = int(rng.integers(0, 40))
+        ws = rng.choice([" ", "  ", "\t", " \n"], size=max(n, 1))
+        words = rng.choice(vocab, size=n)
+        docs.append((i, "".join(w + s for w, s in zip(words, ws))))
+    docs += [(900, ""), (901, "   \t "), (902, None), (903, "one two three")]
+    # planted boilerplate: the same 8-token footer in 5 docs
+    footer = "fine print legal footer all rights reserved here"
+    for j in range(5):
+        docs.append((950 + j, f"body {j} unique words {footer}"))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracles = entry.oracle_sql()
+
+    from llogtail_spark.operators.corpus import (
+        boilerplate_strip,
+        corpus_shuffle_shards,
+        token_budget_select,
+    )
+
+    for name, fn in [
+        ("boilerplate_strip", boilerplate_strip),
+        ("token_budget_select", token_budget_select),
+        ("corpus_shuffle_shards", corpus_shuffle_shards),
+    ]:
+        got = sorted(map(tuple, fn(sdf).collect()))
+        want = sorted(map(tuple, con.execute(oracles[name]).fetchall()))
+        assert got == want, name
+
+    # the planted footer must actually get stripped (>= 3 docs)
+    strip = {r[0]: r for r in boilerplate_strip(sdf).collect()}
+    for j in range(5):
+        assert "footer" not in strip[950 + j]["text_clean"]
+        assert strip[950 + j]["n_kept"] < strip[950 + j]["n_chunks"]
