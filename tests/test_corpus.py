@@ -113,3 +113,38 @@ def test_corpus_plans_stay_jvm_side(spark):
         assert "CartesianProduct" not in plan, op.__name__
         assert "ArrowEvalPython" not in plan, op.__name__
         assert "BatchEvalPython" not in plan, op.__name__
+
+
+def test_token_budget_edge_fractions(spark):
+    from llogtail_spark.operators import corpus
+
+    rows = [(i, " ".join(f"v{j}" for j in range(10))) for i in range(20)]
+    df = _docs(spark, rows)
+    # fraction=1.0: budget == total -> every doc kept, no boundary
+    assert corpus.token_budget_select(df, fraction=1.0).count() == 20
+    # fraction=0: budget 0 -> nothing kept (every doc has 10 tokens)
+    assert corpus.token_budget_select(df, fraction=0.0).count() == 0
+    # all docs in ONE score class: boundary split inside it is exact
+    # greedy by doc_id (budget = 0.35 * 200 = 70 tokens -> 7 docs)
+    got = sorted(
+        r["doc_id"]
+        for r in corpus.token_budget_select(df, fraction=0.35).collect()
+    )
+    assert got == list(range(7))
+
+
+def test_token_budget_zero_token_docs_sort_first(spark):
+    from llogtail_spark.operators import corpus
+
+    # empty docs score 10000 (no duplicate tokens) and cost nothing:
+    # they must always be kept, matching the oracle's ORDER BY
+    rows = [(1, ""), (2, "a a a a a a a a"), (3, "b c d e f g h i")]
+    got = {
+        r["doc_id"]: r
+        for r in corpus.token_budget_select(
+            _docs(spark, rows), fraction=0.5
+        ).collect()
+    }
+    assert 1 in got and got[1]["n_toks"] == 0
+    assert 3 in got  # unique tokens -> qscore 10000, 8 toks fit 8-budget
+    assert 2 not in got  # heavily duplicated -> low score, over budget
