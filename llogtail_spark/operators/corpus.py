@@ -110,11 +110,22 @@ def boilerplate_strip(df: DataFrame, text_col: str = "text",
         .filter(F.col("_nd") >= min_docs)
         .select("chunk")
     )
-    # LEFT join (not anti): fully-stripped documents must survive
-    # with empty text_clean so the output row count equals the input
-    # document count. Both sides shuffle on `chunk` — co-partitioned.
+    return strip_chunks(chunks, freq, id_col)
+
+
+def strip_chunks(chunks: DataFrame, bp: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Drop every (id, pos, chunk) row whose chunk is in the
+    boilerplate set `bp` (single column `chunk`), and reassemble each
+    document from its surviving chunks in position order.
+
+    LEFT join (not anti): fully-stripped documents must survive with
+    empty text_clean so the output row count equals the input
+    document count. Both sides shuffle on `chunk` — co-partitioned.
+    Shared by the batch operator and the streaming ingest twin.
+    """
     flagged = chunks.join(
-        freq.withColumn("_bp", F.lit(1)), "chunk", "left"
+        bp.select("chunk").withColumn("_bp", F.lit(1)), "chunk", "left"
     ).select(
         id_col, "pos", "chunk",
         F.when(F.col("_bp").isNull(), 1).otherwise(0).alias("keep"),

@@ -126,3 +126,105 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def boilerplate_ingest_batch(
+    spark: SparkSession,
+    bdf,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int | None = None,
+) -> None:
+    """Incremental boilerplate removal over ONE micro-batch: a chunk
+    is boilerplate once its cross-document count — history (all other
+    tags) PLUS this batch — reaches min_docs; stripped documents ship
+    to batch=<id>, and only then do the batch's own chunk counts
+    commit to tag=c<id>.
+
+    Same replay-exactness layout as ingest_batch: the decision reads
+    history MINUS the batch's own tag, and both ship and index commit
+    overwrite their own dirs, so a crash-replay at any point
+    recomputes the identical survivor set.
+
+    Incremental semantics (inherent, documented): a chunk below the
+    threshold at the time a document arrives is NOT stripped from
+    that document retroactively when later batches push it over —
+    the same knowledge-at-arrival contract as the dedup ingest (an
+    earlier duplicate ships; only later repeats drop). A periodic
+    batch `boilerplate_strip` over the landed corpus is the
+    retroactive compaction path.
+    """
+    from llogtail_spark.operators.corpus import (
+        BOILERPLATE_MIN_DOCS,
+        doc_chunks,
+        strip_chunks,
+    )
+
+    if min_docs is None:
+        min_docs = BOILERPLATE_MIN_DOCS
+    tag = f"c{batch_id}"
+    chunks = doc_chunks(bdf, text_col, id_col)
+    own_counts = chunks.groupBy("chunk").agg(
+        F.count_distinct(id_col).alias("nd")
+    )
+    hist = _history_tags(index_path, tag)
+    if hist:
+        hist_counts = (
+            spark.read.parquet(*hist)
+            .groupBy("chunk")
+            .agg(F.sum("nd").alias("_nd_hist"))
+        )
+        totals = own_counts.join(hist_counts, "chunk", "left").select(
+            "chunk",
+            "nd",
+            (F.col("nd") + F.coalesce(F.col("_nd_hist"), F.lit(0)))
+            .alias("_nd_total"),
+        )
+    else:
+        totals = own_counts.select(
+            "chunk", "nd", F.col("nd").alias("_nd_total")
+        )
+    bp = totals.filter(F.col("_nd_total") >= min_docs).select("chunk")
+    out_dir = os.path.join(out_path, f"batch={batch_id}")
+    strip_chunks(chunks, bp, id_col).write.mode("overwrite").parquet(out_dir)
+    # commit the batch's OWN chunk counts (of the input, not the
+    # survivors: boilerplate frequency counts every sighting),
+    # strictly after the ship
+    own_counts.write.mode("overwrite").parquet(
+        os.path.join(index_path, f"tag={tag}")
+    )
+
+
+def stream_boilerplate_ingest(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType = DOCS_SCHEMA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming boilerplate ingest. Returns the
+    StreamingQuery."""
+    opts = {}
+    if max_files_per_trigger:
+        opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    stream = (
+        spark.readStream.schema(schema).options(**opts).parquet(input_path)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda bdf, bid: boilerplate_ingest_batch(
+            spark, bdf, bid, index_path, out_path,
+            text_col=text_col, id_col=id_col, min_docs=min_docs,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

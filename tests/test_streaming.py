@@ -457,3 +457,80 @@ def test_stream_dedup_ingest_replay_after_commit_is_lossless(spark, tmp_path):
     ingest_batch(spark, bdf2, 1, idx, out)
     final = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert final == [1, 2, 10]
+
+
+def test_stream_boilerplate_ingest_threshold_crosses_batches(spark, tmp_path):
+    """Incremental boilerplate: a footer seen in 2 docs in batch 1
+    (below min_docs=3) ships unstripped; batch 2 brings 2 more
+    sightings, so history(2) + batch(2) >= 3 strips it from batch-2
+    docs — knowledge-at-arrival semantics, batch-1 docs untouched."""
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.ingest import stream_boilerplate_ingest
+
+    footer = "all rights reserved here"  # one 4-token chunk
+    inp = tmp_path / "landing"
+    os.makedirs(inp)
+    idx, out, cpt = (str(tmp_path / d) for d in ("cidx", "clean", "ccpt"))
+
+    pq.write_table(_docs_table([
+        (1, f"alpha beta gamma delta {footer}"),
+        (2, f"epsilon zeta eta theta {footer}"),
+        (3, "unique body text only"),
+    ]), str(inp / "f1.parquet"))
+    q = stream_boilerplate_ingest(spark, str(inp), idx, out, cpt)
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 3
+    # 2 sightings < 3: nothing stripped yet
+    assert all(r["n_kept"] == r["n_chunks"] for r in got.values())
+    assert footer in got[1]["text_clean"]
+
+    pq.write_table(_docs_table([
+        (10, f"iota kappa lambda mu {footer}"),
+        (11, f"nu xi omicron pi {footer}"),
+        (12, "another unique body"),
+    ]), str(inp / "f2.parquet"))
+    q2 = stream_boilerplate_ingest(spark, str(inp), idx, out, cpt)
+    q2.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 6
+    # batch 2: history(2) + own(2) = 4 >= 3 -> stripped from 10, 11
+    assert got[10]["text_clean"] == "iota kappa lambda mu"
+    assert got[11]["text_clean"] == "nu xi omicron pi"
+    assert got[12]["n_kept"] == got[12]["n_chunks"]
+    # batch 1 rows are untouched (knowledge at arrival)
+    assert footer in got[1]["text_clean"] and footer in got[2]["text_clean"]
+
+
+def test_boilerplate_ingest_replay_after_commit_is_identical(spark, tmp_path):
+    """Replay a batch AFTER its chunk counts committed (crash before
+    the stream checkpoint): the own-tag exclusion must keep the
+    decision identical — an untagged index would double-count the
+    batch's own sightings and strip chunks the original run kept."""
+    from llogtail_spark.streaming.ingest import boilerplate_ingest_batch
+
+    idx, out = str(tmp_path / "cidx"), str(tmp_path / "clean")
+    footer = "all rights reserved here"
+    # 2 sightings in this batch: below min_docs=3 ONLY if the
+    # batch's own committed counts are excluded on replay; counted
+    # twice (2 own + 2 committed) they would cross the threshold
+    bdf = spark.createDataFrame([
+        (1, f"alpha beta gamma delta {footer}"),
+        (2, f"epsilon zeta eta theta {footer}"),
+    ], "doc_id long, text string")
+    boilerplate_ingest_batch(spark, bdf, 0, idx, out)
+    first = {r["doc_id"]: r["text_clean"]
+             for r in spark.read.parquet(out).collect()}
+    assert footer in first[1]
+    boilerplate_ingest_batch(spark, bdf, 0, idx, out)  # replay
+    again = {r["doc_id"]: r["text_clean"]
+             for r in spark.read.parquet(out).collect()}
+    assert again == first
+    # a LATER batch sees batch 0's counts as history and crosses
+    bdf2 = spark.createDataFrame(
+        [(10, f"nu xi omicron pi {footer}")], "doc_id long, text string"
+    )
+    boilerplate_ingest_batch(spark, bdf2, 1, idx, out)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[10]["text_clean"] == "nu xi omicron pi"
