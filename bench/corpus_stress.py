@@ -56,10 +56,8 @@ def build_fixture(n: int, path: str, seed: int = 42) -> None:
     ]
     # Zipf popularity: footer k attaches to ~ n/(10*(k+1)) docs
     pop = (n / (10.0 * (np.arange(N_FOOTERS) + 1))).astype(int)
-    texts = []
     writer = None
     batch = 50_000
-    doc_id = 0
     for start in range(0, n, batch):
         m = min(batch, n - start)
         lens = rng.integers(24, 72, size=m)
@@ -67,9 +65,11 @@ def build_fixture(n: int, path: str, seed: int = 42) -> None:
         for i in range(m):
             body = " ".join(rng.choice(vocab, size=lens[i]))
             # attach footer f with prob pop[f]/n each (approximate by
-            # one draw: a doc gets footer f iff hash bucket matches)
+            # one draw: a doc gets footer f iff hash bucket matches).
+            # The periodicity keys on the GLOBAL doc index start+i so
+            # attachment spreads over all ids, not per-batch repeats.
             f = int(rng.integers(0, 10 * N_FOOTERS))
-            if f < N_FOOTERS and (doc_id + i) % max(1, n // max(pop[f], 1)) == 0:
+            if f < N_FOOTERS and (start + i) % max(1, n // max(pop[f], 1)) == 0:
                 body = body + " " + footers[f]
             elif f < 2 * N_FOOTERS:
                 # common case: popular footers on many docs

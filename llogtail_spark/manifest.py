@@ -111,7 +111,11 @@ def read_all(manifest_dir: str) -> list[ManifestEntry]:
                 # rename but not the data, since commit doesn't fsync):
                 # drop it — the partition counts as uncommitted and is
                 # reprocessed; the idempotent overwrite makes that safe
-                os.unlink(path)
+                # (ENOENT: a concurrent run already dropped it)
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
                 continue
         if not isinstance(d, dict) or not _REQUIRED <= d.keys():
             # schema mismatch is an operator error, not corruption —
@@ -132,12 +136,22 @@ def read_all(manifest_dir: str) -> list[ManifestEntry]:
         # (sink, part); the rename is atomic.
         canonical = _entry_path(manifest_dir, e.sink, e.part)
         if path != canonical:
+            # a concurrent run may migrate/delete the legacy file
+            # between our open() and here — ENOENT means the other run
+            # already did the work, the same tolerated race as the
+            # open() above (must not kill this run's pipeline)
             if os.path.exists(canonical):
                 # a canonical twin already exists (written by a newer
                 # run) — it wins; the legacy file is dead weight
-                os.unlink(path)
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
                 continue
-            os.replace(path, canonical)
+            try:
+                os.replace(path, canonical)
+            except FileNotFoundError:
+                continue
         out.append(e)
     return out
 

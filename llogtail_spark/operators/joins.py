@@ -89,9 +89,15 @@ def asof_join(
     )
     carried = F.col("_c")
     if tolerance_sec is not None:
+        # timestamp->double keeps microsecond precision; unix_timestamp
+        # would truncate to whole seconds and misclassify sub-second
+        # gaps on either side of the tolerance boundary (e.g. a 5.9s
+        # gap passing tolerance_sec=5). The intermediate timestamp cast
+        # keeps string-typed ts columns working.
         within = (
             carried.isNotNull()
-            & (F.unix_timestamp("_ts") - F.unix_timestamp(carried["_rts"])
+            & (F.col("_ts").cast("timestamp").cast("double")
+               - carried["_rts"].cast("timestamp").cast("double")
                <= tolerance_sec)
         )
         carried = F.when(within, carried)  # stale match -> whole row null

@@ -278,10 +278,19 @@ def train_centroids(
     for _ in range(iters):
         scores = m @ cents.T
         assign = np.argmax(scores, axis=1)  # ties -> lowest id
+        # distinct reseeds: the j-th empty cell takes the j-th
+        # worst-covered point. Reseeding every empty cell from the same
+        # argmin (stale pre-update scores) would set them all to ONE
+        # point; argmax ties then resolve to the lowest cell id, the
+        # higher-id duplicates stay memberless every later round, and
+        # the codebook silently loses distinct centroids.
+        worst = np.argsort(scores.max(axis=1), kind="stable")
+        next_worst = 0
         for c in range(n_cells):
             members = m[assign == c]
             if len(members) == 0:
-                cents[c] = m[np.argmin(scores.max(axis=1))]
+                cents[c] = m[worst[next_worst]]
+                next_worst += 1
             else:
                 mean = members.mean(axis=0)
                 n = np.linalg.norm(mean)

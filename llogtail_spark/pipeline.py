@@ -301,7 +301,8 @@ def _ship_sink_iceberg(spark: SparkSession, staging: str, rule, todo: list[str])
     sink_dir = os.path.join(staging, f"sink={rule.name}")
     staged = [p for p in todo
               if os.path.isdir(os.path.join(sink_dir, f"part={p}"))]
-    empty = [p for p in todo if p not in staged]
+    staged_set = set(staged)  # list membership would be O(|todo|^2) at 10^6 parts
+    empty = [p for p in todo if p not in staged_set]
     try:
         if staged:
             df = spark.read.option("basePath", sink_dir).parquet(
@@ -317,7 +318,14 @@ def _ship_sink_iceberg(spark: SparkSession, staging: str, rule, todo: list[str])
             # partitions with zero routed rows this run: clear stale
             # data (the rename path's rmtree analog), one metadata op
             parts_in = ", ".join(f"'{p}'" for p in empty)
-            spark.sql(f"DELETE FROM {rule.path} WHERE part IN ({parts_in})")
+            try:
+                spark.sql(f"DELETE FROM {rule.path} WHERE part IN ({parts_in})")
+            except Exception as e:
+                # first-ever run with an all-empty sink: no table was
+                # created above, so there is no stale data to clear —
+                # anything else (jar/catalog/perm) must still surface
+                if "TABLE_OR_VIEW_NOT_FOUND" not in str(e):
+                    raise
     except Exception as e:
         raise RuntimeError(
             f"iceberg ship failed for sink {rule.name!r} (table "

@@ -51,6 +51,37 @@ def test_asof_tolerance(frames):
     assert out["l3"] == 200      # 60s away, inclusive
 
 
+def test_asof_tolerance_subsecond_precision(spark):
+    """The tolerance gap must use full timestamp precision: second-
+    truncated unix_timestamp classified a 5.9s gap as 5s (stale match
+    carried) and a 0.1s gap as 1s (fresh match masked)."""
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [(1, base + 5_900_000 * us, "gap5.9"),
+         (2, base + 6_000_000 * us, "gap0.1")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, base, 100), (2, base + 5_900_000 * us, 200)],
+        "k long, ts timestamp, v long",
+    )
+    out = {r["tag"]: r["v"] for r in
+           asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     right_cols=["v"], tolerance_sec=5).collect()}
+    assert out["gap5.9"] is None  # 5.9s > 5 -> masked (floor said 5<=5)
+    assert out["gap0.1"] == 200   # 0.1s <= 5 -> kept
+
+    out0 = {r["tag"]: r["v"] for r in
+            asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                      right_cols=["v"], tolerance_sec=0).collect()}
+    assert out0["gap0.1"] is None  # 0.1s > 0 (floor diff said 1>0 too,
+    # but for the wrong reason); exact-equality matches still pass:
+    eq = asof_join(right, right, on=["k"], left_ts="ts", right_ts="ts",
+                   right_cols=["v"], tolerance_sec=0).collect()
+    assert all(r["v"] is not None for r in eq)
+
+
 def test_range_join_matches_inequality_semantics(spark, frames):
     _, right = frames
     points = spark.createDataFrame(
