@@ -74,6 +74,54 @@ def test_asof_join_matches_duckdb_on_random_events(spark):
     assert got == want
 
 
+def test_asof_join_tolerance_matches_duckdb_subsecond(spark):
+    """Microsecond-resolution timestamps + tolerance: the gap check
+    must use full precision (a second-truncated diff misclassifies
+    both sides of the boundary — regression for the review finding),
+    verified against DuckDB ASOF + exact epoch_us masking."""
+    from llogtail_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(SEED + 1)
+    base = dt.datetime(2024, 1, 1)
+    tol = 2  # seconds
+
+    def frame(n, id0):
+        return pd.DataFrame({
+            "k": rng.integers(0, 4, size=n),
+            "ts": [base + dt.timedelta(microseconds=int(u))
+                   for u in rng.integers(0, 10_000_000, size=n)],
+            "eid": np.arange(id0, id0 + n),
+        })
+
+    lpdf, rpdf = frame(250, 0), frame(80, 1000)
+    rpdf = rpdf.sort_values("eid").groupby(["k", "ts"], as_index=False).last()
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf).select(
+        "k", "ts", F.col("eid").alias("rid")
+    )
+    got = {
+        r["eid"]: r["rid"]
+        for r in asof_join(left, right, on=["k"], left_ts="ts",
+                           right_ts="ts", right_cols=["rid"],
+                           tolerance_sec=tol).collect()
+    }
+    con = duckdb.connect()
+    con.register("l", lpdf)
+    con.register("r", rpdf.rename(columns={"eid": "rid"}))
+    want = dict(con.execute(f"""
+        SELECT l.eid,
+               CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= {tol} * 1000000
+                    THEN r.rid END
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+    """).fetchall())
+    want = {k: (None if pd.isna(v) else int(v)) for k, v in want.items()}
+    assert got == want
+    # the boundary must actually be exercised: some matches masked,
+    # some kept (else the fixture proves nothing)
+    assert any(v is None for v in got.values())
+    assert any(v is not None for v in got.values())
+
+
 @pytest.mark.parametrize("bucket_sec", [7, 60, 600])
 def test_range_join_matches_duckdb_inequality(spark, bucket_sec):
     from llogtail_spark.operators.joins import range_join_bucketed
