@@ -799,6 +799,18 @@ def _q_embedding_near_dup_p90(spark, sf):
 MINHASH_CONF = dict(num_hashes=16, bands=8, cap_reps=8)
 ANN_CONF = dict(k=3, dim=64, n_bits=6, seed=7, decimals=6)
 IVF_CONF = dict(k=3, dim=64, n_cells=16, nprobe=4, seed=11, decimals=6)
+SEMDEDUP_CONF = dict(dim=64, n_cells=16, seed=11, decimals=6,
+                     threshold_x10000=9000)
+
+
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup (cluster -> within-cell exact cosine -> keep-lowest):
+    runs over the planted-twin augmentation so the sf fixtures
+    exercise real dup groups at the production threshold (the organic
+    max cosine is ~0.6; every 20th vector has a cos~0.9-0.99 twin)."""
+    from llogtail_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_aug_embeddings(spark, sf), **SEMDEDUP_CONF)
 
 
 def _q_minhash_lsh(spark, sf):
@@ -989,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -1239,6 +1252,63 @@ def _ivf_oracle(cos_qn: str) -> str:
                    CAST(floor(c * 10000) AS BIGINT) AS cos_x10000
             FROM scored)
         SELECT query_id, neighbor_id, rank, cos_x10000 FROM ranked WHERE rank <= {k}
+    """
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin of semantic_dedup over the planted-twin
+    augmentation: identical cell assignment (argmax dot against the
+    same decimal-rounded centroid literals, ties -> lowest cell),
+    within-cell pair predicate floor(cos*10000) >= threshold, and the
+    keep-lowest-id rule expressed as 'no qualifying smaller-id
+    neighbor'."""
+    from llogtail_spark.operators.similarity import rounded_centroids
+
+    cents = rounded_centroids(SEMDEDUP_CONF["dim"], SEMDEDUP_CONF["n_cells"],
+                              SEMDEDUP_CONF["seed"], SEMDEDUP_CONF["decimals"])
+    rows = ", ".join(
+        "(" + str(c) + ", [" + ", ".join(repr(float(v)) for v in cents[c]) + "])"
+        for c in range(SEMDEDUP_CONF["n_cells"])
+    )
+    t = SEMDEDUP_CONF["threshold_x10000"]
+    cos_ab = (
+        "list_dot_product(a.embedding, b.embedding) / "
+        "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+        "sqrt(list_dot_product(b.embedding, b.embedding)))"
+    )
+    return f"""
+        WITH cells AS (SELECT * FROM (VALUES {rows}) t(cell, cv)),
+        aug AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+            FROM embeddings WHERE vec_id % 20 = 0),
+        sc AS (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(embedding, cv) DESC,
+                                cell) AS cr
+            FROM aug, cells),
+        v AS (SELECT vec_id, embedding, cell FROM sc WHERE cr = 1),
+        pairs AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib
+            FROM v a JOIN v b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+            WHERE floor({cos_ab} * 10000) >= {t}),
+        agg AS (
+            SELECT ia AS vec_id,
+                   count(*) AS n_near,
+                   sum(CASE WHEN ib < ia THEN 1 ELSE 0 END) AS n_smaller
+            FROM pairs GROUP BY ia)
+        SELECT v.vec_id,
+               CAST(v.cell AS INTEGER) AS cell,
+               CAST(coalesce(a.n_near, 0) AS BIGINT) AS n_near,
+               CAST(CASE WHEN coalesce(a.n_smaller, 0) > 0
+                    THEN 0 ELSE 1 END AS INTEGER) AS keep
+        FROM v LEFT JOIN agg a ON v.vec_id = a.vec_id
     """
 
 
@@ -1799,4 +1869,5 @@ def oracle_sql() -> dict[str, str]:
                 "b.embedding", "n.embedding"
             )
         ),
+        "semantic_dedup": _semdedup_oracle(),
     }

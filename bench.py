@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "simhash",
     "ann_lsh",
     "ann_ivf",
+    "semantic_dedup",
     "embedding_near_dup",
     "embedding_near_dup_p90",
     "dedup_resolve",

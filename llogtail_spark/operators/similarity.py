@@ -425,3 +425,88 @@ def lsh_topk(
             F.floor(F.col("_cos") * 10000).cast("long").alias("cos_x10000"),
         )
     )
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    seed: int = 11,
+    decimals: int | None = 6,
+    threshold_x10000: int = 9000,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest coarse-
+    quantizer cell, compute the EXACT pairwise cosine matrix inside
+    each cell, and keep exactly one document per within-cell near-dup
+    group (deterministic keep-lowest-id rule; the paper keeps the
+    member farthest from the centroid — a policy choice orthogonal to
+    the machinery, and keep-lowest is reproducible by an independent
+    SQL engine).
+
+    Returns one row per input vector:
+      (vec_id, cell:int, n_near:long, keep:int)
+    n_near = within-cell neighbors at floor(cos*10000) >= threshold;
+    keep = 0 iff some SMALLER-id within-cell neighbor clears the
+    threshold (so each dup group keeps its minimum id).
+
+    Spark-first shape: one vectorized Arrow assignment UDF (shared
+    with ivf_topk's coarse quantizer), ONE shuffle keyed on the cell
+    id, and a per-cell numpy Gram matrix inside applyInPandas — the
+    published algorithm is literally "cosine matrix per cluster", and
+    a BLAS matmul per group is far cheaper than exploding
+    O(cell_size^2) pair rows through a self-join (which would also
+    plan the scan+assignment twice; cf. the capped-minhash
+    restructure in dedup.py). At 10^12 vectors n_cells scales ~N/C so
+    cells hold a bounded C (the paper uses C ~ 10^4-10^5; a C x dim
+    float64 block is tens of MB); the known failure mode — one giant
+    pathological cluster — is the paper's too, and shows up loudly as
+    an OOM-ing task rather than silently wrong output. Recall is
+    cell-bounded by design: twins split across cells are missed
+    (paper: dups across clusters are rare at large k).
+
+    Cosine arithmetic is the same double-precision dot/norm ratio as
+    cosine_sim, computed as one Gram matmul; diag(G) supplies the
+    norms, so both factors come from the same products the oracle's
+    list_dot_product computes. Reference anchor: identity-keyed
+    exactly-once dedup of work items (utils.go:36-46,
+    log_watcher.go:97-126) lifted to semantic identity.
+    """
+    from llogtail_spark.sources.reader import ensure_parallelism
+
+    emb = ensure_parallelism(emb, id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else rounded_centroids(dim, n_cells, seed, decimals or 6)
+    )
+    assign1 = make_cell_udf(cents, 1)
+    base = emb.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_cell", F.element_at(assign1(F.col("_v")), 1))
+
+    thr = int(threshold_x10000)
+
+    def cell_matrix(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        m = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        g = m @ m.T
+        nrm = np.sqrt(np.diag(g))
+        cos = g / np.outer(nrm, nrm)
+        mask = np.floor(cos * 10000) >= thr
+        np.fill_diagonal(mask, False)
+        smaller = mask & (ids[None, :] < ids[:, None])
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.int32(pdf["_cell"].iloc[0]),
+                "n_near": mask.sum(axis=1).astype(np.int64),
+                "keep": (~smaller.any(axis=1)).astype(np.int32),
+            }
+        )
+
+    return base.groupBy("_cell").applyInPandas(
+        cell_matrix, "vec_id long, cell int, n_near long, keep int"
+    )

@@ -262,3 +262,87 @@ def test_ivf_cell_margins_robust():
         s = np.sort(m @ cents.T, axis=1)[:, ::-1]
         gaps = np.concatenate([s[:, 0] - s[:, 1], s[:, 3] - s[:, 4]])
         assert gaps.min() > 1e-6, (sf, gaps.min())
+
+
+# --- semantic_dedup (SemDeDup: cell -> within-cell cosine matrix) ---
+
+SD_CONF = dict(dim=DIM, n_cells=8, seed=11, decimals=6,
+               threshold_x10000=5000)
+
+
+def numpy_semdedup(emb_np, ids=None, n_cells=8, seed=11, decimals=6,
+                   thr=5000):
+    """Independent reimplementation: nearest rounded centroid (argmax
+    dot, ties -> lowest cell), within-cell all-pairs cosine at
+    floor(cos*10000) >= thr, keep-lowest-id."""
+    from llogtail_spark.operators.similarity import rounded_centroids
+
+    m = emb_np.astype(np.float64)
+    ids = np.arange(len(m)) if ids is None else np.asarray(ids)
+    cents = rounded_centroids(m.shape[1], n_cells, seed, decimals)
+    assign = np.argmax(m @ cents.T, axis=1)
+    out = {}
+    for c in np.unique(assign):
+        sel = np.where(assign == c)[0]
+        sub = m[sel]
+        g = sub @ sub.T
+        nrm = np.sqrt(np.diag(g))
+        mask = np.floor(g / np.outer(nrm, nrm) * 10000) >= thr
+        np.fill_diagonal(mask, False)
+        cid = ids[sel]
+        smaller = mask & (cid[None, :] < cid[:, None])
+        for j, vid in enumerate(cid):
+            out[int(vid)] = (
+                int(c), int(mask[j].sum()), int(not smaller[j].any())
+            )
+    return out
+
+
+def test_semantic_dedup_matches_numpy(emb, emb_np):
+    from llogtail_spark.operators.similarity import semantic_dedup
+
+    got = {
+        r["vec_id"]: (r["cell"], r["n_near"], r["keep"])
+        for r in semantic_dedup(emb, **SD_CONF).collect()
+    }
+    want = numpy_semdedup(emb_np, n_cells=SD_CONF["n_cells"],
+                          thr=SD_CONF["threshold_x10000"])
+    assert got == want
+    assert len(got) == N  # one row per input vector, none lost
+    # the organic fixture must actually exercise dup groups at this
+    # threshold, or the test is vacuous
+    assert any(k == 0 for (_, _, k) in got.values())
+
+
+def test_semantic_dedup_planted_twins(spark, emb_np):
+    """An exact twin always lands in the same cell (identical
+    assignment), so the higher id is dropped and both count each
+    other as near."""
+    from llogtail_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, emb_np[i].tolist()) for i in range(50)]
+    rows += [(1000 + i, emb_np[i].tolist()) for i in range(0, 50, 10)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {r["vec_id"]: r for r in
+           semantic_dedup(df, **{**SD_CONF, "threshold_x10000": 9999}).collect()}
+    for i in range(0, 50, 10):
+        assert got[1000 + i]["keep"] == 0
+        assert got[i]["keep"] == 1
+        assert got[i]["n_near"] >= 1 and got[1000 + i]["n_near"] >= 1
+        assert got[i]["cell"] == got[1000 + i]["cell"]
+
+
+def test_semantic_dedup_plan(emb):
+    """One vectorized assignment eval + one grouped-map stage, no
+    joins: the whole operator is assignment -> ONE cell shuffle ->
+    per-cell matrix."""
+    from llogtail_spark.operators.similarity import semantic_dedup
+
+    plan = (
+        semantic_dedup(emb, **SD_CONF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    for node in ("Join", "CartesianProduct", "BatchEvalPython"):
+        assert node not in plan
