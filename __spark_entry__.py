@@ -678,6 +678,19 @@ def _q_mixture_by_lang(spark, sf):
     )
 
 
+MIX_TARGETS_BP = {"en": 4000, "zh": 2000, "es": 2000, "de": 1000, "fr": 1000}
+
+
+def _q_mixture_resample(spark, sf):
+    """Exact-quota mixture enforcement: the realized output mixture
+    hits the target basis points exactly (largest feasible total
+    without upsampling), vs mixture_by_lang's binomial keep-rates."""
+    from llogtail_spark.operators.sampling import mixture_resample
+
+    docs = _t(spark, sf, "documents")
+    return mixture_resample(docs, "lang", "doc_id", MIX_TARGETS_BP, seed_i=4)
+
+
 def _q_length_buckets(spark, sf):
     from llogtail_spark.operators.sampling import length_buckets
 
@@ -990,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_shards": _q_corpus_shuffle_shards,
         "sample_deterministic": _q_sample_deterministic,
         "mixture_by_lang": _q_mixture_by_lang,
+        "mixture_resample": _q_mixture_resample,
         "length_buckets": _q_length_buckets,
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1769,6 +1783,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_shards": _corpus_mod().corpus_shuffle_shards_sql(),
         "sample_deterministic": _sample_oracle(),
         "mixture_by_lang": _mixture_oracle(),
+        "mixture_resample": __import__(
+            "llogtail_spark.operators.sampling", fromlist=["mixture_resample_sql"]
+        ).mixture_resample_sql("documents", "lang", "doc_id",
+                               MIX_TARGETS_BP, seed_i=4),
         "length_buckets": _length_buckets_oracle(),
         "embedding_topk": f"""
             WITH scored AS (

@@ -166,3 +166,114 @@ def sample_bucket_sql(key_expr: str, seed_i: int = 0) -> str:
 
 def len_bucket_sql(n_expr: str) -> str:
     return f"(length(bin(CAST({n_expr} AS BIGINT))) - 1)"
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    targets_bp: dict[str, int],
+    seed_i: int = 0,
+) -> DataFrame:
+    """Exact-quota data-mixture enforcement: downsample every group so
+    the OUTPUT mixture hits `targets_bp` (basis points per group,
+    summing to 10000) exactly — the "data mixing" step of pretraining
+    corpus prep (e.g. pin web/wiki/code shares), but with exact
+    realized proportions instead of mixture_weights' binomial drift.
+
+    The kept total is the LARGEST feasible without upsampling:
+      T       = min_g floor(n_g * 10000 / w_g)   (the scarcest group
+                relative to its target caps the corpus)
+      quota_g = floor(w_g * T / 10000)  <= n_g   for every group
+    Groups absent from targets_bp are dropped (weight 0); a target
+    group absent from df forces T = 0 (loudly empty, never a silently
+    skewed mixture).
+
+    Per-group counts are dim-sized (the group domain: languages,
+    sources, ...), so they are collected and the quota arithmetic runs
+    in exact Python integers on the driver — the same metadata-sized-
+    collect discipline as token_budget_select's histogram; n_g*10000
+    stays exact far beyond 10^12 rows (2^63). Construction is
+    therefore EAGER. The kept rows are the first quota_g per group in
+    seeded-hash order — stratified_fixed_n's machinery with per-group
+    quotas — so the sample is deterministic under re-runs, retries,
+    and any partition layout, and decorrelated across seed_i.
+
+    Plan: one column-pruned count scan + one window pass (single
+    exchange on the group; WindowGroupLimit caps nothing here since
+    quotas are per-group literals, but the rank filter still drops
+    rows before the final projection). Returns the kept rows
+    (key_col, group_col).
+
+    Reference anchor: routing rules decide each row's destiny by a
+    pure predicate (log_watcher.go:97-126); here the predicate is
+    (group quota, hash rank).
+    """
+    from pyspark.sql import Window as W
+
+    from llogtail_spark.functions.portable_hash import order_hash
+
+    if sum(targets_bp.values()) != 10000:
+        raise ValueError(
+            f"targets_bp must sum to 10000, got {sum(targets_bp.values())}"
+        )
+    counts = {
+        r["g"]: r["n"]
+        for r in df.filter(F.col(group_col).isin(*targets_bp))
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = min(
+        (counts.get(g, 0) * 10000) // w for g, w in targets_bp.items() if w
+    )
+    quotas = {g: (w * total) // 10000 for g, w in targets_bp.items()}
+
+    c = F.col(key_col)
+    h = order_hash(char_fold_hash(c.cast("string")), seed_i)
+    w = W.partitionBy(group_col).orderBy(h.asc(), c.asc())
+    quota = F.lit(0)
+    for g, q in sorted(quotas.items()):
+        quota = F.when(F.col(group_col) == g, F.lit(q)).otherwise(quota)
+    return (
+        df.filter(F.col(group_col).isin(*targets_bp))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .select(key_col, group_col)
+    )
+
+
+def mixture_resample_sql(
+    table: str,
+    group_expr: str,
+    key_expr: str,
+    targets_bp: dict[str, int],
+    seed_i: int = 0,
+) -> str:
+    """DuckDB twin of mixture_resample: identical integer quota
+    arithmetic (// floors on exact BIGINTs) and identical seeded-hash
+    rank order."""
+    from llogtail_spark.functions.portable_hash import (
+        char_fold_hash_sql,
+        order_hash_sql,
+    )
+
+    vals = ", ".join(
+        f"('{g}', {w})" for g, w in sorted(targets_bp.items())
+    )
+    h = order_hash_sql(char_fold_hash_sql(f"CAST({key_expr} AS VARCHAR)"), seed_i)
+    return f"""
+        WITH t(g, wbp) AS (SELECT * FROM (VALUES {vals})),
+        c AS (SELECT {group_expr} AS g, count(*) AS n FROM {table}
+              GROUP BY {group_expr}),
+        j AS (SELECT t.g, coalesce(c.n, 0) AS n, t.wbp
+              FROM t LEFT JOIN c ON t.g = c.g),
+        tt AS (SELECT min((n * 10000) // wbp) AS total FROM j WHERE wbp > 0),
+        q AS (SELECT g, (wbp * total) // 10000 AS quota FROM j, tt),
+        r AS (SELECT {key_expr} AS k, {group_expr} AS g,
+                     row_number() OVER (PARTITION BY {group_expr}
+                                        ORDER BY ({h}), {key_expr}) AS rk
+              FROM {table})
+        SELECT r.k AS {key_expr}, r.g AS {group_expr}
+        FROM r JOIN q ON r.g = q.g WHERE r.rk <= q.quota
+    """

@@ -154,3 +154,40 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
     assert all(r["nsplits"] == 1 for r in per_rep)
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits == {"train", "val"}  # both sides populated at 70%
+
+
+def test_mixture_resample_exact_quotas(spark):
+    """Realized mixture hits the target basis points exactly, total is
+    the largest feasible without upsampling, layout-invariant, and
+    missing target groups yield a loudly-empty result (never a
+    silently skewed mixture)."""
+    from llogtail_spark.operators.sampling import mixture_resample
+
+    # groups sized 500/300/200; targets 50/30/20 % are exactly feasible
+    rows = [(i, "a" if i < 500 else ("b" if i < 800 else "c"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = mixture_resample(df, "grp", "id", {"a": 5000, "b": 3000, "c": 2000})
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 500, "b": 300, "c": 200}
+
+    # scarce group caps the total: c has 200 but target 40% -> T=500
+    out2 = mixture_resample(df, "grp", "id", {"a": 3000, "b": 3000, "c": 4000})
+    counts2 = {r["grp"]: r["n"] for r in
+               out2.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts2 == {"a": 150, "b": 150, "c": 200}
+
+    # non-target group dropped; layout invariance
+    a = set(r["id"] for r in out.collect())
+    b = set(r["id"] for r in mixture_resample(
+        df.repartition(13), "grp", "id",
+        {"a": 5000, "b": 3000, "c": 2000}).collect())
+    assert a == b
+
+    # a target group absent from df -> empty, not skewed
+    assert mixture_resample(
+        df, "grp", "id", {"a": 5000, "zz": 5000}).count() == 0
+
+    with pytest.raises(ValueError):
+        mixture_resample(df, "grp", "id", {"a": 5000})
