@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "text_redact_pii",
     "sequence_packing",
     "sample_deterministic",
+    "mixture_resample",
     "stratified_sample_events",
     "boilerplate_strip",
     "token_budget_select",
