@@ -375,6 +375,21 @@ def _q_text_fingerprint(spark, sf):
     return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
 
 
+def _q_text_normalize(spark, sf):
+    # full-string cross-engine equality of the normalized text (NFC +
+    # control strip + Unicode-space mapping + whitespace collapse) —
+    # the cleanup pass every downstream fingerprint/shingle op assumes
+    from llogtail_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    norm = normalize_text("text")
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 def _q_sequence_packing(spark, sf):
     # sequence packing for training batches: within each source shard,
     # docs are packed greedily in stable doc_id order into fixed token
@@ -987,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
+        "text_normalize": _q_text_normalize,
         "text_redact_pii": _q_text_redact_pii,
         "sequence_packing": _q_sequence_packing,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -1323,6 +1339,17 @@ def _semdedup_oracle() -> str:
                CAST(CASE WHEN coalesce(a.n_smaller, 0) > 0
                     THEN 0 ELSE 1 END AS INTEGER) AS keep
         FROM v LEFT JOIN agg a ON v.vec_id = a.vec_id
+    """
+
+
+def _normalize_oracle() -> str:
+    from llogtail_spark.functions.text import normalize_text_sql
+
+    n = normalize_text_sql("text")
+    return f"""
+        SELECT doc_id, {n} AS text_norm,
+               CAST(length({n}) AS BIGINT) AS n_chars_norm
+        FROM documents
     """
 
 
@@ -1714,6 +1741,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_redact_pii": _redact_oracle(),
+        "text_normalize": _normalize_oracle(),
         "sequence_packing": """
             WITH p AS (
                 SELECT source, n_chars,

@@ -173,3 +173,63 @@ def redact_pii(col: Column | str) -> Column:
     c = F.regexp_replace(c, EMAIL_RX, "<EMAIL>")
     c = F.regexp_replace(c, IPV4_RX, "<IP>")
     return F.regexp_replace(c, PHONE_RX, "<PHONE>")
+
+
+# --- Unicode normalization (the corpus-prep text cleanup step) ---
+
+# C0/C1-ish control characters to DELETE outright, EXCEPT \t \n \r
+# which are whitespace (handled by the collapse). \x0B and \x0C are
+# in this class deliberately: Java's \s includes them but RE2's does
+# not, so deleting them here keeps the Spark and DuckDB collapse
+# passes byte-identical.
+CONTROL_RX = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+# Unicode space separators (NBSP, ogham, en/em spaces, line/para
+# separators, narrow NBSP, math space, ideographic space): neither
+# Java nor RE2 counts them in \s, so both engines rewrite them to
+# ' ' explicitly before the ASCII \s+ collapse.
+UNISPACE_RX = (
+    r"[\x{00A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+)
+
+
+def nfc(col: Column | str) -> Column:
+    """Unicode NFC composition as a vectorized Arrow UDF (Spark has no
+    built-in normalizer; pandas' .str.normalize is the batch path).
+    DuckDB twin: nfc_normalize(expr) — both implement the same
+    Unicode canonical composition, so equality is value-exact."""
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(texts: pd.Series) -> pd.Series:
+        return texts.str.normalize("NFC")
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text cleanup: NFC-compose, delete control chars, map
+    Unicode spaces to ' ', collapse runs of whitespace, trim. One
+    Arrow eval (the NFC pass) + JVM regexes in the scan stage — no
+    shuffle; every downstream fingerprint/shingle/token op sees the
+    same bytes on both engines. Reference anchor: the reference
+    ships lines verbatim (buffer.go:95-111); normalization is the
+    training-pipeline deviation the north rule asks for."""
+    c = nfc(col)
+    c = F.regexp_replace(c, CONTROL_RX, "")
+    c = F.regexp_replace(c, UNISPACE_RX, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB twin of normalize_text (single-quoted regexes are raw
+    strings in SQL, so the classes paste through unchanged)."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"nfc_normalize({expr}), "
+        f"'{CONTROL_RX}', '', 'g'), "
+        f"'{UNISPACE_RX}', ' ', 'g'), "
+        r"'\s+', ' ', 'g'))"
+    )

@@ -198,3 +198,55 @@ def test_quality_filter_rules_fire_individually(spark, tmp_path):
     assert got[3] == (0, "repetitive")
     assert got[4] == (0, "pii")
     assert got[5] == (0, "too_short,repetitive")
+
+
+def test_normalize_text_units_and_duckdb_parity(spark):
+    """NFC composition, control deletion, Unicode-space mapping,
+    whitespace collapse, trim — and byte-identical output from the
+    DuckDB twin on the same adversarial strings."""
+    import duckdb
+
+    from llogtail_spark.functions.text import normalize_text, normalize_text_sql
+
+    cases = [
+        (1, "étude  x"),          # decomposed accent -> NFC 'étude x'
+        (2, "a\x00b\x0bc"),             # controls deleted (incl. \x0B)
+        (3, "a b　c"),         # NBSP / ideographic space -> ' '
+        (4, "  tab\there\n\nline  "),   # ASCII ws collapse + trim
+        (5, " only seps"),    # line/para separators
+        (6, ""),
+        (7, None),
+    ]
+    df = spark.createDataFrame(cases, "id int, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_text("text").alias("n")).collect()
+    }
+    assert got[1] == "étude x"
+    assert got[2] == "abc"
+    assert got[3] == "a b c"
+    assert got[4] == "tab here line"
+    assert got[5] == "only seps"
+    assert got[6] == ""
+    assert got[7] is None
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    want = dict(con.execute(
+        f"SELECT id, {normalize_text_sql('text')} FROM t").fetchall())
+    assert got == want
+
+
+def test_normalize_text_single_arrow_eval(spark):
+    """Reusing the normalized column for both the text and its length
+    must plan ONE ArrowEvalPython (the NFC pass), not one per
+    reference — the aliased-expr re-inlining pathology."""
+    from llogtail_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([(1, "x  y")], "id int, text string")
+    n = normalize_text("text")
+    plan = df.select(
+        "id", n.alias("t"), F.length(n).alias("l")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
