@@ -612,6 +612,26 @@ def _q_corpus_shuffle_shards(spark, sf):
     return corpus_shuffle_shards(_t(spark, sf, "documents"))
 
 
+def _q_vocab_coverage(spark, sf):
+    # tokenizer-prep vocabulary CDF: top-20 token types with rank,
+    # frequency, and cumulative coverage (basis points of all token
+    # occurrences). Explode -> one combinable count shuffle ->
+    # TakeOrdered top-V -> tiny post-limit window; scan-only total.
+    from llogtail_spark.operators.corpus import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf, "documents"))
+
+
+def _q_source_overlap(spark, sf):
+    # cross-source contamination matrix at boilerplate-chunk
+    # granularity: distinct shared chunks per source pair. Zero joins
+    # (groupBy chunk -> sorted source set -> pair fan-out -> dim^2
+    # pair count).
+    from llogtail_spark.operators.corpus import source_overlap
+
+    return source_overlap(_t(spark, sf, "documents"))
+
+
 def _q_schema_evolution_union(spark, sf):
     # corpus snapshots whose schemas drifted (columns added/dropped):
     # unionByName with missing-column fill — the schema-evolution
@@ -1017,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": _q_boilerplate_strip,
         "token_budget_select": _q_token_budget_select,
         "corpus_shuffle_shards": _q_corpus_shuffle_shards,
+        "vocab_coverage": _q_vocab_coverage,
+        "source_overlap": _q_source_overlap,
         "sample_deterministic": _q_sample_deterministic,
         "mixture_by_lang": _q_mixture_by_lang,
         "mixture_resample": _q_mixture_resample,
@@ -1809,6 +1831,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_strip": _corpus_mod().boilerplate_strip_sql(),
         "token_budget_select": _corpus_mod().token_budget_select_sql(),
         "corpus_shuffle_shards": _corpus_mod().corpus_shuffle_shards_sql(),
+        "vocab_coverage": _corpus_mod().vocab_coverage_sql(),
+        "source_overlap": _corpus_mod().source_overlap_sql(),
         "sample_deterministic": _sample_oracle(),
         "mixture_by_lang": _mixture_oracle(),
         "mixture_resample": __import__(

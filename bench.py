@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "boilerplate_strip",
     "token_budget_select",
     "corpus_shuffle_shards",
+    "vocab_coverage",
+    "source_overlap",
 ]
 
 

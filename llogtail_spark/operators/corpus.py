@@ -359,3 +359,177 @@ def corpus_shuffle_shards_sql(nshards: int = N_SHARDS) -> str:
                                        ORDER BY hv, doc_id) AS BIGINT) AS pos
         FROM h
     """
+
+
+# Tokenizer-prep vocabulary: how many of the corpus's token
+# occurrences the top-V types cover (the build-a-tokenizer question).
+TOP_VOCAB = 20
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text",
+                   top_v: int = TOP_VOCAB) -> DataFrame:
+    """Top-V vocabulary with cumulative corpus coverage: token type,
+    frequency, rank, cumulative count, and cumulative coverage in
+    basis points of ALL token occurrences — the table a tokenizer /
+    vocab-size decision reads.
+
+    Returns (rank, token, n, cum_n, cov_bp), top_v rows.
+
+    Scale shape (10^12 sequences):
+    - type counts: explode -> partial+final count, ONE shuffle on the
+      token type (map-side combine absorbs the Zipf head — 'the'
+      partially aggregates per task before the exchange).
+    - top-V: orderBy().limit() plans TakeOrderedAndProject — a
+      distributed top-k, never a global sort of the vocabulary.
+    - rank/cumsum windows run AFTER the limit, over exactly top_v
+      rows (single tiny partition by construction, not a scale bug).
+    - total token count is a separate scan-only aggregate (no
+      explode: sum of per-doc token-array sizes), broadcast back as a
+      1-row frame. cov_bp arithmetic: cum_n * 10000 stays exact in
+      DOUBLE below 2^49 cumulative tokens; beyond that switch the
+      twin comparison to DECIMAL (documented, not hit at bench SF).
+
+    Reference anchor: llogtail's per-sink rolled-up counts
+    (collector.go:125-174) generalized to per-token-type corpus
+    rollups with a coverage CDF.
+    """
+    toks = _tokens(F.col(text_col))
+    total = df.select(
+        F.coalesce(F.sum(F.size(toks)), F.lit(0))
+        .cast("long").alias("total_tokens")
+    )
+    top = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_v)
+    )
+    w_rank = Window.orderBy(F.desc("n"), F.asc("token"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return top.crossJoin(F.broadcast(total)).select(
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(w_cum).cast("long").alias("cum_n"),
+        F.floor(F.sum("n").over(w_cum) * 10000 / F.col("total_tokens"))
+        .cast("long").alias("cov_bp"),
+    )
+
+
+def vocab_coverage_sql(top_v: int = TOP_VOCAB) -> str:
+    """DuckDB twin of vocab_coverage: identical tokenization
+    (WS_CLASS split + empty filter), tiebreak (n DESC, token ASC),
+    and bp floor arithmetic (BIGINT*10000 / total in double)."""
+    return f"""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        total AS (
+            SELECT CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS total_tokens
+            FROM toks),
+        agg AS (
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(t) AS token FROM toks)
+            GROUP BY token ORDER BY n DESC, token LIMIT {top_v}),
+        win AS (
+            SELECT CAST(row_number() OVER
+                        (ORDER BY n DESC, token) AS INTEGER) AS rank,
+                   token, CAST(n AS BIGINT) AS n,
+                   CAST(sum(n) OVER (ORDER BY n DESC, token
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum_n
+            FROM agg)
+        SELECT rank, token, n, cum_n,
+               CAST(floor(cum_n * 10000 / total_tokens) AS BIGINT) AS cov_bp
+        FROM win CROSS JOIN total
+    """
+
+
+def source_overlap(df: DataFrame, text_col: str = "text",
+                   source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cross-source contamination matrix: for every unordered pair of
+    sources, the number of DISTINCT text chunks (CHUNK_TOKENS-token
+    units — the boilerplate granularity, where real cross-source
+    repetition lives) present in both. The table that answers "which
+    crawl snapshots / data vendors overlap, and how much" before
+    fixing mixture weights.
+
+    Returns (src_a, src_b, n_shared) with src_a < src_b.
+
+    Scale shape (10^12 sequences): ZERO joins —
+    - one shuffle on the chunk key: groupBy(chunk) ->
+      array_sort(collect_set(src)). The per-chunk source set is
+      bounded by the source dimension (not by corpus size), so no
+      collect_set can blow up. Production narrows the shuffle by
+      fingerprinting chunks to 16 bytes first (the incremental-dedup
+      pattern, dedup.py); kept as strings here for value-exact
+      cross-engine verification.
+    - pair fan-out is a per-row HOF over the sorted source set
+      (<= |sources|^2 / 2 structs), then one dim^2-sized,
+      map-side-combinable pair count. A self-join on chunk would
+      shuffle the corpus twice and re-evaluate the explode lineage
+      (the self-join double-eval pathology, dedup.py cap_reps);
+      the set-fan-out shape cannot.
+
+    Reference anchor: llogtail routes one sequence to N sinks via
+    independent named rules (collector.go:125-174, route overlap);
+    this is the inverse rollup — which route/source pairs carry the
+    same payload.
+    """
+    from llogtail_spark.operators.dedup import normalize_text
+    from llogtail_spark.sources.reader import ensure_parallelism
+
+    chunk_rx = "[^ ]+( [^ ]+){0,%d}" % (CHUNK_TOKENS - 1)
+    chunks = F.regexp_extract_all(
+        normalize_text(F.col(text_col)), F.lit(chunk_rx), 0
+    )
+    per_chunk = (
+        ensure_parallelism(
+            df.filter(F.coalesce(F.col(text_col), F.lit("")) != ""), id_col
+        )
+        .select(F.col(source_col).alias("src"),
+                F.explode(chunks).alias("chunk"))
+        .groupBy("chunk")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    # expr-text HOF (python-built lambdas in one projection can
+    # collapse — see functions/text.py); srcs is dim-sized so the
+    # per-element slice re-eval is bounded and cheap
+    pairs = F.expr(
+        "flatten(transform(srcs, (a, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), "
+        "b -> struct(a AS src_a, b AS src_b))))"
+    )
+    return (
+        per_chunk.select(F.explode(pairs).alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+def source_overlap_sql() -> str:
+    """DuckDB twin of source_overlap: identical normalization +
+    greedy-regex chunking, then the classical DISTINCT self-join
+    formulation (count(*) over distinct (chunk, src) pairs joined on
+    chunk with src_a < src_b == the set-pair fan-out count)."""
+    k = CHUNK_TOKENS
+    return f"""
+        WITH chunks AS (
+            SELECT source AS src,
+                   unnest(regexp_extract_all(
+                       trim(regexp_replace(lower(text), '{WS_CLASS}',
+                                           ' ', 'g')),
+                       '[^ ]+( [^ ]+){{0,{k - 1}}}')) AS chunk
+            FROM documents WHERE coalesce(text, '') <> ''),
+        d AS (SELECT DISTINCT chunk, src FROM chunks)
+        SELECT a.src AS src_a, b.src AS src_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM d a JOIN d b ON a.chunk = b.chunk AND a.src < b.src
+        GROUP BY 1, 2
+    """

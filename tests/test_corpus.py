@@ -148,3 +148,92 @@ def test_token_budget_zero_token_docs_sort_first(spark):
     assert 1 in got and got[1]["n_toks"] == 0
     assert 3 in got  # unique tokens -> qscore 10000, 8 toks fit 8-budget
     assert 2 not in got  # heavily duplicated -> low score, over budget
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_vocab_coverage_crafted(spark):
+    from llogtail_spark.operators.corpus import vocab_coverage
+
+    # 10 tokens total: a x4, b x3, c x2, d x1
+    rows = [(1, "a a b"), (2, "a b C"), (3, "A b c d"), (4, None), (5, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_coverage(docs, top_v=3).collect()
+    assert [(r.rank, r.token, r.n, r.cum_n, r.cov_bp) for r in out] == [
+        (1, "a", 4, 4, 4000),
+        (2, "b", 3, 7, 7000),
+        (3, "c", 2, 9, 9000),
+    ]
+
+
+def test_vocab_coverage_tiebreak_and_empty(spark):
+    from llogtail_spark.operators.corpus import vocab_coverage
+
+    # equal counts break ties by token asc; limit cuts inside the tie
+    docs = spark.createDataFrame(
+        [(1, "z y x w")], "doc_id long, text string"
+    )
+    out = vocab_coverage(docs, top_v=2).collect()
+    assert [(r.rank, r.token) for r in out] == [(1, "w"), (2, "x")]
+    # all-empty corpus: no rows, no divide-by-zero
+    empty = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    assert vocab_coverage(empty).count() == 0
+
+
+def test_vocab_coverage_plan_topk_then_tiny_window(spark):
+    from llogtail_spark.operators.corpus import vocab_coverage
+
+    docs = _src_docs(
+        spark, [(i, f"s{i % 3}", "a b c d e f g h") for i in range(60)]
+    ).drop("source")
+    plan = vocab_coverage(docs)._jdf.queryExecution().executedPlan().toString()
+    # distributed top-k, never a global sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan
+    # rank + cumsum fuse into ONE window, fed by the post-limit
+    # single partition (V rows), not a corpus-wide window
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_source_overlap_crafted(spark):
+    from llogtail_spark.operators.corpus import source_overlap
+
+    # chunk width 4: "common footer line here" shared by s1/s2/s3;
+    # "pair only chunk text" shared by s1/s2 only; unique tails never
+    # pair. Duplicate chunk within one source counts once.
+    bp = "common footer line here"
+    pr = "pair only chunk text"
+    rows = [
+        (1, "s1", f"{bp} {pr}"),
+        (2, "s2", f"{bp} {pr}"),
+        (3, "s3", f"{bp} solo tail words xx"),
+        (4, "s1", bp),  # repeat within s1 — still one distinct chunk
+        (5, "s4", "entirely unshared text body"),
+    ]
+    out = {
+        (r.src_a, r.src_b): r.n_shared
+        for r in source_overlap(_src_docs(spark, rows)).collect()
+    }
+    assert out == {
+        ("s1", "s2"): 2,
+        ("s1", "s3"): 1,
+        ("s2", "s3"): 1,
+    }
+
+
+def test_source_overlap_plan_zero_joins(spark):
+    from llogtail_spark.operators.corpus import source_overlap
+
+    docs = _src_docs(
+        spark,
+        [(i, f"s{i % 4}", f"shared head chunk body tail{i} x y z") for i in range(80)],
+    )
+    plan = source_overlap(docs)._jdf.queryExecution().executedPlan().toString()
+    # the contamination matrix is join-free: set fan-out, not self-join
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
