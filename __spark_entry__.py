@@ -447,6 +447,23 @@ def _q_dedup_exact_docs(spark, sf):
     )
 
 
+def _q_dup_cluster_histogram(spark, sf):
+    """Duplicate-cluster-size histogram (dedup telemetry): for each
+    exact-dup cluster size k, how many clusters and docs. Two
+    combinable aggs; the text never shuffles (8-byte fingerprint).
+    The sf fixture has zero exact dupes, so the query plants a
+    deterministic replicated subset (doc_id % 7 / % 13 → cluster
+    sizes 2 and 3 at doc_id % 91) to exercise the histogram tail —
+    mirrored verbatim in the DuckDB twin."""
+    from llogtail_spark.operators.dedup import dup_cluster_histogram
+
+    docs = _t(spark, sf, "documents")
+    planted = docs.unionAll(docs.filter("doc_id % 7 = 0")).unionAll(
+        docs.filter("doc_id % 13 = 0")
+    )
+    return dup_cluster_histogram(planted)
+
+
 MIX_WEIGHTS = {"en": 100, "de": 60, "fr": 60, "es": 40, "zh": 30}
 
 
@@ -724,6 +741,16 @@ def _q_mixture_resample(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return mixture_resample(docs, "lang", "doc_id", MIX_TARGETS_BP, seed_i=4)
+
+
+def _q_temperature_mixture(spark, sf):
+    """Sqrt-tempered (T=2) source mixture weights: raw vs tempered
+    token share per source in basis points, integer-exact
+    (floor(sqrt(BIGINT)) is engine-deterministic). One dim-keyed
+    combinable agg + a broadcast 1-row totals cross."""
+    from llogtail_spark.operators.sampling import temperature_mixture
+
+    return temperature_mixture(_t(spark, sf, "documents"))
 
 
 def _q_length_buckets(spark, sf):
@@ -1026,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": _q_text_redact_pii,
         "sequence_packing": _q_sequence_packing,
         "dedup_exact_docs": _q_dedup_exact_docs,
+        "dup_cluster_histogram": _q_dup_cluster_histogram,
         "window_moving_avg": _q_window_moving_avg,
         "ntile_quartiles": _q_ntile_quartiles,
         "above_mean_events": _q_above_mean_events,
@@ -1042,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": _q_sample_deterministic,
         "mixture_by_lang": _q_mixture_by_lang,
         "mixture_resample": _q_mixture_resample,
+        "temperature_mixture": _q_temperature_mixture,
         "length_buckets": _q_length_buckets,
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1781,6 +1810,10 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT {_NORM_SQL}) AS n_unique
             FROM documents
         """,
+        "dup_cluster_histogram": __import__(
+            "llogtail_spark.operators.dedup",
+            fromlist=["dup_cluster_histogram_sql"],
+        ).dup_cluster_histogram_sql(),
         "window_moving_avg": """
             SELECT event_id, user_id,
                    CAST(round(avg(value) OVER (
@@ -1839,6 +1872,10 @@ def oracle_sql() -> dict[str, str]:
             "llogtail_spark.operators.sampling", fromlist=["mixture_resample_sql"]
         ).mixture_resample_sql("documents", "lang", "doc_id",
                                MIX_TARGETS_BP, seed_i=4),
+        "temperature_mixture": __import__(
+            "llogtail_spark.operators.sampling",
+            fromlist=["temperature_mixture_sql"],
+        ).temperature_mixture_sql(),
         "length_buckets": _length_buckets_oracle(),
         "embedding_topk": f"""
             WITH scored AS (

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "sequence_packing",
     "sample_deterministic",
     "mixture_resample",
+    "temperature_mixture",
+    "dup_cluster_histogram",
     "stratified_sample_events",
     "boilerplate_strip",
     "token_budget_select",

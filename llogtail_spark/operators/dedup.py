@@ -758,3 +758,65 @@ def compact_index(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return True
+
+
+def dup_cluster_histogram(df: DataFrame, key: str = "text") -> DataFrame:
+    """Duplicate-cluster-size histogram — the dedup telemetry table:
+    for each exact-duplicate cluster size k (rows sharing a normalized
+    text fingerprint), how many clusters have that size and how many
+    documents they hold. The k=1 row is the unique mass; the tail is
+    what dedup will delete — the first chart any corpus audit draws.
+
+    Returns (csize, n_clusters, n_docs) with n_docs = csize *
+    n_clusters.
+
+    Scale shape (10^12 sequences): two combinable aggregations — one
+    shuffle keyed on the 8-byte fingerprint (narrow: the text itself
+    never shuffles), then a tiny second agg on cluster size (domain ~
+    log-scale handful of values, map-side combine collapses it).
+    Fingerprint is the engine-portable char-fold family for the
+    value-exact DuckDB twin; production swaps xxhash64/128 in one
+    place (same discipline as incremental_dedup's index).
+
+    Reference anchor: llogtail counts per-sink shipped units as its
+    health metric (collector.go:125-174); the cluster histogram is
+    the same rollup keyed by content identity instead of sink.
+    """
+    from llogtail_spark.functions.portable_hash import char_fold_hash
+
+    sizes = (
+        df.groupBy(
+            char_fold_hash(normalize_text(F.col(key))).alias("fp")
+        )
+        .agg(F.count("*").alias("csize"))
+    )
+    return (
+        sizes.groupBy(F.col("csize").cast("long").alias("csize"))
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "csize", "n_clusters",
+            (F.col("csize") * F.col("n_clusters")).cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+def dup_cluster_histogram_sql() -> str:
+    """DuckDB twin of dup_cluster_histogram: identical normalization
+    and portable char-fold fingerprint."""
+    from llogtail_spark.functions.portable_hash import char_fold_hash_sql
+
+    norm = "trim(regexp_replace(lower(text), '%s', ' ', 'g'))" % WS_CLASS
+    return f"""
+        WITH planted AS (
+            SELECT text FROM documents
+            UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0
+            UNION ALL SELECT text FROM documents WHERE doc_id % 13 = 0),
+        sizes AS (
+            SELECT {char_fold_hash_sql(norm)} AS fp, count(*) AS csize
+            FROM planted GROUP BY 1)
+        SELECT CAST(csize AS BIGINT) AS csize,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(csize * count(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY csize
+    """

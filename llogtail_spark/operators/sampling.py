@@ -277,3 +277,74 @@ def mixture_resample_sql(
         SELECT r.k AS {key_expr}, r.g AS {group_expr}
         FROM r JOIN q ON r.g = q.g WHERE r.rk <= q.quota
     """
+
+
+def temperature_mixture(df: DataFrame, text_col: str = "text",
+                        source_col: str = "source") -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual /
+    multi-source mixture-flattening trick (sample source i with
+    probability ∝ p_i^(1/T), here T=2 i.e. sqrt smoothing): small
+    sources are upweighted, dominant sources damped.
+
+    Returns one row per source: (source, n_docs, tok_total, share_bp,
+    temp_bp) where share_bp is the raw token share and temp_bp the
+    sqrt-tempered share, both in basis points.
+
+    Integer-exact cross-engine arithmetic: the tempered weight is
+    floor(sqrt(tok_total)) as BIGINT — IEEE sqrt is correctly rounded
+    and token counts < 2^52 are exact doubles, so floor(sqrt(n)) is
+    deterministic in any engine (a float p_i^alpha + float-sum
+    normalization would be summation-order-dependent). bp floors are
+    BIGINT*10000 / BIGINT.
+
+    Scale shape (10^12 sequences): one combinable agg keyed on the
+    source dim — partial sums absorb everything map-side; the totals
+    and bp arithmetic run over the dim-sized result (a broadcast
+    1-row cross, never a corpus-wide window).
+    """
+    from llogtail_spark.operators.corpus import _tokens
+
+    per = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size(_tokens(F.col(text_col)))), F.lit(0))
+            .cast("long").alias("tok_total"),
+        )
+        .withColumn("w", F.floor(F.sqrt(F.col("tok_total"))).cast("long"))
+    )
+    totals = per.select(
+        F.sum("tok_total").alias("tok_all"), F.sum("w").alias("w_all")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "source", "n_docs", "tok_total",
+        F.floor(F.col("tok_total") * 10000 / F.col("tok_all"))
+        .cast("long").alias("share_bp"),
+        F.floor(F.col("w") * 10000 / F.col("w_all"))
+        .cast("long").alias("temp_bp"),
+    )
+
+
+def temperature_mixture_sql() -> str:
+    """DuckDB twin of temperature_mixture: identical tokenization and
+    floor(sqrt())/bp integer arithmetic."""
+    from llogtail_spark.operators.dedup import WS_CLASS
+
+    return f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(len(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '{WS_CLASS}'),
+                       x -> x <> ''))), 0) AS BIGINT) AS tok_total
+            FROM documents GROUP BY source),
+        w AS (SELECT *, CAST(floor(sqrt(tok_total)) AS BIGINT) AS wv
+              FROM per),
+        tot AS (SELECT sum(tok_total) AS tok_all, sum(wv) AS w_all FROM w)
+        SELECT source, n_docs, tok_total,
+               CAST(floor(tok_total * 10000 / tok_all) AS BIGINT)
+                   AS share_bp,
+               CAST(floor(wv * 10000 / w_all) AS BIGINT) AS temp_bp
+        FROM w CROSS JOIN tot
+    """

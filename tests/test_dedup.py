@@ -413,3 +413,37 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     # CORPUS scan feeds the broadcast join directly, no corpus shuffle
     assert plan.count("ArrowEvalPython") == 2
     assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_dup_cluster_histogram_counts(spark):
+    """csize * n_clusters == n_docs per row; totals reconcile with the
+    input; whitespace-variant texts fold into one cluster."""
+    from llogtail_spark.operators.dedup import dup_cluster_histogram
+
+    rows = (
+        [(i, "unique text %d" % i) for i in range(10)]
+        + [(100 + j, "Dup  Pair") for j in range(2)]      # ws+case variants
+        + [(200 + j, "dup pair") for j in range(1)]       # folds with above
+        + [(300 + j, "triple") for j in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["csize"]: (r["n_clusters"], r["n_docs"])
+           for r in dup_cluster_histogram(df).collect()}
+    assert out == {1: (10, 10), 3: (2, 6)}
+    assert sum(v[1] for v in out.values()) == df.count()
+
+
+def test_dup_cluster_histogram_plan_two_shuffles(spark):
+    """Text never shuffles: both exchanges key on small columns (the
+    fingerprint, then csize) with partial aggs below each."""
+    from llogtail_spark.operators.dedup import dup_cluster_histogram
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "concat('t', id % 100) AS text")
+    plan = dup_cluster_histogram(df)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the wide text column is pruned before the first exchange
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)

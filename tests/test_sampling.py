@@ -191,3 +191,30 @@ def test_mixture_resample_exact_quotas(spark):
 
     with pytest.raises(ValueError):
         mixture_resample(df, "grp", "id", {"a": 5000})
+
+
+def test_temperature_mixture_flattens_shares(spark):
+    """Sqrt temperature damps the dominant source and lifts the small
+    one; integer outputs are layout-invariant; bp columns are exact
+    floor arithmetic on BIGINTs."""
+    import math
+
+    from llogtail_spark.operators.sampling import temperature_mixture
+
+    rows = ([(i, "w %s" % (" x" * 80), "big") for i in range(90)]
+            + [(1000 + i, "y z", "small") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict() for r in temperature_mixture(df).collect()}
+    big, small = out["big"], out["small"]
+    assert big["n_docs"] == 90 and small["n_docs"] == 10
+    # tempering moves share toward uniform
+    assert big["temp_bp"] < big["share_bp"]
+    assert small["temp_bp"] > small["share_bp"]
+    # exact integer reconstruction
+    w_big = math.floor(math.sqrt(big["tok_total"]))
+    w_small = math.floor(math.sqrt(small["tok_total"]))
+    assert big["temp_bp"] == (w_big * 10000) // (w_big + w_small)
+    # layout invariance
+    out2 = {r["source"]: r.asDict()
+            for r in temperature_mixture(df.repartition(7)).collect()}
+    assert out == out2
