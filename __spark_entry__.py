@@ -639,6 +639,36 @@ def _q_vocab_coverage(spark, sf):
     return vocab_coverage(_t(spark, sf, "documents"))
 
 
+def _q_context_chunks(spark, sf):
+    """Context-window sample cutter: fixed 32-token windows at stride
+    24 with a portable chunk fingerprint — scan-only (zero shuffles,
+    zero joins), the sample-granularity front end of packing/dedup."""
+    from llogtail_spark.operators.corpus import context_chunks
+
+    return context_chunks(_t(spark, sf, "documents"))
+
+
+def _q_token_fertility(spark, sf):
+    """Tokenizer fertility (chars per token x100, floored BIGINT
+    arithmetic) per language: one combinable dim-keyed agg."""
+    from llogtail_spark.operators.corpus import token_fertility
+
+    return token_fertility(_t(spark, sf, "documents"))
+
+
+def _q_char_diversity(spark, sf):
+    """Integer-exact Gini-Simpson char diversity per doc (mojibake /
+    padding detector): single scan-stage run-length HOF fold over the
+    sorted char array — no explode, no shuffle, no Python."""
+    from llogtail_spark.functions.text import char_diversity_bp
+
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select("doc_id", char_diversity_bp("text").alias("diversity_bp"))
+        .where(F.col("diversity_bp").isNotNull())
+    )
+
+
 def _q_source_overlap(spark, sf):
     # cross-source contamination matrix at boilerplate-chunk
     # granularity: distinct shared chunks per source pair. Zero joins
@@ -1067,6 +1097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_shards": _q_corpus_shuffle_shards,
         "vocab_coverage": _q_vocab_coverage,
         "source_overlap": _q_source_overlap,
+        "context_chunks": _q_context_chunks,
+        "token_fertility": _q_token_fertility,
+        "char_diversity": _q_char_diversity,
         "sample_deterministic": _q_sample_deterministic,
         "mixture_by_lang": _q_mixture_by_lang,
         "mixture_resample": _q_mixture_resample,
@@ -1866,6 +1899,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_shards": _corpus_mod().corpus_shuffle_shards_sql(),
         "vocab_coverage": _corpus_mod().vocab_coverage_sql(),
         "source_overlap": _corpus_mod().source_overlap_sql(),
+        "context_chunks": _corpus_mod().context_chunks_sql(),
+        "token_fertility": _corpus_mod().token_fertility_sql(),
+        "char_diversity": __import__(
+            "llogtail_spark.functions.text",
+            fromlist=["char_diversity_sql"],
+        ).char_diversity_sql(),
         "sample_deterministic": _sample_oracle(),
         "mixture_by_lang": _mixture_oracle(),
         "mixture_resample": __import__(

@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "corpus_shuffle_shards",
     "vocab_coverage",
     "source_overlap",
+    "context_chunks",
+    "token_fertility",
+    "char_diversity",
 ]
 
 

@@ -233,3 +233,75 @@ def normalize_text_sql(expr: str) -> str:
         f"'{UNISPACE_RX}', ' ', 'g'), "
         r"'\s+', ' ', 'g'))"
     )
+
+
+def char_diversity_bp(col: Column | str) -> Column:
+    """Gini-Simpson character diversity in basis points:
+    floor((n^2 - sum(c_i^2)) * 10000 / n^2) over the lowercased
+    character multiset - 0 for a single repeated char, near 10000 for
+    uniformly mixed text. A mojibake / keyboard-mash / padding
+    detector whose arithmetic is INTEGER until the final division, so
+    the DuckDB twin matches value-exactly (a float Shannon entropy
+    would be summation-order-dependent across engines).
+
+    Scale shape: pure scan-stage Catalyst HOF - sort the char array,
+    run-length-fold it with a struct accumulator (prev, run, ss) in
+    ONE pass, no explode, no shuffle, no Python. NULL for empty text
+    (CaseWhen evaluates lazily, so the n=0 branch never divides).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.array_sort(F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), ""),
+        lambda x: x != "",
+    ))
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(" ").alias("prev"),
+        zero.alias("run"),
+        zero.alias("ss"),
+    )
+    ss = F.aggregate(
+        chars,
+        acc0,
+        lambda a, ch: F.struct(
+            ch.alias("prev"),
+            F.when(ch == a.prev, a.run + 1).otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(ch == a.prev, a.ss).otherwise(a.ss + a.run * a.run)
+            .alias("ss"),
+        ),
+        lambda a: a.ss + a.run * a.run,
+    )
+    n = F.size(chars).cast("long")
+    return F.when(
+        n > 0,
+        F.floor((n * n - ss) * 10000 / (n * n)),
+    ).cast("long")
+
+
+def char_diversity_sql(table: str = "documents") -> str:
+    """DuckDB twin of a per-doc char_diversity_bp scan: explode chars
+    positionally (the oracle needs correctness, not the run-length
+    trick), count per (doc, char), then the identical integer bp
+    arithmetic. Empty docs dropped, mirroring the Spark n=0 guard."""
+    return f"""
+        WITH pos AS (
+            -- unnest(generate_series(list)): the lateral table-fn
+            -- form rejects column parameters in this DuckDB build
+            SELECT doc_id, lower(coalesce(text, '')) AS lt,
+                   unnest(generate_series(1,
+                       length(lower(coalesce(text, ''))))) AS i
+            FROM {table}),
+        ch AS (
+            SELECT doc_id, substring(lt, i, 1) AS c FROM pos),
+        cnt AS (
+            SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        agg AS (
+            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                   CAST(sum(k * k) AS BIGINT) AS ss
+            FROM cnt GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(floor((n * n - ss) * 10000 / (n * n)) AS BIGINT)
+                   AS diversity_bp
+        FROM agg WHERE n > 0
+    """

@@ -533,3 +533,134 @@ def source_overlap_sql() -> str:
         FROM d a JOIN d b ON a.chunk = b.chunk AND a.src < b.src
         GROUP BY 1, 2
     """
+
+
+# Context-window chunking: training-sample prep — every document is
+# cut into fixed token windows with overlap (stride < window) so no
+# span longer than (window - stride) tokens is lost at a boundary.
+CTX_WINDOW = 32
+CTX_STRIDE = 24
+
+
+def context_chunks(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", window: int = CTX_WINDOW,
+                   stride: int = CTX_STRIDE) -> DataFrame:
+    """Cut each document into fixed-size token windows with stride —
+    the context-window sample cutter in front of sequence packing.
+    Output: (id, chunk_idx, tok_start, n_tok, chunk_fp) where
+    chunk_fp is the portable char-fold hash of the space-joined chunk
+    (the dedup/decontamination key for the *sample* granularity, not
+    the document).
+
+    Scale shape (10^12 sequences): scan-only — tokenize, sequence()
+    the chunk starts, posexplode, slice. Zero shuffles, zero joins;
+    whole-stage-codegen'd HOF expressions end to end. The fan-out is
+    bounded by ceil(n_tok/stride) rows per doc, each carrying only
+    the sliced tokens — never the full document twice.
+
+    Reference anchor: llogtail frames unbounded files into bounded
+    per-read units with carry-over (log_reader.go:61-88); this is the
+    same bounded-unit discipline applied to token streams.
+    """
+    from llogtail_spark.functions.portable_hash import char_fold_hash
+
+    base = (
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+        .where(F.size("_toks") > 0)
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    ex = base.select(
+        F.col(id_col), F.col("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "tok_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("tok_start") + 1, window)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        char_fold_hash(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+def context_chunks_sql(window: int = CTX_WINDOW,
+                       stride: int = CTX_STRIDE) -> str:
+    """DuckDB twin of context_chunks: identical tokenization, start
+    grid, slicing, and chunk fingerprint."""
+    from llogtail_spark.functions.portable_hash import char_fold_hash_sql
+
+    fp = char_fold_hash_sql("array_to_string(chunk, ' ')")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS toks
+            FROM documents),
+        e AS (
+            -- unnest(generate_series(list)) instead of the lateral
+            -- table function (unsupported with column params here);
+            -- an empty series (len=0) unnests to zero rows.
+            SELECT doc_id, toks,
+                   CAST(unnest(generate_series(0, len(toks) - 1, {stride}))
+                        AS BIGINT) AS tok_start
+            FROM t),
+        c AS (
+            SELECT doc_id, tok_start // {stride} AS chunk_idx, tok_start,
+                   list_slice(toks, tok_start + 1, tok_start + {window})
+                       AS chunk
+            FROM e)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, tok_start,
+               CAST(len(chunk) AS BIGINT) AS n_tok, {fp} AS chunk_fp
+        FROM c
+    """
+
+
+def token_fertility(df: DataFrame, text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """Tokenizer-fertility profile per language: characters per
+    whitespace token ×100 (the chars-per-token ratio a tokenizer team
+    watches per language before committing a vocab). Integer-exact:
+    (sum(chars) * 100) / sum(tokens) floored on BIGINTs.
+
+    Scale shape: one combinable agg keyed on the language dim —
+    everything collapses map-side; no second pass, no window.
+    """
+    agg = (
+        df.groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length(F.coalesce(F.col(text_col), F.lit(""))))
+            .cast("long").alias("char_total"),
+            F.coalesce(F.sum(F.size(_tokens(F.col(text_col)))), F.lit(0))
+            .cast("long").alias("tok_total"),
+        )
+    )
+    return agg.select(
+        "lang", "n_docs", "char_total", "tok_total",
+        F.when(F.col("tok_total") > 0,
+               F.floor(F.col("char_total") * 100 / F.col("tok_total")))
+        .cast("long").alias("fert_x100"),
+    )
+
+
+def token_fertility_sql() -> str:
+    """DuckDB twin of token_fertility."""
+    return f"""
+        WITH a AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                       AS char_total,
+                   CAST(coalesce(sum(len(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '{WS_CLASS}'),
+                       x -> x <> ''))), 0) AS BIGINT) AS tok_total
+            FROM documents GROUP BY lang)
+        SELECT lang, n_docs, char_total, tok_total,
+               CASE WHEN tok_total > 0
+                    THEN CAST(floor(char_total * 100 / tok_total) AS BIGINT)
+               END AS fert_x100
+        FROM a
+    """

@@ -237,3 +237,56 @@ def test_source_overlap_plan_zero_joins(spark):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, node
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_context_chunks_windows_and_overlap(spark):
+    """Hand-computed chunk grid: 80 tokens at window 32 / stride 24
+    -> starts 0,24,48,72 with sizes 32,32,32,8; overlapping spans
+    share tokens; empty docs vanish; chunk_fp keys identical content
+    to identical fingerprints across docs."""
+    from llogtail_spark.operators.corpus import context_chunks
+
+    toks80 = " ".join("t%d" % i for i in range(80))
+    df = spark.createDataFrame(
+        [(1, toks80), (2, ""), (3, None), (4, "a b c"), (5, "a b c")],
+        "doc_id long, text string",
+    )
+    out = context_chunks(df).collect()
+    d1 = sorted([(r["tok_start"], r["n_tok"]) for r in out
+                 if r["doc_id"] == 1])
+    assert d1 == [(0, 32), (24, 32), (48, 32), (72, 8)]
+    assert {r["doc_id"] for r in out} == {1, 4, 5}
+    fp4 = [r["chunk_fp"] for r in out if r["doc_id"] == 4]
+    fp5 = [r["chunk_fp"] for r in out if r["doc_id"] == 5]
+    assert fp4 == fp5 and len(fp4) == 1
+
+
+def test_context_chunks_plan_scan_only(spark):
+    """The sample cutter must stay in the scan stage: no Exchange, no
+    join, no Python eval anywhere in the executed plan."""
+    from llogtail_spark.operators.corpus import context_chunks
+
+    df = spark.range(0, 500).selectExpr(
+        "id AS doc_id", "repeat('tok ', 100) AS text")
+    plan = context_chunks(df)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_token_fertility_arithmetic(spark):
+    """fert_x100 = floor(chars*100/tokens) on exact BIGINTs; zero-token
+    languages yield NULL, never a division error (ANSI mode)."""
+    from llogtail_spark.operators.corpus import token_fertility
+
+    df = spark.createDataFrame(
+        [(1, "abcd efgh", "en"), (2, "xy", "en"), (3, "   ", "zz")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r.asDict() for r in token_fertility(df).collect()}
+    # en: chars 9+2=11, tokens 2+1=3 -> floor(1100/3)=366
+    assert out["en"]["char_total"] == 11
+    assert out["en"]["tok_total"] == 3
+    assert out["en"]["fert_x100"] == 366
+    assert out["zz"]["tok_total"] == 0 and out["zz"]["fert_x100"] is None

@@ -250,3 +250,32 @@ def test_normalize_text_single_arrow_eval(spark):
         "id", n.alias("t"), F.length(n).alias("l")
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+
+
+def test_char_diversity_hand_values(spark):
+    """Integer Gini-Simpson: 'aaaa'->0, 'ab'->5000, 'abcd'->7500,
+    case-folded, NULL for empty/NULL text."""
+    from llogtail_spark.functions.text import char_diversity_bp
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "AaAa"), (5, ""),
+         (6, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["d"] for r in df.select(
+        "doc_id", char_diversity_bp("text").alias("d")).collect()}
+    assert out == {1: 0, 2: 5000, 3: 7500, 4: 0, 5: None, 6: None}
+
+
+def test_char_diversity_plan_scan_only(spark):
+    """One pass, JVM-only: no Exchange and no Python eval — the
+    run-length fold replaces the explode+groupBy a naive version
+    would shuffle on."""
+    from llogtail_spark.functions.text import char_diversity_bp
+
+    df = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "concat('text', id) AS text")
+    plan = df.select("doc_id", char_diversity_bp("text").alias("d"))\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
