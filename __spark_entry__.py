@@ -669,6 +669,16 @@ def _q_char_diversity(spark, sf):
     )
 
 
+def _q_span_dedup(spark, sf):
+    """Exact span-level dedup (Lee et al. 2022 at chunk granularity):
+    keep only the globally-first occurrence of every chunk — map-side
+    combinable min(struct) first-occurrence, AQE-skew-eligible
+    membership join, one reassembly shuffle."""
+    from llogtail_spark.operators.corpus import span_dedup
+
+    return span_dedup(_t(spark, sf, "documents"))
+
+
 def _q_source_overlap(spark, sf):
     # cross-source contamination matrix at boilerplate-chunk
     # granularity: distinct shared chunks per source pair. Zero joins
@@ -1097,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_shards": _q_corpus_shuffle_shards,
         "vocab_coverage": _q_vocab_coverage,
         "source_overlap": _q_source_overlap,
+        "span_dedup": _q_span_dedup,
         "context_chunks": _q_context_chunks,
         "token_fertility": _q_token_fertility,
         "char_diversity": _q_char_diversity,
@@ -1899,6 +1910,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_shards": _corpus_mod().corpus_shuffle_shards_sql(),
         "vocab_coverage": _corpus_mod().vocab_coverage_sql(),
         "source_overlap": _corpus_mod().source_overlap_sql(),
+        "span_dedup": _corpus_mod().span_dedup_sql(),
         "context_chunks": _corpus_mod().context_chunks_sql(),
         "token_fertility": _corpus_mod().token_fertility_sql(),
         "char_diversity": __import__(

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "corpus_shuffle_shards",
     "vocab_coverage",
     "source_overlap",
+    "span_dedup",
     "context_chunks",
     "token_fertility",
     "char_diversity",

@@ -143,6 +143,15 @@ def strip_chunks(chunks: DataFrame, bp: DataFrame,
         id_col, "pos", "chunk",
         F.when(F.col("_bp").isNull(), 1).otherwise(0).alias("keep"),
     )
+    return _reassemble(flagged, id_col)
+
+
+def _reassemble(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Rebuild each document from its keep=1 chunks in position order:
+    (id, n_chunks, n_kept, text_clean), one row per input document
+    (all-dropped docs survive with text_clean = ''). One shuffle on
+    the id key; collect_list skips the NULL (dropped) structs and
+    array_sort restores position order deterministically."""
     kept_structs = F.array_sort(
         F.collect_list(
             F.when(F.col("keep") == 1, F.struct("pos", "chunk"))
@@ -663,4 +672,80 @@ def token_fertility_sql() -> str:
                     THEN CAST(floor(char_total * 100 / tok_total) AS BIGINT)
                END AS fert_x100
         FROM a
+    """
+
+
+def span_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Exact span-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at chunk
+    granularity): every text chunk keeps only its globally FIRST
+    occurrence — ordered by (doc_id, pos) — and every later repeat is
+    removed, across documents AND within a document. Complements
+    boilerplate_strip (frequency >= k removes ALL copies) by removing
+    the memorization-driving repeats while preserving one copy of the
+    content.
+
+    Returns (id, n_chunks, n_kept, text_clean), one row per non-empty
+    input document.
+
+    Scale shape (10^12 sequences): first-occurrence is
+    min(struct(id, pos)) per chunk — a map-side-combinable partial
+    aggregation, so the universal web footer combines inside each
+    task before the shuffle (a row_number window over the chunk key
+    would instead sort every copy of the hottest chunk on one
+    reducer, with no partial agg — rejected). The membership join
+    back on `chunk` is equi-join, AQE-skew-eligible, same accepted
+    shape as boilerplate_strip; reassembly shuffles once on the id.
+
+    Reference anchor: the debounce/dedup filter ships each repeated
+    work item exactly once (log_watcher.go:97-126); here the "item"
+    is a text span and "once" is corpus-global.
+    """
+    chunks = doc_chunks(df, text_col, id_col)
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("pos").alias("p"))).alias("_first")
+    )
+    flagged = chunks.join(firsts, "chunk").select(
+        id_col, "pos", "chunk",
+        F.when(
+            (F.col(id_col) == F.col("_first.i"))
+            & (F.col("pos") == F.col("_first.p")), 1
+        ).otherwise(0).alias("keep"),
+    )
+    return _reassemble(flagged, id_col)
+
+
+def span_dedup_sql() -> str:
+    """DuckDB twin of span_dedup: identical chunking, row_number over
+    (doc_id, pos) per chunk (== min-struct first occurrence; the
+    oracle needs correctness, not the combinable-agg shape), ordered
+    reassembly."""
+    k = CHUNK_TOKENS
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        chunks AS (
+            SELECT doc_id, CAST(g AS INTEGER) AS pos,
+                   array_to_string(t[(g*{k}+1):(g*{k}+{k})], ' ') AS chunk
+            FROM toks,
+                 LATERAL (SELECT unnest(range(CAST(ceil(len(t)/{k}.0) AS BIGINT))) AS g)
+            WHERE len(t) > 0),
+        flagged AS (
+            SELECT doc_id, pos, chunk,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY chunk ORDER BY doc_id, pos) = 1
+                        THEN 1 ELSE 0 END AS keep
+            FROM chunks)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               coalesce(string_agg(CASE WHEN keep = 1 THEN chunk END,
+                                   ' ' ORDER BY pos), '') AS text_clean
+        FROM flagged GROUP BY doc_id
     """

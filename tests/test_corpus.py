@@ -290,3 +290,54 @@ def test_token_fertility_arithmetic(spark):
     assert out["en"]["tok_total"] == 3
     assert out["en"]["fert_x100"] == 366
     assert out["zz"]["tok_total"] == 0 and out["zz"]["fert_x100"] is None
+
+
+def test_span_dedup_first_occurrence(spark):
+    """Global first-occurrence semantics: a chunk repeated across
+    docs survives only in the lowest (doc_id, pos); within-doc
+    repeats collapse to the first pos; unique text is untouched."""
+    from llogtail_spark.operators.corpus import span_dedup
+
+    # CHUNK_TOKENS=4: each doc below is exactly whole chunks.
+    dup = "w x y z"
+    df = spark.createDataFrame(
+        [
+            (1, f"a b c d {dup}"),           # first owner of dup
+            (2, f"{dup} e f g h"),           # cross-doc repeat -> drop
+            (3, f"{dup} {dup}"),             # both repeats drop
+            (4, "p q r s"),                  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in span_dedup(df).collect()}
+    assert out[1]["text_clean"] == f"a b c d {dup}"
+    assert out[2]["text_clean"] == "e f g h"
+    assert out[3]["text_clean"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text_clean"] == "p q r s"
+    assert out[3]["n_chunks"] == 2
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    """A doc that repeats its own span keeps only the first copy —
+    the Lee et al. memorization case."""
+    from llogtail_spark.operators.corpus import span_dedup
+
+    df = spark.createDataFrame(
+        [(7, "m n o p m n o p m n o p")], "doc_id long, text string")
+    out = span_dedup(df).collect()[0]
+    assert out["text_clean"] == "m n o p"
+    assert (out["n_chunks"], out["n_kept"]) == (3, 1)
+
+
+def test_span_dedup_plan_shape(spark):
+    """Combinable first-occurrence agg + equi-join only: no window
+    over the chunk key, no nested-loop join, no Python eval."""
+    from llogtail_spark.operators.corpus import span_dedup
+
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "concat('a b c d tok', id) AS text")
+    plan = span_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # min(struct) agg, not row_number
+    assert "Python" not in plan
