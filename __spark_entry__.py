@@ -679,6 +679,15 @@ def _q_span_dedup(spark, sf):
     return span_dedup(_t(spark, sf, "documents"))
 
 
+def _q_length_quantiles(spark, sf):
+    """Exact per-source length quantiles via histogram decomposition:
+    no global sort, no per-doc window — the cumulative runs over the
+    dim-sized (source, length) histogram only."""
+    from llogtail_spark.operators.corpus import length_quantiles
+
+    return length_quantiles(_t(spark, sf, "documents"))
+
+
 def _q_source_overlap(spark, sf):
     # cross-source contamination matrix at boilerplate-chunk
     # granularity: distinct shared chunks per source pair. Zero joins
@@ -1108,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "source_overlap": _q_source_overlap,
         "span_dedup": _q_span_dedup,
+        "length_quantiles": _q_length_quantiles,
         "context_chunks": _q_context_chunks,
         "token_fertility": _q_token_fertility,
         "char_diversity": _q_char_diversity,
@@ -1911,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _corpus_mod().vocab_coverage_sql(),
         "source_overlap": _corpus_mod().source_overlap_sql(),
         "span_dedup": _corpus_mod().span_dedup_sql(),
+        "length_quantiles": _corpus_mod().length_quantiles_sql(),
         "context_chunks": _corpus_mod().context_chunks_sql(),
         "token_fertility": _corpus_mod().token_fertility_sql(),
         "char_diversity": __import__(

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "source_overlap",
     "span_dedup",
+    "length_quantiles",
     "context_chunks",
     "token_fertility",
     "char_diversity",

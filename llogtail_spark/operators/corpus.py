@@ -749,3 +749,79 @@ def span_dedup_sql() -> str:
                                    ' ' ORDER BY pos), '') AS text_clean
         FROM flagged GROUP BY doc_id
     """
+
+
+# Quantile grid for corpus length profiling (percent points).
+QUANTILE_PTS = (25, 50, 75, 95, 99)
+
+
+def length_quantiles(df: DataFrame, len_col: str = "n_chars",
+                     key_col: str = "source",
+                     qs: tuple = QUANTILE_PTS) -> DataFrame:
+    """Exact per-source discrete length quantiles — the corpus
+    profile (p25/p50/p75/p95/p99 doc length) a data team reads before
+    setting context windows and packing budgets. quantile_disc
+    definition, stated explicitly so both engines compute the same
+    thing: p_q = smallest length whose cumulative doc count reaches
+    ceil(q*n/100), i.e. 100*cum >= q*n on exact BIGINTs.
+
+    Scale shape (10^12 docs): NO global sort and NO per-doc window —
+    lengths are aggregated to a (source, length) histogram first
+    (map-side combinable; the histogram is dim-sized: at most
+    max_doc_len distinct rows per source), and the cumulative window
+    runs over that histogram only. Same decomposition as
+    token_budget_select; two exchanges end to end (histogram key,
+    then source), the final per-source agg reuses the window's
+    partitioning.
+
+    Reference anchor: llogtail sizes its read buffers from observed
+    line lengths (log_reader.go:61-88); this is the corpus-scale
+    version of knowing the length distribution before sizing units.
+    """
+    hist = (
+        df.where(F.col(len_col).isNotNull())
+        .groupBy(key_col, len_col)
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    w_cum = Window.partitionBy(key_col).orderBy(len_col)
+    w_all = Window.partitionBy(key_col)
+    cum = hist.select(
+        key_col,
+        F.col(len_col).cast("long").alias("_len"),
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    quant_aggs = [
+        F.min(
+            F.when(F.col("_cum") * 100 >= F.lit(q) * F.col("_n"),
+                   F.col("_len"))
+        ).alias(f"p{q}")
+        for q in qs
+    ]
+    return cum.groupBy(key_col).agg(
+        F.max("_n").cast("long").alias("n_docs"), *quant_aggs
+    )
+
+
+def length_quantiles_sql(qs: tuple = QUANTILE_PTS) -> str:
+    """DuckDB twin of length_quantiles: identical histogram,
+    cumulative, and 100*cum >= q*n threshold arithmetic."""
+    cols = ",\n               ".join(
+        f"CAST(min(CASE WHEN cum * 100 >= {q} * n THEN len END) AS BIGINT)"
+        f" AS p{q}"
+        for q in qs
+    )
+    return f"""
+        WITH h AS (
+            SELECT source, n_chars AS len, count(*) AS c
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY 1, 2),
+        cum AS (
+            SELECT source, len,
+                   sum(c) OVER (PARTITION BY source ORDER BY len) AS cum,
+                   sum(c) OVER (PARTITION BY source) AS n
+            FROM h)
+        SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+               {cols}
+        FROM cum GROUP BY source
+    """

@@ -341,3 +341,36 @@ def test_span_dedup_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan  # min(struct) agg, not row_number
     assert "Python" not in plan
+
+
+def test_length_quantiles_hand_values(spark):
+    """Explicit quantile_disc semantics: for n=4 lengths {10,20,30,40},
+    p25=10 (cum 1 >= ceil(1)), p50=20, p75=30, p95=p99=40; NULL
+    lengths are excluded from both count and quantiles."""
+    from llogtail_spark.operators.corpus import length_quantiles
+
+    rows = [(i, "s1", L) for i, L in enumerate([10, 20, 30, 40])]
+    rows += [(99, "s1", None), (100, "s2", 7)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["source"]: r.asDict() for r in length_quantiles(df).collect()}
+    assert out["s1"]["n_docs"] == 4
+    assert (out["s1"]["p25"], out["s1"]["p50"], out["s1"]["p75"],
+            out["s1"]["p95"], out["s1"]["p99"]) == (10, 20, 30, 40, 40)
+    assert out["s2"]["n_docs"] == 1 and out["s2"]["p50"] == 7
+
+
+def test_length_quantiles_plan_histogram_only(spark):
+    """The cumulative window must run over the histogram, not per-doc
+    rows: exactly two hash exchanges (histogram key, source), the
+    final agg reuses the window partitioning; no Python, no sort of
+    the raw docs (the only Sort is inside the source-partitioned
+    window)."""
+    from llogtail_spark.operators.corpus import length_quantiles
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS doc_id", "concat('s', id % 3) AS source",
+        "(id % 17) * 10 AS n_chars")
+    plan = length_quantiles(df)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
