@@ -661,12 +661,22 @@ def _q_char_diversity(spark, sf):
     padding detector): single scan-stage run-length HOF fold over the
     sorted char array — no explode, no shuffle, no Python."""
     from llogtail_spark.functions.text import char_diversity_bp
+    from llogtail_spark.sources.reader import ensure_parallelism
 
-    docs = _t(spark, sf, "documents")
-    return (
-        docs.select("doc_id", char_diversity_bp("text").alias("diversity_bp"))
-        .where(F.col("diversity_bp").isNotNull())
+    # the per-char sort+fold is the heavy scan stage and inherits the
+    # row-group partition count — restore the core floor (no-op at
+    # production partition counts). diversity_bp is NULL exactly for
+    # empty/NULL text, so filter on that cheap scan predicate instead
+    # of isNotNull(diversity_bp): a post-hoc isNotNull is pushed below
+    # the exchange and RE-INLINES the whole fold (measured 2x).
+    docs = ensure_parallelism(
+        _t(spark, sf, "documents").where(
+            F.length(F.coalesce(F.col("text"), F.lit(""))) > 0
+        ),
+        "doc_id",
     )
+    return docs.select(
+        "doc_id", char_diversity_bp("text").alias("diversity_bp"))
 
 
 def _q_span_dedup(spark, sf):
@@ -686,6 +696,15 @@ def _q_length_quantiles(spark, sf):
     from llogtail_spark.operators.corpus import length_quantiles
 
     return length_quantiles(_t(spark, sf, "documents"))
+
+
+def _q_dedup_novelty(spark, sf):
+    """Dedup-ROI novelty curve per ingestion batch: distinct chunks,
+    first-seen chunks, novelty bp, cumulative corpus-distinct size —
+    all combinable aggs + dim-sized joins/window."""
+    from llogtail_spark.operators.corpus import dedup_novelty
+
+    return dedup_novelty(_t(spark, sf, "documents"))
 
 
 def _q_source_overlap(spark, sf):
@@ -1118,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "span_dedup": _q_span_dedup,
         "length_quantiles": _q_length_quantiles,
+        "dedup_novelty": _q_dedup_novelty,
         "context_chunks": _q_context_chunks,
         "token_fertility": _q_token_fertility,
         "char_diversity": _q_char_diversity,
@@ -1922,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _corpus_mod().source_overlap_sql(),
         "span_dedup": _corpus_mod().span_dedup_sql(),
         "length_quantiles": _corpus_mod().length_quantiles_sql(),
+        "dedup_novelty": _corpus_mod().dedup_novelty_sql(),
         "context_chunks": _corpus_mod().context_chunks_sql(),
         "token_fertility": _corpus_mod().token_fertility_sql(),
         "char_diversity": __import__(

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "span_dedup",
     "length_quantiles",
+    "dedup_novelty",
     "context_chunks",
     "token_fertility",
     "char_diversity",

@@ -245,9 +245,17 @@ def char_diversity_bp(col: Column | str) -> Column:
     would be summation-order-dependent across engines).
 
     Scale shape: pure scan-stage Catalyst HOF - sort the char array,
-    run-length-fold it with a struct accumulator (prev, run, ss) in
+    run-length-fold it with a struct accumulator (prev, run, ss, n) in
     ONE pass, no explode, no shuffle, no Python. NULL for empty text
     (CaseWhen evaluates lazily, so the n=0 branch never divides).
+
+    The ENTIRE bp arithmetic lives in the fold's finish lambda: HOF
+    expressions are CodegenFallback with no subexpression elimination,
+    so a projection that referenced size(chars) and the fold result
+    as separate columns re-evaluates split+sort+fold once PER
+    REFERENCE (measured ~3x on this function at sf0.1). Lambda
+    variables are materialized values, so inside finish every a.n /
+    a.ss reference is free and the heavy lineage runs exactly once.
     """
     c = F.col(col) if isinstance(col, str) else col
     chars = F.array_sort(F.filter(
@@ -259,8 +267,14 @@ def char_diversity_bp(col: Column | str) -> Column:
         F.lit(" ").alias("prev"),
         zero.alias("run"),
         zero.alias("ss"),
+        zero.alias("n"),
     )
-    ss = F.aggregate(
+
+    def _finish(a):
+        n, ss = a.n, a.ss + a.run * a.run
+        return F.when(n > 0, F.floor((n * n - ss) * 10000 / (n * n)))
+
+    return F.aggregate(
         chars,
         acc0,
         lambda a, ch: F.struct(
@@ -269,13 +283,9 @@ def char_diversity_bp(col: Column | str) -> Column:
             .alias("run"),
             F.when(ch == a.prev, a.ss).otherwise(a.ss + a.run * a.run)
             .alias("ss"),
+            (a.n + 1).alias("n"),
         ),
-        lambda a: a.ss + a.run * a.run,
-    )
-    n = F.size(chars).cast("long")
-    return F.when(
-        n > 0,
-        F.floor((n * n - ss) * 10000 / (n * n)),
+        _finish,
     ).cast("long")
 
 

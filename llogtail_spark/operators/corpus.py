@@ -825,3 +825,93 @@ def length_quantiles_sql(qs: tuple = QUANTILE_PTS) -> str:
                {cols}
         FROM cum GROUP BY source
     """
+
+
+# Ingestion-batch width (docs per batch) for the novelty curve.
+NOVELTY_BATCH_DOCS = 50
+
+
+def dedup_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  batch_docs: int = NOVELTY_BATCH_DOCS) -> DataFrame:
+    """Dedup-ROI / novelty curve: treat consecutive doc_id ranges as
+    ingestion batches (a crawl snapshot each) and report, per batch,
+    how many distinct chunks it contains, how many were never seen in
+    any earlier batch, the novelty rate (basis points), and the
+    cumulative distinct-corpus size. The curve a data team reads to
+    decide when further crawling stops adding tokens.
+
+    Scale shape (10^12 docs): everything heavy is combinable — one
+    distinct on (batch, chunk), then a min(batch) agg per chunk; both
+    per-batch totals and first-batch counts are dim-sized (n_batches
+    rows), joined dim-to-dim, and the cumulative window runs over the
+    batch histogram only. No per-doc window, no global sort.
+
+    Reference anchor: llogtail's poller re-scans and ships only work
+    not already committed (collector.go:125-174); the novelty curve
+    is the corpus-level measure of exactly that increment.
+    """
+    chunks = doc_chunks(df, text_col, id_col)
+    cd = (
+        chunks.select(
+            (F.col(id_col) / batch_docs).cast("long").alias("batch"),
+            "chunk",
+        )
+        .distinct()
+    )
+    totals = cd.groupBy("batch").agg(
+        F.count("*").cast("long").alias("total_chunks"))
+    news = (
+        cd.groupBy("chunk").agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count("*").cast("long").alias("new_chunks"))
+    )
+    joined = totals.join(news, "batch", "left").select(
+        "batch", "total_chunks",
+        F.coalesce("new_chunks", F.lit(0)).cast("long").alias("new_chunks"),
+    )
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    # single-partition window is over the BATCH histogram (dim-sized:
+    # one row per ingestion batch), not per-doc rows — bounded.
+    return joined.select(
+        "batch", "total_chunks", "new_chunks",
+        F.floor(F.col("new_chunks") * 10000 / F.col("total_chunks"))
+        .cast("long").alias("novelty_bp"),
+        F.sum("new_chunks").over(w).cast("long").alias("cum_distinct"),
+    )
+
+
+def dedup_novelty_sql(batch_docs: int = NOVELTY_BATCH_DOCS) -> str:
+    """DuckDB twin of dedup_novelty: identical chunking, batch
+    assignment, first-batch attribution, and integer bp arithmetic."""
+    k = CHUNK_TOKENS
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        chunks AS (
+            SELECT doc_id // {batch_docs} AS batch,
+                   array_to_string(t[(g*{k}+1):(g*{k}+{k})], ' ') AS chunk
+            FROM toks,
+                 LATERAL (SELECT unnest(range(CAST(ceil(len(t)/{k}.0) AS BIGINT))) AS g)
+            WHERE len(t) > 0),
+        cd AS (SELECT DISTINCT batch, chunk FROM chunks),
+        totals AS (
+            SELECT batch, CAST(count(*) AS BIGINT) AS total_chunks
+            FROM cd GROUP BY batch),
+        news AS (
+            SELECT fb AS batch, CAST(count(*) AS BIGINT) AS new_chunks
+            FROM (SELECT chunk, min(batch) AS fb FROM cd GROUP BY chunk)
+            GROUP BY fb)
+        SELECT t.batch, t.total_chunks,
+               CAST(coalesce(n.new_chunks, 0) AS BIGINT) AS new_chunks,
+               CAST(floor(coalesce(n.new_chunks, 0) * 10000
+                          / t.total_chunks) AS BIGINT) AS novelty_bp,
+               CAST(sum(coalesce(n.new_chunks, 0)) OVER (
+                   ORDER BY t.batch) AS BIGINT) AS cum_distinct
+        FROM totals t LEFT JOIN news n ON t.batch = n.batch
+    """

@@ -374,3 +374,36 @@ def test_length_quantiles_plan_histogram_only(spark):
     ).executedPlan().toString()
     assert "Python" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_dedup_novelty_curve(spark):
+    """Hand-built curve: batch 0 introduces chunks {A,B}, batch 1
+    repeats A and adds C -> totals (2,2), news (2,1), novelty
+    (10000, 5000), cum_distinct (2,3)."""
+    from llogtail_spark.operators.corpus import dedup_novelty
+
+    A, B, C = "a1 a2 a3 a4", "b1 b2 b3 b4", "c1 c2 c3 c4"
+    df = spark.createDataFrame(
+        [(0, f"{A} {B}"), (1, A), (50, f"{A} {C}"), (51, C)],
+        "doc_id long, text string",
+    )
+    out = {r["batch"]: r.asDict()
+           for r in dedup_novelty(df, batch_docs=50).collect()}
+    assert out[0]["total_chunks"] == 2 and out[0]["new_chunks"] == 2
+    assert out[0]["novelty_bp"] == 10000 and out[0]["cum_distinct"] == 2
+    assert out[1]["total_chunks"] == 2 and out[1]["new_chunks"] == 1
+    assert out[1]["novelty_bp"] == 5000 and out[1]["cum_distinct"] == 3
+
+
+def test_dedup_novelty_plan_no_per_doc_window(spark):
+    """The only single-partition window runs over the batch histogram
+    (dim-sized); the heavy stages are combinable aggs — no Python, no
+    nested-loop join."""
+    from llogtail_spark.operators.corpus import dedup_novelty
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "concat('t u v w x', id % 40) AS text")
+    plan = dedup_novelty(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -279,3 +279,15 @@ def test_char_diversity_plan_scan_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_char_diversity_query_single_fold(spark):
+    """Regression pin: the driver-contract char_diversity query must
+    evaluate the sort+fold exactly once — a post-hoc
+    isNotNull(diversity_bp) filter gets pushed below the parallelism
+    exchange and re-inlines the whole aggregate (measured 2x)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["char_diversity"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("aggregate(array_sort") == 1, plan
