@@ -707,6 +707,14 @@ def _q_dedup_novelty(spark, sf):
     return dedup_novelty(_t(spark, sf, "documents"))
 
 
+def _q_oov_rate(spark, sf):
+    """Per-source OOV rate vs the corpus top-V vocab: combinable
+    (source, token) histogram + broadcast top-V membership join."""
+    from llogtail_spark.operators.corpus import oov_rate
+
+    return oov_rate(_t(spark, sf, "documents"))
+
+
 def _q_source_overlap(spark, sf):
     # cross-source contamination matrix at boilerplate-chunk
     # granularity: distinct shared chunks per source pair. Zero joins
@@ -1138,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "length_quantiles": _q_length_quantiles,
         "dedup_novelty": _q_dedup_novelty,
+        "oov_rate": _q_oov_rate,
         "context_chunks": _q_context_chunks,
         "token_fertility": _q_token_fertility,
         "char_diversity": _q_char_diversity,
@@ -1943,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _corpus_mod().span_dedup_sql(),
         "length_quantiles": _corpus_mod().length_quantiles_sql(),
         "dedup_novelty": _corpus_mod().dedup_novelty_sql(),
+        "oov_rate": _corpus_mod().oov_rate_sql(),
         "context_chunks": _corpus_mod().context_chunks_sql(),
         "token_fertility": _corpus_mod().token_fertility_sql(),
         "char_diversity": __import__(

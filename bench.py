@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "length_quantiles",
     "dedup_novelty",
+    "oov_rate",
     "context_chunks",
     "token_fertility",
     "char_diversity",

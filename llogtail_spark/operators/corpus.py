@@ -915,3 +915,80 @@ def dedup_novelty_sql(batch_docs: int = NOVELTY_BATCH_DOCS) -> str:
                    ORDER BY t.batch) AS BIGINT) AS cum_distinct
         FROM totals t LEFT JOIN news n ON t.batch = n.batch
     """
+
+
+def oov_rate(df: DataFrame, text_col: str = "text",
+             key_col: str = "source", top_v: int = TOP_VOCAB) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-V
+    vocabulary: the per-source coverage a tokenizer team checks
+    before freezing a vocab (a source whose oov_bp spikes is the one
+    the vocab under-serves). Returns (source, total_tokens,
+    oov_tokens, oov_bp) with integer bp arithmetic.
+
+    Scale shape (10^12 sequences): token occurrences collapse to a
+    (source, token) histogram first (map-side combinable — the Zipf
+    head combines per task); the vocab is a TakeOrdered top-V (never
+    a global vocabulary sort) and joins BROADCAST by construction
+    (V rows). One shuffle on the histogram key, one on the source dim.
+
+    Reference anchor: per-sink rolled-up counts split by membership
+    in a routed set (collector.go:125-174).
+    """
+    vocab = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("token"))
+        .limit(top_v)
+        .select("token", F.lit(1).alias("_in_v"))
+    )
+    hist = (
+        df.select(F.col(key_col),
+                  F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy(key_col, "token")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    joined = hist.join(F.broadcast(vocab), "token", "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(
+            F.sum("_n").cast("long").alias("total_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("_in_v").isNull(), F.col("_n"))),
+                F.lit(0),
+            ).cast("long").alias("oov_tokens"),
+        )
+        .select(
+            key_col, "total_tokens", "oov_tokens",
+            F.floor(F.col("oov_tokens") * 10000 / F.col("total_tokens"))
+            .cast("long").alias("oov_bp"),
+        )
+    )
+
+
+def oov_rate_sql(top_v: int = TOP_VOCAB) -> str:
+    """DuckDB twin of oov_rate: identical tokenization, top-V
+    tiebreak (n DESC, token ASC), and bp floor arithmetic."""
+    return f"""
+        WITH toks AS (
+            SELECT source,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        occ AS (SELECT source, unnest(t) AS token FROM toks),
+        vocab AS (
+            SELECT token FROM occ
+            GROUP BY token ORDER BY count(*) DESC, token LIMIT {top_v}),
+        hist AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS n
+            FROM occ GROUP BY source, token)
+        SELECT h.source,
+               CAST(sum(h.n) AS BIGINT) AS total_tokens,
+               CAST(coalesce(sum(CASE WHEN v.token IS NULL THEN h.n END), 0)
+                    AS BIGINT) AS oov_tokens,
+               CAST(floor(coalesce(sum(CASE WHEN v.token IS NULL THEN h.n END),
+                                   0) * 10000 / sum(h.n)) AS BIGINT) AS oov_bp
+        FROM hist h LEFT JOIN vocab v ON h.token = v.token
+        GROUP BY h.source
+    """

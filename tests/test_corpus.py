@@ -407,3 +407,40 @@ def test_dedup_novelty_plan_no_per_doc_window(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_oov_rate_hand_values(spark):
+    """With top_v=2 the vocab is the two most frequent tokens
+    (tiebreak: token ASC); rarer tokens count as OOV occurrences."""
+    from llogtail_spark.operators.corpus import oov_rate
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "aa aa aa bb bb cc"),   # vocab {aa,bb}; cc OOV
+            (2, "s2", "aa dd dd"),            # dd OOV x2
+            (3, "s3", "aa bb"),               # fully covered
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r.asDict()
+           for r in oov_rate(df, top_v=2).collect()}
+    assert out["s1"]["total_tokens"] == 6 and out["s1"]["oov_tokens"] == 1
+    assert out["s1"]["oov_bp"] == 1666
+    assert out["s2"]["oov_tokens"] == 2 and out["s2"]["oov_bp"] == 6666
+    assert out["s3"]["oov_tokens"] == 0 and out["s3"]["oov_bp"] == 0
+
+
+def test_oov_rate_plan_broadcast_vocab(spark):
+    """The vocab side must be a TakeOrdered top-k feeding a broadcast
+    join — no sort-merge shuffle of the histogram against the vocab,
+    no Python."""
+    from llogtail_spark.operators.corpus import oov_rate
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS doc_id", "concat('s', id % 4) AS source",
+        "concat('tok', id % 50, ' tok', id % 7) AS text")
+    plan = oov_rate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
