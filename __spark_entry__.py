@@ -715,6 +715,24 @@ def _q_oov_rate(spark, sf):
     return oov_rate(_t(spark, sf, "documents"))
 
 
+def _q_cohort_retention(spark, sf):
+    """Weekly cohort retention over the event stream: distinct
+    (user, week) grain, per-user cohort min, dim-sized rollup +
+    window; integer bp retention."""
+    from llogtail_spark.operators.telemetry import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+def _q_funnel_counts(spark, sf):
+    """Ordered funnel signup->view->click->purchase: one shuffle on
+    user, Catalyst HOF fold over each user's sorted events (greedy
+    earliest-advance == sequential-min chain)."""
+    from llogtail_spark.operators.telemetry import funnel_counts
+
+    return funnel_counts(_t(spark, sf, "events"))
+
+
 def _q_source_overlap(spark, sf):
     # cross-source contamination matrix at boilerplate-chunk
     # granularity: distinct shared chunks per source pair. Zero joins
@@ -1147,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "dedup_novelty": _q_dedup_novelty,
         "oov_rate": _q_oov_rate,
+        "cohort_retention": _q_cohort_retention,
+        "funnel_counts": _q_funnel_counts,
         "context_chunks": _q_context_chunks,
         "token_fertility": _q_token_fertility,
         "char_diversity": _q_char_diversity,
@@ -1953,6 +1973,14 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": _corpus_mod().length_quantiles_sql(),
         "dedup_novelty": _corpus_mod().dedup_novelty_sql(),
         "oov_rate": _corpus_mod().oov_rate_sql(),
+        "cohort_retention": __import__(
+            "llogtail_spark.operators.telemetry",
+            fromlist=["cohort_retention_sql"],
+        ).cohort_retention_sql(),
+        "funnel_counts": __import__(
+            "llogtail_spark.operators.telemetry",
+            fromlist=["funnel_counts_sql"],
+        ).funnel_counts_sql(),
         "context_chunks": _corpus_mod().context_chunks_sql(),
         "token_fertility": _corpus_mod().token_fertility_sql(),
         "char_diversity": __import__(

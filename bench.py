@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "length_quantiles",
     "dedup_novelty",
     "oov_rate",
+    "cohort_retention",
+    "funnel_counts",
     "context_chunks",
     "token_fertility",
     "char_diversity",

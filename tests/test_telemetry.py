@@ -1,0 +1,90 @@
+"""Cohort retention and ordered-funnel semantics, hand-computed."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(day, hour=0):
+    return datetime(2024, 1, day, hour)
+
+
+def test_cohort_retention_hand_values(spark):
+    """Two users cohorted in week 0 of Jan-2024, one returning the
+    next week; one user cohorted a week later. Weeks are epoch-week
+    indexes; retention bp is vs the offset-0 cohort size."""
+    from llogtail_spark.operators.telemetry import cohort_retention
+
+    # 2024-01-01 is a Monday; epoch weeks split on Thursdays (epoch
+    # day 0 = Thu 1970-01-01), so Jan 1-3 and Jan 4-10 are different
+    # epoch weeks. Use day 1 (week A), day 5 (week B), day 12 (week C).
+    rows = [
+        (1, _ts(1)), (1, _ts(1, 5)),   # u1 week A (dup same week)
+        (2, _ts(1)), (2, _ts(5)),      # u2 weeks A and B
+        (3, _ts(5)), (3, _ts(12)),     # u3 weeks B and C
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort_week"], r["week_offset"]): r
+           for r in cohort_retention(df).collect()}
+    wa = min(k[0] for k in out)
+    assert out[(wa, 0)]["n_users"] == 2
+    assert out[(wa, 0)]["retained_bp"] == 10000
+    assert out[(wa, 1)]["n_users"] == 1
+    assert out[(wa, 1)]["retained_bp"] == 5000
+    assert out[(wa + 1, 0)]["n_users"] == 1
+    assert out[(wa + 1, 1)]["n_users"] == 1
+
+
+def test_funnel_strict_ordering(spark):
+    """A step only counts strictly after the earliest chain: u1
+    completes all 4; u2's purchase precedes its click so it stalls at
+    click; u3 views before signing up and its only view is too early."""
+    from llogtail_spark.operators.telemetry import funnel_counts
+
+    rows = [
+        (1, "signup", _ts(1)), (1, "view", _ts(2)),
+        (1, "click", _ts(3)), (1, "purchase", _ts(4)),
+        (2, "signup", _ts(1)), (2, "view", _ts(2)),
+        (2, "purchase", _ts(3)), (2, "click", _ts(4)),
+        (3, "view", _ts(1)), (3, "signup", _ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["step"]: r.asDict() for r in funnel_counts(df).collect()}
+    assert out[1]["n_users"] == 3 and out[1]["step_type"] == "signup"
+    assert out[2]["n_users"] == 2
+    assert out[3]["n_users"] == 2   # u2 clicks after its view chain
+    assert out[4]["n_users"] == 1   # only u1's purchase follows click
+    assert out[2]["conv_bp"] == 6666 and out[4]["conv_bp"] == 3333
+
+
+def test_funnel_greedy_equals_sequential_min(spark):
+    """The greedy fold must equal the sequential-min chain even when
+    a LATER first-step event would enable a longer chain is not the
+    semantics: chain is anchored at the EARLIEST signup. u4's signup
+    at t5 is after its view at t1, and the chain anchored at its
+    first signup (t0) does catch the view at t1."""
+    from llogtail_spark.operators.telemetry import funnel_counts
+
+    rows = [
+        (4, "signup", _ts(1, 0)), (4, "view", _ts(1, 2)),
+        (4, "signup", _ts(1, 5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["step"]: r["n_users"] for r in funnel_counts(df).collect()}
+    assert out == {1: 1, 2: 1}
+
+
+def test_funnel_plan_no_python_no_join(spark):
+    """One shuffle on user + HOF fold: no Python eval, no join in the
+    plan (step counting is an explode, not a step-dim join)."""
+    from llogtail_spark.operators.telemetry import funnel_counts
+
+    df = spark.range(0, 1000).selectExpr(
+        "id % 50 AS user_id",
+        "element_at(array('signup','view','click','purchase'), "
+        "cast(id % 4 + 1 as int)) AS event_type",
+        "timestamp_seconds(1700000000 + id * 60) AS ts")
+    plan = funnel_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Join" not in plan
