@@ -84,6 +84,27 @@ SHOWCASE = [
      "groupBy(chunk) -> sorted source set -> HOF pair fan-out -> "
      "dim^2-sized combinable pair count. A self-join on chunk would "
      "shuffle the corpus twice."),
+    ("span_dedup",
+     "Exact span-level dedup: first-occurrence is a map-side-"
+     "combinable min(struct) agg (the hottest chunk combines per "
+     "task), NOT a row_number window over the chunk key; membership "
+     "join stays AQE-skew-eligible."),
+    ("char_diversity",
+     "Integer Gini-Simpson per doc: the ENTIRE arithmetic lives in "
+     "one HOF fold's finish lambda — exactly one aggregate(array_sort"
+     "(...)) in the plan (separate references would re-run the sort "
+     "per reference); ensure_parallelism restores the core floor "
+     "above the single-row-group scan."),
+    ("length_quantiles",
+     "Exact per-source length quantiles with NO global sort: the "
+     "cumulative window runs over the dim-sized (source, length) "
+     "histogram; the final per-source agg reuses the window's "
+     "partitioning — <=2 hash exchanges end to end."),
+    ("funnel_counts",
+     "Ordered funnel: one shuffle on user, Catalyst HOF fold over "
+     "each user's sorted events (greedy earliest-advance == the "
+     "sequential-min chain), per-step counts via a tiny sequence "
+     "explode — zero joins, zero Python."),
 ]
 
 
