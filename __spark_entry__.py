@@ -715,6 +715,16 @@ def _q_oov_rate(spark, sf):
     return oov_rate(_t(spark, sf, "documents"))
 
 
+def _q_unigram_surprisal(spark, sf):
+    """CCNet-style unigram-LM quality score in integer centibits per
+    token, with corpus-relative head/middle/tail terciles: combinable
+    token histogram (vocab + T reuse its exchange), broadcast top-V
+    join, map-side per-doc collapse, dim-sized tercile histogram."""
+    from llogtail_spark.operators.corpus import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf, "documents"))
+
+
 def _q_cohort_retention(spark, sf):
     """Weekly cohort retention over the event stream: distinct
     (user, week) grain, per-user cohort min, dim-sized rollup +
@@ -1165,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "dedup_novelty": _q_dedup_novelty,
         "oov_rate": _q_oov_rate,
+        "unigram_surprisal": _q_unigram_surprisal,
         "cohort_retention": _q_cohort_retention,
         "funnel_counts": _q_funnel_counts,
         "context_chunks": _q_context_chunks,
@@ -1973,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": _corpus_mod().length_quantiles_sql(),
         "dedup_novelty": _corpus_mod().dedup_novelty_sql(),
         "oov_rate": _corpus_mod().oov_rate_sql(),
+        "unigram_surprisal": _corpus_mod().unigram_surprisal_sql(),
         "cohort_retention": __import__(
             "llogtail_spark.operators.telemetry",
             fromlist=["cohort_retention_sql"],

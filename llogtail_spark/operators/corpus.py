@@ -992,3 +992,179 @@ def oov_rate_sql(top_v: int = TOP_VOCAB) -> str:
         FROM hist h LEFT JOIN vocab v ON h.token = v.token
         GROUP BY h.source
     """
+
+
+# Vocabulary size for the unigram-LM surprisal score. Larger than
+# TOP_VOCAB (coverage CDF granularity) because the LM wants most
+# running tokens in-vocab with a genuine OOV tail.
+SURPRISAL_VOCAB = 64
+
+
+def _bits(col) -> Column:
+    """Number of binary digits of a positive integer column —
+    floor(log2(x)) + 1 computed EXACTLY in the integer domain
+    (base-2 string length), so Spark and any oracle engine agree
+    bit-for-bit; float log2 can round differently across libm
+    implementations at power-of-two boundaries."""
+    return F.length(F.conv(col.cast("string"), 10, 2)).cast("int")
+
+
+def _elog8(col) -> Column:
+    """log2(x) in EIGHTH-bits by integer octave interpolation:
+    (bits(x)-1)*8 + floor(x*8 / 2^(bits(x)-1)) - 8. Exact for powers
+    of two, monotone, max error ~0.09 bit — and fully portable: the
+    only float op is division by a power of two, which is exact in
+    IEEE doubles in every engine (only the exponent changes). Whole-
+    bit granularity collapses all counts in an octave to one score;
+    eighth-bits discriminate within the octave."""
+    b = F.length(F.conv(col.cast("string"), 10, 2)).cast("long")
+    frac = F.floor(col * 8 / F.pow(F.lit(2.0), (b - 1).cast("double")))
+    return ((b - 1) * 8 + frac - 8).cast("long")
+
+
+def _elog8_sql(x: str) -> str:
+    """DuckDB twin of _elog8 (same exact integer/power-of-two ops)."""
+    b = f"length(to_base(CAST({x} AS BIGINT), 2))"
+    return (f"(({b} - 1) * 8 + CAST(floor(({x}) * 8 / power(2, {b} - 1)) "
+            f"AS BIGINT) - 8)")
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", src_col: str = "source",
+                      top_v: int = SURPRISAL_VOCAB) -> DataFrame:
+    """CCNet-style unigram-LM quality score: each document's mean
+    per-token surprisal against the corpus's own unigram
+    distribution, in integer centibits/token. CCNet buckets documents
+    by LM perplexity (head/middle/tail); the unigram LM is the
+    degenerate-but-deterministic member of that family, and the
+    integer eighth-bit arithmetic (surprisal(tok) = elog8(T) -
+    elog8(n_tok), octave-interpolated log2 — see _elog8) keeps the
+    score portable across engines — no libm log anywhere in the hot
+    path or the oracle.
+
+    OOV tokens (outside the top-V vocabulary) score as count=1
+    (maximum surprisal, elog8(1)=0) — the add-nothing analog of an
+    <unk> penalty. Returns one row per non-empty document:
+    (id, source, n_tokens, surprisal_cb, band) where surprisal_cb =
+    floor(100 * sum_surprisal_eighthbits / (8 * n_tokens)),
+    i.e. mean centibits/token, and band is CCNet's
+    head/middle/tail: corpus-relative surprisal TERCILES (head =
+    lowest third = most fluent under the LM), computed exactly over
+    the dim-sized centibit histogram — never a global percentile sort
+    (cb domain is bounded by 100 * bits(T), so the cumulative window
+    runs over <= a few thousand rows, same justification as
+    length_quantiles).
+
+    Scale shape (10^12 sequences): the token histogram is one
+    map-side-combinable agg (Zipf head combines per task); vocab =
+    TakeOrdered top-V off it and T = sum over it — BOTH consume the
+    same groupBy(token) exchange (AQE's final plan carries 3
+    ReusedExchange nodes — pinned in test_corpus.py). The per-doc pass broadcast-joins exploded tokens to
+    the V-row vocab (zero corpus shuffle) and aggregates on the id;
+    a document's tokens are born co-partitioned with their input row,
+    so the partial agg collapses each doc map-side and only the
+    per-doc result rows reach the one exchange. In production the
+    vocab/T pair would be computed once and pinned as a tiny
+    broadcast table rather than re-derived per query.
+
+    Reference anchor: per-item cost scoring before the route decision
+    (log_watcher.go:97-126 decides per work item from cheap identity
+    stats; here the stat is the corpus-frequency surprisal).
+    """
+    toks = df.select(
+        F.col(id_col), F.col(src_col),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    )
+    hist = toks.groupBy("token").agg(F.count("*").alias("_n"))
+    vocab = (
+        hist.orderBy(F.desc("_n"), F.asc("token"))
+        .limit(top_v)
+        .select("token", _elog8(F.col("_n")).alias("_e_n"))
+    )
+    total = hist.select(_elog8(F.sum("_n")).alias("_e_t"))
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col, src_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_e_n"), F.lit(0)))
+            .cast("long").alias("_sum_e_n"),
+        )
+    )
+    cb = F.floor(
+        (F.col("n_tokens") * F.col("_e_t") - F.col("_sum_e_n"))
+        * 100 / (F.col("n_tokens") * 8)
+    ).cast("long")
+    scored = per_doc.crossJoin(F.broadcast(total)).select(
+        id_col, src_col, "n_tokens", cb.alias("surprisal_cb"),
+    )
+    # Tercile cutoffs over the bounded cb histogram: smallest cb with
+    # cum*3 >= N (== cum >= N/3 in exact integer arithmetic) and with
+    # cum*3 >= 2N. Two dim-sized aggs + a 1-row broadcast back.
+    w_cum = Window.orderBy("surprisal_cb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy("surprisal_cb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = (
+        scored.groupBy("surprisal_cb").agg(F.count("*").alias("_c"))
+        .select("surprisal_cb", F.sum("_c").over(w_cum).alias("_cum"),
+                F.sum("_c").over(w_all).alias("_n"))
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("_cum") * 3 >= F.col("_n"),
+                     F.col("surprisal_cb"))).alias("_p33"),
+        F.min(F.when(F.col("_cum") * 3 >= 2 * F.col("_n"),
+                     F.col("surprisal_cb"))).alias("_p67"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        id_col, src_col, "n_tokens", "surprisal_cb",
+        F.when(F.col("surprisal_cb") <= F.col("_p33"), F.lit("head"))
+        .when(F.col("surprisal_cb") > F.col("_p67"), F.lit("tail"))
+        .otherwise(F.lit("middle")).alias("band"),
+    )
+
+
+def unigram_surprisal_sql(top_v: int = SURPRISAL_VOCAB) -> str:
+    """DuckDB twin of unigram_surprisal: identical tokenization,
+    top-V tiebreak, and exact base-2-digit-count arithmetic
+    (to_base(n, 2) == Spark's conv(n, 10, 2))."""
+    return f"""
+        WITH occ AS (
+            SELECT doc_id, source, unnest(
+                list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '{WS_CLASS}'),
+                            x -> x <> '')) AS token
+            FROM documents),
+        hist AS (SELECT token, count(*) AS n FROM occ GROUP BY token),
+        vocab AS (
+            SELECT token, {_elog8_sql('n')} AS e_n
+            FROM hist ORDER BY n DESC, token LIMIT {top_v}),
+        tot AS (
+            SELECT {_elog8_sql('CAST(sum(n) AS BIGINT)')} AS e_t
+            FROM hist),
+        per_doc AS (
+            SELECT o.doc_id, o.source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(coalesce(v.e_n, 0)) AS BIGINT) AS sum_e_n
+            FROM occ o LEFT JOIN vocab v ON o.token = v.token
+            GROUP BY o.doc_id, o.source),
+        scored AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor((n_tokens * e_t - sum_e_n) * 100
+                              / (n_tokens * 8)) AS BIGINT) AS surprisal_cb
+            FROM per_doc, tot),
+        cum AS (
+            SELECT surprisal_cb,
+                   sum(count(*)) OVER (ORDER BY surprisal_cb) AS c,
+                   sum(count(*)) OVER () AS n
+            FROM scored GROUP BY surprisal_cb),
+        cuts AS (
+            SELECT min(CASE WHEN c * 3 >= n THEN surprisal_cb END) AS p33,
+                   min(CASE WHEN c * 3 >= 2 * n THEN surprisal_cb END) AS p67
+            FROM cum)
+        SELECT doc_id, source, n_tokens, surprisal_cb,
+               CASE WHEN surprisal_cb <= p33 THEN 'head'
+                    WHEN surprisal_cb > p67 THEN 'tail'
+                    ELSE 'middle' END AS band
+        FROM scored, cuts
+    """

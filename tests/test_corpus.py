@@ -444,3 +444,51 @@ def test_oov_rate_plan_broadcast_vocab(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_unigram_surprisal_hand_values(spark):
+    """Crafted corpus: 'aa' x8, 'bb' x4, 'zz' x1 (OOV with top_v=2).
+    T=13 -> elog8(13)=29; elog8(8)=24, elog8(4)=16, OOV=0. Per-token
+    surprisal: aa=5/8 bit, bb=13/8 bit, zz=29/8 bit. Terciles over
+    the 3-doc cb histogram split head/middle/tail one doc each."""
+    from llogtail_spark.operators.corpus import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", "aa aa aa aa aa aa aa aa"),  # 8 aa
+            (2, "s", "bb bb bb bb"),              # 4 bb
+            (3, "s", "zz"),                       # 1 zz (OOV)
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in unigram_surprisal(df, top_v=2).collect()}
+    # doc1: floor(100*8*5 / (8*8)) = 62 cb
+    assert out[1]["surprisal_cb"] == 62 and out[1]["band"] == "head"
+    # doc2: floor(100*4*13 / (8*4)) = 162 cb
+    assert out[2]["surprisal_cb"] == 162 and out[2]["band"] == "middle"
+    # doc3 (OOV): floor(100*1*29 / (8*1)) = 362 cb
+    assert out[3]["surprisal_cb"] == 362 and out[3]["band"] == "tail"
+    assert out[1]["n_tokens"] == 8
+
+
+def test_unigram_surprisal_plan(spark):
+    """Vocab is TakeOrdered top-V feeding broadcast joins; the corpus
+    side never sort-merge shuffles on the token key; no Python; and
+    the token histogram exchange is planned once for vocab + T
+    (ReusedExchange) rather than re-aggregating the corpus."""
+    from llogtail_spark.operators.corpus import unigram_surprisal
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS doc_id", "concat('s', id % 4) AS source",
+        "concat('tok', id % 50, ' tok', id % 7, ' tok', id % 3) AS text")
+    out = unigram_surprisal(df)
+    out.collect()  # AQE: exchange reuse appears in the FINAL plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("ReusedExchange") >= 1, \
+        "vocab and T must share the token-histogram exchange"

@@ -100,6 +100,12 @@ SHOWCASE = [
      "cumulative window runs over the dim-sized (source, length) "
      "histogram; the final per-source agg reuses the window's "
      "partitioning — <=2 hash exchanges end to end."),
+    ("unigram_surprisal",
+     "CCNet-style unigram-LM quality score, integer eighth-bit "
+     "arithmetic: one combinable token histogram feeds BOTH the "
+     "top-V vocab (TakeOrdered) and T (ReusedExchange at runtime); "
+     "per-doc scoring is a broadcast join + map-side collapse; "
+     "terciles run over the dim-sized centibit histogram."),
     ("funnel_counts",
      "Ordered funnel: one shuffle on user, Catalyst HOF fold over "
      "each user's sorted events (greedy earliest-advance == the "
