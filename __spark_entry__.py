@@ -725,6 +725,25 @@ def _q_unigram_surprisal(spark, sf):
     return unigram_surprisal(_t(spark, sf, "documents"))
 
 
+def _q_corpus_diff(spark, sf):
+    """Recrawl snapshot audit: FULL OUTER sort-merge join of two
+    corpus versions on the unique doc id, comparing md5 fingerprints
+    (exchanges carry 16-byte digests, never bodies). Versions are
+    synthesized deterministically: old drops id%9==0 ('newly
+    crawled'), new drops id%7==0 ('removed') and amends id%5==0."""
+    from llogtail_spark.operators.corpus import corpus_diff
+
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 9 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" [amended]")))
+        .otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 def _q_cohort_retention(spark, sf):
     """Weekly cohort retention over the event stream: distinct
     (user, week) grain, per-user cohort min, dim-sized rollup +
@@ -1176,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_novelty": _q_dedup_novelty,
         "oov_rate": _q_oov_rate,
         "unigram_surprisal": _q_unigram_surprisal,
+        "corpus_diff": _q_corpus_diff,
         "cohort_retention": _q_cohort_retention,
         "funnel_counts": _q_funnel_counts,
         "context_chunks": _q_context_chunks,
@@ -1985,6 +2005,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_novelty": _corpus_mod().dedup_novelty_sql(),
         "oov_rate": _corpus_mod().oov_rate_sql(),
         "unigram_surprisal": _corpus_mod().unigram_surprisal_sql(),
+        "corpus_diff": _corpus_mod().corpus_diff_sql(),
         "cohort_retention": __import__(
             "llogtail_spark.operators.telemetry",
             fromlist=["cohort_retention_sql"],

@@ -1168,3 +1168,66 @@ def unigram_surprisal_sql(top_v: int = SURPRISAL_VOCAB) -> str:
                     ELSE 'middle' END AS band
         FROM scored, cuts
     """
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                src_col: str = "source") -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit step of
+    an incremental recrawl pipeline ("what did this month's crawl
+    add/remove/rewrite?"). Returns one row per document present in
+    EITHER version: (id, source, status) with status in
+    added / removed / changed / unchanged.
+
+    Scale shape (10^12 docs/side): each side is projected to
+    (id, source, md5-fingerprint) BEFORE the join, so the exchanges
+    carry 16-byte digests, never document bodies (ReadSchema still
+    includes text for the digest, but nothing wide crosses the wire).
+    The FULL OUTER join runs sort-merge on the unique id — no skew by
+    construction, AQE-planned. In production the two snapshots would
+    be bucketed by id on write (sources/reader.py bucketed tables),
+    making the diff a zero-exchange co-located merge.
+
+    Reference anchor: rotation detection compares the stored identity
+    of a path against its current identity to classify it as
+    same/rotated/new (log_watcher.go:228-261); this is the same
+    three-way identity compare lifted to corpus snapshots, plus the
+    'removed' case the watcher handles via vanish events.
+    """
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    o = old.select(F.col(id_col), F.col(src_col).alias("_src_o"),
+                   fp.alias("_fp_o"))
+    n = new.select(F.col(id_col), F.col(src_col).alias("_src_n"),
+                   fp.alias("_fp_n"))
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.coalesce("_src_n", "_src_o").alias(src_col),
+        F.when(F.col("_fp_o").isNull(), F.lit("added"))
+        .when(F.col("_fp_n").isNull(), F.lit("removed"))
+        .when(F.col("_fp_o") == F.col("_fp_n"), F.lit("unchanged"))
+        .otherwise(F.lit("changed")).alias("status"),
+    )
+
+
+def corpus_diff_sql() -> str:
+    """DuckDB twin of corpus_diff over the same synthetic version
+    pair the queries() wrapper builds (old drops id%9==0, new drops
+    id%7==0 and amends id%5==0 — ASCII append, portable)."""
+    return """
+        WITH v_old AS (
+            SELECT doc_id, source, md5(coalesce(text, '')) AS fp
+            FROM documents WHERE doc_id % 9 <> 0),
+        v_new AS (
+            SELECT doc_id, source,
+                   md5(coalesce(CASE WHEN doc_id % 5 = 0
+                                     THEN text || ' [amended]'
+                                     ELSE text END, '')) AS fp
+            FROM documents WHERE doc_id % 7 <> 0)
+        SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+               coalesce(n.source, o.source) AS source,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM v_old o FULL OUTER JOIN v_new n USING (doc_id)
+    """

@@ -492,3 +492,45 @@ def test_unigram_surprisal_plan(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("ReusedExchange") >= 1, \
         "vocab and T must share the token-histogram exchange"
+
+
+def test_corpus_diff_hand_values(spark):
+    """Four-way classification: present-only-in-new = added,
+    only-in-old = removed, fingerprint equal = unchanged, else
+    changed. NULL text hashes as ''."""
+    from llogtail_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "s", "same"), (2, "s", "before"), (3, "s", "gone"),
+         (5, "s", None)],
+        "doc_id long, source string, text string")
+    new = spark.createDataFrame(
+        [(1, "s", "same"), (2, "s", "after"), (4, "s", "fresh"),
+         (5, "s", None)],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "unchanged"}
+
+
+def test_corpus_diff_plan_digest_only_exchange(spark):
+    """The FULL OUTER join must be a sort-merge on the id with only
+    (id, source, fingerprint) crossing the exchanges — no document
+    body column in the exchange output, no Python, no nested loop."""
+    from llogtail_spark.operators.corpus import corpus_diff
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS doc_id", "'s' AS source",
+        "repeat('body ', 20) AS text")
+    out = corpus_diff(df.filter("doc_id % 2 = 0"),
+                      df.filter("doc_id % 3 = 0"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # the join keys/buffers must be digests, not text: no reference
+    # to the text column survives above the scan's md5 projection
+    import re
+    exchanges = re.findall(r"Exchange hashpartitioning\([^\n]*", plan)
+    assert exchanges and all("text" not in e for e in exchanges)
