@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "context_chunks",
     "token_fertility",
     "char_diversity",
+    "unigram_surprisal",
+    "corpus_diff",
 ]
 
 

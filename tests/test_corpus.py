@@ -534,3 +534,27 @@ def test_corpus_diff_plan_digest_only_exchange(spark):
     import re
     exchanges = re.findall(r"Exchange hashpartitioning\([^\n]*", plan)
     assert exchanges and all("text" not in e for e in exchanges)
+
+
+def test_corpus_diff_bucketed_is_exchange_free(spark, tmp_path):
+    """The production claim in corpus_diff's docstring: two snapshots
+    bucketed by doc_id at write time make the FULL OUTER diff a
+    zero-Exchange co-located sort-merge."""
+    from llogtail_spark.operators.corpus import corpus_diff
+    from llogtail_spark.sources.reader import write_bucketed
+
+    docs = spark.range(0, 4000).selectExpr(
+        "id AS doc_id", "'s' AS source", "concat('body ', id) AS text")
+    write_bucketed(docs.filter("doc_id % 2 = 0"), "t_snap_old",
+                   "doc_id", 4, path=str(tmp_path / "o"))
+    write_bucketed(docs.filter("doc_id % 3 = 0"), "t_snap_new",
+                   "doc_id", 4, path=str(tmp_path / "n"))
+    try:
+        out = corpus_diff(spark.table("t_snap_old").hint("merge"),
+                          spark.table("t_snap_new"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "FullOuter" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_snap_old")
+        spark.sql("DROP TABLE IF EXISTS t_snap_new")
