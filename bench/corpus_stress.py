@@ -161,6 +161,53 @@ def main() -> None:
             lambda: corpus_shuffle_shards(dfs["full"])
             .write.mode("overwrite").format("noop").save()
         )
+
+        # unigram surprisal: two token explodes (vocab+T / per-doc
+        # scoring) + broadcast join + dim-sized terciles; half/full
+        # ratio near 2.0 == linear in the corpus
+        from llogtail_spark.operators.corpus import (
+            corpus_diff,
+            unigram_surprisal,
+        )
+
+        def with_src(df):  # the stress fixture has no source column
+            return df.withColumn(
+                "source", F.concat(F.lit("s"), F.col("doc_id") % 5))
+
+        def run_surprisal(df):
+            return (
+                unigram_surprisal(with_src(df))
+                .write.mode("overwrite").format("noop").save()
+            )
+
+        out["surprisal_half_sec"] = timed(lambda: run_surprisal(dfs["half"]))
+        out["surprisal_full_sec"] = timed(lambda: run_surprisal(dfs["full"]))
+        out["surprisal_scale_ratio"] = round(
+            out["surprisal_full_sec"] / max(out["surprisal_half_sec"], 1e-9),
+            2,
+        )
+
+        # snapshot diff at N docs/side: FULL OUTER SMJ on digests —
+        # the synthetic version pair mirrors the queries() wrapper
+        def run_diff(df):
+            df = with_src(df)
+            old = df.filter(F.col("doc_id") % 9 != 0)
+            new = df.filter(F.col("doc_id") % 7 != 0).withColumn(
+                "text",
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.col("text"), F.lit(" [amended]")))
+                .otherwise(F.col("text")),
+            )
+            return (
+                corpus_diff(old, new)
+                .write.mode("overwrite").format("noop").save()
+            )
+
+        out["diff_half_sec"] = timed(lambda: run_diff(dfs["half"]))
+        out["diff_full_sec"] = timed(lambda: run_diff(dfs["full"]))
+        out["diff_scale_ratio"] = round(
+            out["diff_full_sec"] / max(out["diff_half_sec"], 1e-9), 2
+        )
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -106,6 +106,11 @@ SHOWCASE = [
      "top-V vocab (TakeOrdered) and T (ReusedExchange at runtime); "
      "per-doc scoring is a broadcast join + map-side collapse; "
      "terciles run over the dim-sized centibit histogram."),
+    ("corpus_diff",
+     "Recrawl snapshot diff: FULL OUTER sort-merge join on the "
+     "unique doc id; exchanges carry (id, source, md5 digest) only — "
+     "document bodies never cross the wire. Bucketed snapshots make "
+     "it zero-Exchange (pinned in test_corpus.py)."),
     ("funnel_counts",
      "Ordered funnel: one shuffle on user, Catalyst HOF fold over "
      "each user's sorted events (greedy earliest-advance == the "
