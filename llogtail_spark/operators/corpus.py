@@ -854,7 +854,12 @@ def dedup_novelty(df: DataFrame, text_col: str = "text",
     chunks = doc_chunks(df, text_col, id_col)
     cd = (
         chunks.select(
-            (F.col(id_col) / batch_docs).cast("long").alias("batch"),
+            # exact floor division on longs (matches DuckDB's `//`):
+            # subtract the non-negative pmod remainder, then integral DIV
+            # is exact — no double rounding beyond 2^53, correct for
+            # negative ids where a truncating cast would round toward 0.
+            F.expr(f"({id_col} - pmod({id_col}, {batch_docs})) "
+                   f"DIV {batch_docs}").alias("batch"),
             "chunk",
         )
         .distinct()
@@ -925,28 +930,30 @@ def oov_rate(df: DataFrame, text_col: str = "text",
     the vocab under-serves). Returns (source, total_tokens,
     oov_tokens, oov_bp) with integer bp arithmetic.
 
-    Scale shape (10^12 sequences): token occurrences collapse to a
-    (source, token) histogram first (map-side combinable — the Zipf
-    head combines per task); the vocab is a TakeOrdered top-V (never
-    a global vocabulary sort) and joins BROADCAST by construction
-    (V rows). One shuffle on the histogram key, one on the source dim.
+    Scale shape (10^12 sequences): the corpus is tokenized and
+    exploded ONCE into the (source, token) histogram (map-side
+    combinable — the Zipf head combines per task); the vocab is
+    derived FROM that histogram (sum over sources, then TakeOrdered
+    top-V — the second agg runs over dim-sized histogram rows, never
+    a second corpus pass, and the shared hist exchange is AQE-reused
+    across both branches) and joins BROADCAST by construction
+    (V rows). One corpus shuffle total, one on the source dim.
 
     Reference anchor: per-sink rolled-up counts split by membership
     in a routed set (collector.go:125-174).
     """
-    vocab = (
-        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("_n"))
-        .orderBy(F.desc("_n"), F.asc("token"))
-        .limit(top_v)
-        .select("token", F.lit(1).alias("_in_v"))
-    )
     hist = (
         df.select(F.col(key_col),
                   F.explode(_tokens(F.col(text_col))).alias("token"))
         .groupBy(key_col, "token")
         .agg(F.count("*").cast("long").alias("_n"))
+    )
+    vocab = (
+        hist.groupBy("token")
+        .agg(F.sum("_n").alias("_tot"))
+        .orderBy(F.desc("_tot"), F.asc("token"))
+        .limit(top_v)
+        .select("token", F.lit(1).alias("_in_v"))
     )
     joined = hist.join(F.broadcast(vocab), "token", "left")
     return (
@@ -1017,7 +1024,7 @@ def _elog8(col) -> Column:
     IEEE doubles in every engine (only the exponent changes). Whole-
     bit granularity collapses all counts in an octave to one score;
     eighth-bits discriminate within the octave."""
-    b = F.length(F.conv(col.cast("string"), 10, 2)).cast("long")
+    b = _bits(col).cast("long")
     frac = F.floor(col * 8 / F.pow(F.lit(2.0), (b - 1).cast("double")))
     return ((b - 1) * 8 + frac - 8).cast("long")
 

@@ -351,7 +351,8 @@ def ivf_topk(
     cents = (
         centroids
         if centroids is not None
-        else rounded_centroids(dim, n_cells, seed, decimals or 6)
+        else rounded_centroids(dim, n_cells, seed,
+                                6 if decimals is None else decimals)
     )
     assign1 = make_cell_udf(cents, 1)
     probe_udf = make_cell_udf(cents, nprobe)
@@ -480,7 +481,8 @@ def semantic_dedup(
     cents = (
         centroids
         if centroids is not None
-        else rounded_centroids(dim, n_cells, seed, decimals or 6)
+        else rounded_centroids(dim, n_cells, seed,
+                                6 if decimals is None else decimals)
     )
     assign1 = make_cell_udf(cents, 1)
     base = emb.select(

@@ -1,5 +1,6 @@
 """Text-analysis function units vs hand-computed values."""
 
+import os
 import pytest
 from pyspark.sql import functions as F
 
@@ -288,6 +289,8 @@ def test_char_diversity_query_single_fold(spark):
     exchange and re-inlines the whole aggregate (measured 2x)."""
     import __spark_entry__ as entry
 
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata fixture not present")
     df = entry.queries()["char_diversity"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("aggregate(array_sort") == 1, plan
