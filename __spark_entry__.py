@@ -715,6 +715,15 @@ def _q_oov_rate(spark, sf):
     return oov_rate(_t(spark, sf, "documents"))
 
 
+def _q_bpe_merges(spark, sf):
+    """First BPE induction pass: adjacent char-pair counts weighted by
+    word frequency — corpus collapses to the word histogram once, pair
+    generation runs over distinct words only (dim-sized)."""
+    from llogtail_spark.operators.corpus import bpe_merges
+
+    return bpe_merges(_t(spark, sf, "documents"))
+
+
 def _q_unigram_surprisal(spark, sf):
     """CCNet-style unigram-LM quality score in integer centibits per
     token, with corpus-relative head/middle/tail terciles: combinable
@@ -1194,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "dedup_novelty": _q_dedup_novelty,
         "oov_rate": _q_oov_rate,
+        "bpe_merges": _q_bpe_merges,
         "unigram_surprisal": _q_unigram_surprisal,
         "corpus_diff": _q_corpus_diff,
         "cohort_retention": _q_cohort_retention,
@@ -2004,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": _corpus_mod().length_quantiles_sql(),
         "dedup_novelty": _corpus_mod().dedup_novelty_sql(),
         "oov_rate": _corpus_mod().oov_rate_sql(),
+        "bpe_merges": _corpus_mod().bpe_merges_sql(),
         "unigram_surprisal": _corpus_mod().unigram_surprisal_sql(),
         "corpus_diff": _corpus_mod().corpus_diff_sql(),
         "cohort_retention": __import__(

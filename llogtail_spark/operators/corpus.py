@@ -1001,6 +1001,85 @@ def oov_rate_sql(top_v: int = TOP_VOCAB) -> str:
     """
 
 
+# Top-K merge candidates reported by the BPE induction pass.
+BPE_TOP_PAIRS = 40
+
+
+def bpe_merges(df: DataFrame, text_col: str = "text",
+               top_k: int = BPE_TOP_PAIRS) -> DataFrame:
+    """First iteration of BPE vocabulary induction at corpus scale:
+    count adjacent character-pair occurrences (every occurrence, the
+    classic BPE statistic — "aaa" contributes "aa" twice), weighted
+    by word frequency, and return the top-K merge candidates
+    (pair, n_pair) — the job a tokenizer team runs over the full
+    corpus before each merge is frozen.
+
+    Scale shape (10^12 sequences): the corpus collapses to the WORD
+    histogram first (one map-side-combinable agg — the Zipf head
+    combines per task, same shape as oov_rate); pair generation then
+    runs over DISTINCT words only (dim-sized — vocabulary, not
+    corpus), weighted by the word count, so the second explode+agg
+    touches ~10^6 rows regardless of corpus size. Top-K is a
+    TakeOrdered (never a global sort). Zero Python: the per-word pair
+    array is a Catalyst transform whose lambda body is one substr per
+    element (O(1) — no re-evaluated regexp, the _word_grams_udf
+    pitfall does not apply).
+
+    Reference anchor: rolled-up identity counts drive the ship
+    decision (collector.go:125-174); here the identity is the
+    character pair and the decision is the next merge.
+    """
+    hist = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    # sequence(1, 0) would generate a DESCENDING [1, 0] for 1-char
+    # words — guard to an empty array instead.
+    idx = F.when(
+        F.length("w") >= 2,
+        F.sequence(F.lit(1), F.length("w") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = hist.select(
+        F.explode(
+            F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair"),
+        "_n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("_n").cast("long").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
+def bpe_merges_sql(top_k: int = BPE_TOP_PAIRS) -> str:
+    """DuckDB twin of bpe_merges: identical tokenization, 1-indexed
+    character substring pairs over the word histogram, weighted sum,
+    (n DESC, pair ASC) tiebreak. UTF-8 binary string order on the
+    tiebreak matches Spark's UTF8String comparison (byte order ==
+    code-point order)."""
+    return f"""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        occ AS (SELECT unnest(t) AS w FROM toks),
+        hist AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                 FROM occ GROUP BY w),
+        pairs AS (
+            SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, n
+            FROM hist,
+                 LATERAL (SELECT unnest(range(1, length(w))) AS i)
+            WHERE length(w) >= 2)
+        SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair
+        FROM pairs GROUP BY pair
+        ORDER BY n_pair DESC, pair LIMIT {top_k}
+    """
+
+
 # Vocabulary size for the unigram-LM surprisal score. Larger than
 # TOP_VOCAB (coverage CDF granularity) because the LM wants most
 # running tokens in-vocab with a genuine OOV tail.

@@ -494,6 +494,73 @@ def test_unigram_surprisal_plan(spark):
         "vocab and T must share the token-histogram exchange"
 
 
+def test_oov_rate_plan_single_corpus_pass(spark):
+    """The corpus is exploded into the (source, token) histogram ONCE:
+    the top-V vocab branch must consume a ReusedExchange of that
+    histogram (it is derived from hist, not from a second corpus
+    explode), feed a TakeOrdered (never a global vocab sort), and join
+    broadcast. Pins the fix for the double-corpus-pass defect."""
+    from llogtail_spark.operators.corpus import oov_rate
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS doc_id", "concat('s', id % 4) AS source",
+        "concat('tok', id % 50, ' tok', id % 7, ' tok', id % 3) AS text")
+    out = oov_rate(df)
+    out.collect()  # AQE: exchange reuse appears in the FINAL plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+    assert plan.count("ReusedExchange") >= 1, \
+        "vocab must reuse the (source, token) histogram exchange"
+
+
+def test_bpe_merges_hand_values(spark):
+    """Classic BPE pair statistic: every occurrence counts ("aaa"
+    contributes "aa" twice), weighted by word frequency; 1-char words
+    contribute nothing; ties break pair-ascending."""
+    from llogtail_spark.operators.corpus import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "aaa bb x"), (2, "aaa"), (3, None), (4, "")],
+        "doc_id long, text string")
+    out = {r["pair"]: r["n_pair"] for r in bpe_merges(df).collect()}
+    # hist: aaa->2, bb->1, x->1; aaa yields aa twice per occurrence
+    assert out == {"aa": 4, "bb": 1}
+
+
+def test_bpe_merges_topk_tiebreak(spark):
+    """Boundary ties resolve by pair ASC in both engines."""
+    from llogtail_spark.operators.corpus import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "zz yy xx ww")], "doc_id long, text string")
+    got = [r["pair"] for r in bpe_merges(df, top_k=2).collect()]
+    assert got == ["ww", "xx"]
+
+
+def test_bpe_merges_plan_histogram_first(spark):
+    """The pair explode runs over the word HISTOGRAM (post-agg,
+    dim-sized), never over corpus rows: exactly two Generates (token
+    explode feeding the hist agg, pair explode above it), a
+    TakeOrdered top-k, no global Sort, no Python, no join."""
+    from llogtail_spark.operators.corpus import bpe_merges
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "concat('tok', id % 40, ' tok', id % 7) AS text")
+    out = bpe_merges(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+    assert "Join" not in plan
+    # AQE's toString appends the initial plan below the final one —
+    # count Generates in the executed (final) section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 2, plan
+
+
 def test_corpus_diff_hand_values(spark):
     """Four-way classification: present-only-in-new = added,
     only-in-old = removed, fingerprint equal = unchanged, else
