@@ -715,6 +715,14 @@ def _q_oov_rate(spark, sf):
     return oov_rate(_t(spark, sf, "documents"))
 
 
+def _q_corpus_profile(spark, sf):
+    """Dataset-card rollup: one-pass (source, lang) profile with
+    subtotals — every agg map-side combinable, no explode."""
+    from llogtail_spark.operators.corpus import corpus_profile
+
+    return corpus_profile(_t(spark, sf, "documents"))
+
+
 def _q_bpe_merges(spark, sf):
     """First BPE induction pass: adjacent char-pair counts weighted by
     word frequency — corpus collapses to the word histogram once, pair
@@ -1204,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_novelty": _q_dedup_novelty,
         "oov_rate": _q_oov_rate,
         "bpe_merges": _q_bpe_merges,
+        "corpus_profile": _q_corpus_profile,
         "unigram_surprisal": _q_unigram_surprisal,
         "corpus_diff": _q_corpus_diff,
         "cohort_retention": _q_cohort_retention,
@@ -2015,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_novelty": _corpus_mod().dedup_novelty_sql(),
         "oov_rate": _corpus_mod().oov_rate_sql(),
         "bpe_merges": _corpus_mod().bpe_merges_sql(),
+        "corpus_profile": _corpus_mod().corpus_profile_sql(),
         "unigram_surprisal": _corpus_mod().unigram_surprisal_sql(),
         "corpus_diff": _corpus_mod().corpus_diff_sql(),
         "cohort_retention": __import__(

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "token_budget_select",
     "corpus_shuffle_shards",
     "vocab_coverage",
+    "bpe_merges",
+    "corpus_profile",
     "source_overlap",
     "span_dedup",
     "length_quantiles",

@@ -1080,6 +1080,83 @@ def bpe_merges_sql(top_k: int = BPE_TOP_PAIRS) -> str:
     """
 
 
+# Docs under this many whitespace tokens count as "short" in the
+# corpus profile (the too-short-to-train-on share of the card).
+PROFILE_SHORT_TOKENS = 10
+
+
+def corpus_profile(df: DataFrame, text_col: str = "text",
+                   src_col: str = "source", lang_col: str = "lang",
+                   short_tokens: int = PROFILE_SHORT_TOKENS) -> DataFrame:
+    """Dataset-card rollup: the one-pass (source, lang) profile a data
+    team publishes with a corpus release — doc counts, token and char
+    totals, mean tokens/doc, and the too-short share — with per-source
+    subtotals and a grand total (ROLLUP). All integer arithmetic
+    (x100 / basis points), exact cross-engine.
+
+    Scale shape (10^12 sequences): ONE corpus scan; every agg is
+    map-side combinable (count/sum/conditional sum over a per-row
+    token count — no explode, no distinct); ROLLUP adds dim-sized
+    subtotal work after the partial agg, and the group-key domain
+    (sources × langs) is dim-sized, so the single exchange carries
+    only partial-agg rows. Reference anchor: per-sink rolled-up
+    row/token/byte counts in the committed manifest
+    (collector.go:125-174).
+    """
+    ntok = F.size(_tokens(F.col(text_col)))
+    base = df.select(
+        F.coalesce(F.col(src_col), F.lit("")).alias("_src"),
+        F.coalesce(F.col(lang_col), F.lit("")).alias("_lang"),
+        ntok.alias("_ntok"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_nchar"),
+    )
+    return (
+        base.rollup("_src", "_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_ntok").cast("long").alias("n_tokens"),
+            F.sum("_nchar").cast("long").alias("n_chars"),
+            F.sum(F.when(F.col("_ntok") < short_tokens, 1).otherwise(0))
+            .cast("long").alias("n_short"),
+        )
+        .select(
+            F.coalesce("_src", F.lit("ALL")).alias("source"),
+            F.coalesce("_lang", F.lit("ALL")).alias("lang"),
+            "n_docs", "n_tokens", "n_chars",
+            F.floor(F.col("n_tokens") * 100 / F.col("n_docs"))
+            .cast("long").alias("avg_tok_x100"),
+            F.floor(F.col("n_short") * 10000 / F.col("n_docs"))
+            .cast("long").alias("short_bp"),
+        )
+    )
+
+
+def corpus_profile_sql(short_tokens: int = PROFILE_SHORT_TOKENS) -> str:
+    """DuckDB twin of corpus_profile: identical tokenization, ROLLUP
+    grouping, and integer x100/bp arithmetic."""
+    return f"""
+        WITH base AS (
+            SELECT coalesce(source, '') AS src,
+                   coalesce(lang, '') AS lng,
+                   len(list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '{WS_CLASS}'),
+                       x -> x <> '')) AS ntok,
+                   length(coalesce(text, '')) AS nchar
+            FROM documents)
+        SELECT coalesce(src, 'ALL') AS source,
+               coalesce(lng, 'ALL') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(nchar) AS BIGINT) AS n_chars,
+               CAST(floor(sum(ntok) * 100 / count(*)) AS BIGINT)
+                   AS avg_tok_x100,
+               CAST(floor(sum(CASE WHEN ntok < {short_tokens}
+                                   THEN 1 ELSE 0 END) * 10000 / count(*))
+                    AS BIGINT) AS short_bp
+        FROM base GROUP BY ROLLUP (src, lng)
+    """
+
+
 # Vocabulary size for the unigram-LM surprisal score. Larger than
 # TOP_VOCAB (coverage CDF granularity) because the LM wants most
 # running tokens in-vocab with a genuine OOV tail.

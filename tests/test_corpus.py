@@ -561,6 +561,47 @@ def test_bpe_merges_plan_histogram_first(spark):
     assert final.count("Generate explode") == 2, plan
 
 
+def test_corpus_profile_hand_values(spark):
+    """Rollup levels (leaf, per-source subtotal, grand total) with
+    exact integer x100/bp arithmetic; NULL text counts 0 tokens."""
+    from llogtail_spark.operators.corpus import corpus_profile
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1", "en"),
+         (2, "w x y z w x y z w x", "s1", "de"),
+         (3, None, "s2", "en")],
+        "doc_id long, text string, source string, lang string")
+    got = {(r["source"], r["lang"]): (r["n_docs"], r["n_tokens"],
+                                      r["avg_tok_x100"], r["short_bp"])
+           for r in corpus_profile(df).collect()}
+    assert got[("s1", "en")] == (1, 3, 300, 10000)
+    assert got[("s1", "de")] == (1, 10, 1000, 0)
+    assert got[("s1", "ALL")] == (2, 13, 650, 5000)
+    assert got[("s2", "ALL")] == (1, 0, 0, 10000)
+    assert got[("ALL", "ALL")] == (3, 13, 433, 6666)
+    assert len(got) == 6  # 3 leaves + 2 source subtotals + grand total
+
+
+def test_corpus_profile_plan_one_pass(spark):
+    """One corpus scan, no explode (token counts are per-row size()),
+    one shuffle: the rollup Expand runs before the partial agg so only
+    partial rows reach the exchange. No Python."""
+    from llogtail_spark.operators.corpus import corpus_profile
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "concat('s', id % 3) AS source",
+        "concat('l', id % 2) AS lang",
+        "concat('tok', id % 40, ' tok', id % 7) AS text")
+    out = corpus_profile(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Generate" not in final
+    assert "Python" not in final
+    assert "Expand" in final
+    assert final.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_corpus_diff_hand_values(spark):
     """Four-way classification: present-only-in-new = added,
     only-in-old = removed, fingerprint equal = unchanged, else
