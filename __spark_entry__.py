@@ -715,6 +715,15 @@ def _q_oov_rate(spark, sf):
     return oov_rate(_t(spark, sf, "documents"))
 
 
+def _q_bm25_topk(spark, sf):
+    """Phrase-BM25 top-k retrieval: exact integer scoring (idf in
+    eighth-bits, BIGINT rational tf normalization), single-fold score
+    pass, 1-row broadcast stats, TakeOrdered."""
+    from llogtail_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"))
+
+
 def _q_corpus_profile(spark, sf):
     """Dataset-card rollup: one-pass (source, lang) profile with
     subtotals — every agg map-side combinable, no explode."""
@@ -1213,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "bpe_merges": _q_bpe_merges,
         "corpus_profile": _q_corpus_profile,
+        "bm25_topk": _q_bm25_topk,
         "unigram_surprisal": _q_unigram_surprisal,
         "corpus_diff": _q_corpus_diff,
         "cohort_retention": _q_cohort_retention,
@@ -2025,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": _corpus_mod().oov_rate_sql(),
         "bpe_merges": _corpus_mod().bpe_merges_sql(),
         "corpus_profile": _corpus_mod().corpus_profile_sql(),
+        "bm25_topk": _corpus_mod().bm25_topk_sql(),
         "unigram_surprisal": _corpus_mod().unigram_surprisal_sql(),
         "corpus_diff": _corpus_mod().corpus_diff_sql(),
         "cohort_retention": __import__(

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "bpe_merges",
     "corpus_profile",
+    "bm25_topk",
     "source_overlap",
     "span_dedup",
     "length_quantiles",

@@ -1192,6 +1192,161 @@ def _elog8_sql(x: str) -> str:
             f"AS BIGINT) - 8)")
 
 
+# Phrase-BM25 retrieval defaults: query phrases (bigrams — unigrams
+# carry no idf signal in a small-vocab corpus) and result count.
+BM25_PHRASES = ("vector hash", "stream batch", "merge sort")
+BM25_TOPK = 20
+
+
+def bm25_topk(df: DataFrame, phrases: tuple = BM25_PHRASES,
+              text_col: str = "text", id_col: str = "doc_id",
+              k: int = BM25_TOPK) -> DataFrame:
+    """Phrase-BM25 top-k retrieval over the corpus — the targeted-
+    subset-selection query a data team runs to pull topical documents
+    for curation ("find the k docs most about X"). BM25 with k1=6/5,
+    b=3/4 expressed as EXACT integer arithmetic (x100 scores): idf in
+    eighth-bits via the octave-interpolated _elog8 (idf8 = elog8(N+1)
+    - elog8(df_t), >= 0), and the tf/length normalization as one
+    BIGINT rational — tf_part = 22*T*tf / (10*T*tf + 3*T + 9*dl*N),
+    which is tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/T)) with k1=6/5,
+    b=3/4 and avgdl = T/N multiplied out (x20 both sides, halved).
+    Integral `div` (== DuckDB `//` for non-negative operands) keeps
+    it exact past 2^53 where float division would mis-floor. Score =
+    sum over phrases of floor(100 * idf8_t * tf_part / 8).
+
+    Scale shape (10^12 sequences): three corpus passes, all scan-
+    bounded — (1) one map-side-combinable agg for N and total tokens
+    T; (2) the phrase document frequencies from a bigram explode
+    FILTERED to the query phrases directly above the Generate (only
+    matching rows survive to the single tiny agg); (3) the score pass:
+    per-row ONE token fold (prev-token phrase counting — no bigram
+    array built, no explode) whose finish computes the entire scalar
+    score, so the heavy lineage evaluates exactly once per row (the
+    char_diversity single-fold discipline); stats arrive as a 1-row
+    broadcast crossJoin. Top-k is a TakeOrdered, never a global sort.
+    In production passes 1-2 come precomputed from the corpus profile
+    / token histogram; the online cost is one scan.
+
+    At extreme T (10^15+ tokens) the x100 numerator would overflow
+    int64 and ANSI mode raises loudly — production would drop to
+    doubles there (scores rank, they are not identities); the integer
+    path exists so the DuckDB oracle matches bit-for-bit.
+
+    Reference anchor: route predicates select the subset each sink
+    ships (collector.go:125-174); here the predicate is a relevance
+    score and the sink is a curated top-k.
+    """
+    toks = _tokens(F.col(text_col))
+    totals = df.agg(
+        F.count("*").cast("long").alias("_N"),
+        F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("long").alias("_T"),
+    )
+    # zip_with over two slices (each argument evaluated once) — the
+    # element_at-in-transform form re-inlines split() per element
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (
+        df.select(F.col(id_col), F.explode(grams).alias("_bg"))
+        .filter(F.col("_bg").isin(list(phrases)))
+    )
+    dfs = occ.agg(*[
+        F.coalesce(F.count_distinct(
+            F.when(F.col("_bg") == p, F.col(id_col))), F.lit(0))
+        .cast("long").alias(f"_df{i}")
+        for i, p in enumerate(phrases)
+    ])
+    stats = totals.crossJoin(dfs)  # 1 row x 1 row
+
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        # " " sentinel: tokens are split BY whitespace so none equals
+        # " ", and concat_ws(" ", " ", x) = "  x" (double space)
+        # never equals a single-space query phrase
+        F.lit(" ").alias("prev"),
+        zero.alias("dl"),
+        *[zero.alias(f"c{i}") for i in range(len(phrases))],
+    )
+
+    def _merge(a, x):
+        bg = F.concat_ws(" ", a.prev, x)
+        fields = [x.alias("prev"), (a.dl + 1).alias("dl")]
+        for i, p in enumerate(phrases):
+            fields.append(
+                (getattr(a, f"c{i}")
+                 + F.when(bg == p, 1).otherwise(0)).alias(f"c{i}"))
+        return F.struct(*fields)
+
+    def _finish(a):
+        n, t = F.col("_N"), F.col("_T")
+        score = zero
+        for i in range(len(phrases)):
+            tf = getattr(a, f"c{i}")
+            idf8 = _elog8(n + 1) - _elog8(F.col(f"_df{i}"))
+            num = F.lit(100) * idf8 * 22 * t * tf
+            den = F.lit(8) * (10 * t * tf + 3 * t + 9 * a.dl * n)
+            score = score + F.call_function("div", num, den)
+        # all-empty corpus: T=0 would divide by zero in ANSI mode
+        return F.when(t > 0, score).otherwise(zero)
+
+    scored = df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.aggregate(toks, acc0, _merge, _finish).alias("score_x100"),
+    )
+    return scored.orderBy(F.desc("score_x100"), F.asc(id_col)).limit(k)
+
+
+def bm25_topk_sql(phrases: tuple = BM25_PHRASES,
+                  k: int = BM25_TOPK) -> str:
+    """DuckDB twin of bm25_topk: identical tokenization, bigram tf/df,
+    and the same integer idf8/rational arithmetic with `//`."""
+    df_cols = ",\n            ".join(
+        f"CAST(count(DISTINCT CASE WHEN bg = '{p}' THEN doc_id END) "
+        f"AS BIGINT) AS df{i}"
+        for i, p in enumerate(phrases))
+    tf_cols = ",\n            ".join(
+        f"CAST(len(list_filter(list_transform(range(1, len(t)), "
+        f"i -> t[i] || ' ' || t[i+1]), g -> g = '{p}')) AS BIGINT) AS c{i}"
+        for i, p in enumerate(phrases))
+    terms = " + ".join(
+        f"((100 * ({_elog8_sql('N + 1')} - {_elog8_sql(f'df{i}')}) "
+        f"* 22 * T * c{i}) // (8 * (10*T*c{i} + 3*T + 9*dl*N)))"
+        for i in range(len(phrases)))
+    in_list = ", ".join(f"'{p}'" for p in phrases)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+        totals AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                          CAST(coalesce(sum(dl), 0) AS BIGINT) AS T
+                   FROM base),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM base),
+        dfs AS (SELECT
+            {df_cols}
+            FROM grams WHERE bg IN ({in_list})),
+        tf AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+            {tf_cols}
+            FROM base)
+        SELECT doc_id,
+               CASE WHEN T > 0 THEN {terms} ELSE 0 END AS score_x100
+        FROM tf, totals, dfs
+        ORDER BY score_x100 DESC, doc_id LIMIT {k}
+    """
+
+
 def unigram_surprisal(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", src_col: str = "source",
                       top_v: int = SURPRISAL_VOCAB) -> DataFrame:

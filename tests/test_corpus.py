@@ -602,6 +602,52 @@ def test_corpus_profile_plan_one_pass(spark):
     assert final.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_bm25_topk_hand_values(spark):
+    """N=2, T=5, df=1 worked by hand: idf8 = elog8(3) - elog8(1)
+    = 12; doc 1 (tf=1, dl=3): floor(100*12*22*5*1 /
+    (8*(10*5*1 + 3*5 + 9*3*2))) = 132000 // 952 = 138; doc 2 scores
+    0 (no phrase hit)."""
+    from llogtail_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b x"), (2, "x y")], "doc_id long, text string")
+    got = [(r["doc_id"], r["score_x100"])
+           for r in bm25_topk(df, phrases=("a b",), k=5).collect()]
+    assert got == [(1, 138), (2, 0)]
+
+
+def test_bm25_topk_empty_corpus_guard(spark):
+    """All-empty text: T=0 must not divide by zero (ANSI) — every
+    score is 0."""
+    from llogtail_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string")
+    got = [(r["doc_id"], r["score_x100"])
+           for r in bm25_topk(df, phrases=("a b",), k=5).collect()]
+    assert got == [(1, 0), (2, 0)]
+
+
+def test_bm25_topk_plan_single_fold(spark):
+    """The score pass evaluates the token fold exactly once per row
+    (finish computes the whole scalar — the char_diversity single-fold
+    discipline); stats attach as a 1-row broadcast; top-k is a
+    TakeOrdered; no Python anywhere."""
+    from llogtail_spark.operators.corpus import bm25_topk
+
+    df = spark.range(0, 500).selectExpr(
+        "id AS doc_id",
+        "concat('tok', id % 9, ' tok', id % 4, ' tok', id % 3) AS text")
+    out = bm25_topk(df, phrases=("tok1 tok1", "tok2 tok2"), k=10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("aggregate(filter(split") == 1, plan
+    assert "TakeOrderedAndProject" in final
+    assert "Python" not in final
+    assert "SortMergeJoin" not in final
+
+
 def test_corpus_diff_hand_values(spark):
     """Four-way classification: present-only-in-new = added,
     only-in-old = removed, fingerprint equal = unchanged, else
