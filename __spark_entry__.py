@@ -732,6 +732,16 @@ def _q_corpus_profile(spark, sf):
     return corpus_profile(_t(spark, sf, "documents"))
 
 
+def _q_kmv_distinct(spark, sf):
+    """Per-source KMV distinct-token sketch: K smallest portable
+    hashes per group (rank-limit heap below the exchange), integer
+    (K-1)*MOD/h_K estimate — the mergeable-cardinality path that
+    replaces exact distinct at 10^12 rows."""
+    from llogtail_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf, "documents"))
+
+
 def _q_bpe_merges(spark, sf):
     """First BPE induction pass: adjacent char-pair counts weighted by
     word frequency — corpus collapses to the word histogram once, pair
@@ -1246,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "semantic_dedup": _q_semantic_dedup,
+        "kmv_distinct": _q_kmv_distinct,
     }
 
 
@@ -2163,4 +2174,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "semantic_dedup": _semdedup_oracle(),
+        "kmv_distinct": __import__(
+            "llogtail_spark.operators.sketches", fromlist=["kmv_distinct_sql"]
+        ).kmv_distinct_sql(),
     }

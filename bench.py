@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "char_diversity",
     "unigram_surprisal",
     "corpus_diff",
+    "kmv_distinct",
 ]
 
 

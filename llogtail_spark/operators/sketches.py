@@ -1,0 +1,146 @@
+"""Mergeable sketch operators: K-minimum-values (KMV) distinct-count
+estimation over a hashed domain.
+
+Why a sketch family at all: the reference dedups work items by cheap
+identity hashes before doing any expensive work (utils.go:36-46,
+log_watcher.go:97-126). At 10^12 sequences the analogous corpus
+question — "how many distinct tokens/urls/chunks does each source
+contribute?" — cannot afford an exact distinct (the distinct set IS
+the data). KMV (Bar-Yossef et al. 2002, "Counting distinct elements
+in a data stream") keeps only the K smallest hash values per group;
+the K-th smallest order statistic of N uniform hashes estimates N as
+(K-1) / h_(K) (normalized), with relative error ~ 1/sqrt(K).
+
+Spark-first shape (kmv_distinct):
+  explode tokens -> hash (pure Catalyst char-fold, no Python)
+  -> groupBy(group, hash)        # ONE shuffle; map-side partial agg
+                                 # dedupes each hash before the wire
+  -> rank-limit window rn <= K   # Spark's WindowGroupLimit keeps a
+                                 # per-partition top-K heap BELOW the
+                                 # exchange, so the second shuffle
+                                 # carries <= K rows per partition
+                                 # per group, not the distinct set
+  -> per-group agg (count, max)  # K rows per group
+  -> estimate = (K-1) * MOD / h_K  (integer arithmetic, exact floor)
+
+The sketch is mergeable by construction: the K smallest of a union is
+computable from the K smallest of each part — exactly what the
+rank-limit heap + final window computes, so the plan IS the
+distributed merge. All arithmetic is the engine-portable hash family
+(functions/portable_hash.py): BIGINT-exact in DuckDB, so the oracle
+verifies values, not just shapes.
+
+Estimation error is tested against the exact distinct count at
+fixture scale (tests/test_sketches.py); the driver-facing query
+output contains only sketch-derived columns, because at 10^12 rows
+the exact count does not exist to compare against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from llogtail_spark.functions.portable_hash import (
+    MOD,
+    char_fold_hash,
+    char_fold_hash_sql,
+    order_hash,
+    order_hash_sql,
+)
+from llogtail_spark.operators.dedup import WS_CLASS
+
+KMV_K = 64        # sketch size: rel. error ~ 1/sqrt(K) ~ 12.5%
+KMV_SEED = 5      # order_hash family member (large multiplier: wraps MOD)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = KMV_K,
+    seed: int = KMV_SEED,
+) -> DataFrame:
+    """Per-group KMV distinct-token estimate.
+
+    Output: (group_col, n_kept:long, kth_hash:long, est_distinct:long)
+      n_kept   — min(K, exact distinct) hashes retained
+      kth_hash — the largest retained hash (the K-th order statistic)
+      est_distinct — n_kept if the group has < K distinct tokens
+                     (the sketch is exact below its capacity), else
+                     floor((K-1) * MOD / kth_hash).
+
+    Collision caveat: the hash domain is MOD ~ 1e9, so distinct-token
+    counts approaching sqrt(MOD) ~ 3e4 per group start losing
+    distinct values to collisions — fine for vocabulary-sized domains
+    and for the oracle (which replays identical collisions); a
+    production variant swaps in xxhash64 (64-bit domain) at the cost
+    of the cross-engine oracle.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    hashed = toks.select(
+        "grp", order_hash(char_fold_hash(F.col("tok")), seed).alias("hv")
+    )
+    # ONE wide shuffle: hash-distinct with map-side combine.
+    dedup = hashed.groupBy("grp", "hv").agg(F.lit(1))
+    # rank-limit: WindowGroupLimit plans a per-partition bottom-K heap
+    # BELOW the group exchange (pinned in tests/test_plans.py), so the
+    # per-group shuffle moves K rows per upstream partition, not the
+    # whole distinct set.
+    w = Window.partitionBy("grp").orderBy("hv")
+    kept = dedup.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = kept.groupBy("grp").agg(
+        F.count("*").alias("n_kept"), F.max("hv").alias("kth_hash")
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.floor(F.lit((k - 1) * MOD) / F.col("kth_hash")))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql(
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = KMV_K,
+    seed: int = KMV_SEED,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of kmv_distinct — identical hash family, identical
+    integer estimate arithmetic."""
+    h = order_hash_sql(char_fold_hash_sql("tok"), seed)
+    return f"""
+        WITH tok AS (
+            SELECT {group_col} AS grp,
+                   unnest(list_filter(
+                       string_split_regex(lower(coalesce({text_col}, '')),
+                                          '{WS_CLASS}'),
+                       x -> x <> '')) AS tok
+            FROM {table}),
+        hashed AS (SELECT DISTINCT grp, {h} AS hv FROM tok),
+        ranked AS (
+            SELECT grp, hv,
+                   row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+            FROM hashed),
+        agg AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(max(hv) AS BIGINT) AS kth_hash
+            FROM ranked WHERE rn <= {k} GROUP BY grp)
+        SELECT grp AS {group_col}, n_kept, kth_hash,
+               CAST(CASE WHEN n_kept < {k} THEN n_kept
+                    ELSE floor(CAST({(k - 1) * MOD} AS BIGINT) / kth_hash)
+               END AS BIGINT) AS est_distinct
+        FROM agg
+    """

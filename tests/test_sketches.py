@@ -1,0 +1,73 @@
+"""KMV distinct-count sketch: exactness below capacity, estimation
+accuracy above it, merge-invariance under repartition, and the
+rank-limit (WindowGroupLimit) plan shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from llogtail_spark.operators.sketches import KMV_K, kmv_distinct
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_exact_below_capacity(spark):
+    # 10 distinct tokens < K=64 -> the sketch IS the exact count.
+    rows = [
+        (1, "a", "t0 t1 t2 t3 t4"),
+        (2, "a", "t3 t4 t5 t6 t7 t8 t9"),  # overlap dedupes
+        (3, "b", "x0 x1 x0 x1"),
+    ]
+    out = {r["source"]: r for r in kmv_distinct(_docs(spark, rows)).collect()}
+    assert out["a"]["n_kept"] == 10
+    assert out["a"]["est_distinct"] == 10
+    assert out["b"]["n_kept"] == 2
+    assert out["b"]["est_distinct"] == 2
+
+
+def test_estimate_accuracy_above_capacity(spark):
+    # one group with n_true >> K: the estimate must land within the
+    # ~1/sqrt(K) relative-error envelope (generous 4-sigma bound).
+    n_true = 5000
+    text = " ".join(f"tok{i}" for i in range(n_true))
+    out = kmv_distinct(_docs(spark, [(1, "big", text)])).collect()[0]
+    assert out["n_kept"] == KMV_K
+    rel_err = abs(out["est_distinct"] - n_true) / n_true
+    assert rel_err < 4 / math.sqrt(KMV_K), (out["est_distinct"], n_true)
+
+
+def test_merge_invariance_under_layout(spark):
+    # the K-min-of-union == K-min-of-part-K-mins property means the
+    # result cannot depend on partitioning.
+    rows = [(i, f"s{i % 3}", " ".join(f"w{i}_{j}" for j in range(40)))
+            for i in range(60)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, kmv_distinct(df.repartition(1)).collect()))
+    b = sorted(map(tuple, kmv_distinct(df.repartition(16, "doc_id")).collect()))
+    assert a == b
+
+
+def test_duplicate_tokens_do_not_inflate(spark):
+    # mass duplication of one token (the hot-key case at scale) must
+    # not move the estimate: hashes dedupe before ranking.
+    base = " ".join(f"u{i}" for i in range(200))
+    spam = " ".join(["dup"] * 5000)
+    one = kmv_distinct(_docs(spark, [(1, "s", base + " dup")])).collect()[0]
+    many = kmv_distinct(
+        _docs(spark, [(1, "s", base + " " + spam)])
+    ).collect()[0]
+    assert one["est_distinct"] == many["est_distinct"]
+    assert one["kth_hash"] == many["kth_hash"]
+
+
+def test_rank_limit_pushed_below_exchange(spark):
+    # the scale contract: Spark must plan WindowGroupLimit (per-
+    # partition top-K heaps) so the per-group shuffle carries <= K
+    # rows per upstream partition, never the whole distinct set.
+    rows = [(i, f"s{i % 2}", " ".join(f"w{i}_{j}" for j in range(80)))
+            for i in range(20)]
+    plan = kmv_distinct(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
