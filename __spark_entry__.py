@@ -780,6 +780,24 @@ def _q_corpus_diff(spark, sf):
     return corpus_diff(old, new)
 
 
+def _q_rate_spikes(spark, sf):
+    """Minute-rate spike alerting per event type: one combinable
+    (type, minute) rollup, exact rank median over the dim-sized
+    histogram, broadcast threshold join."""
+    from llogtail_spark.operators.telemetry import rate_spikes
+
+    return rate_spikes(_t(spark, sf, "events"))
+
+
+def _q_interarrival_stats(spark, sf):
+    """Per-type inter-arrival gap stats (n, avg, max, exact p95):
+    one user-keyed lag window, then histogram decomposition — the
+    percentile never sorts raw gaps."""
+    from llogtail_spark.operators.telemetry import interarrival_stats
+
+    return interarrival_stats(_t(spark, sf, "events"))
+
+
 def _q_cohort_retention(spark, sf):
     """Weekly cohort retention over the event stream: distinct
     (user, week) grain, per-user cohort min, dim-sized rollup +
@@ -1257,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "semantic_dedup": _q_semantic_dedup,
         "kmv_distinct": _q_kmv_distinct,
+        "rate_spikes": _q_rate_spikes,
+        "interarrival_stats": _q_interarrival_stats,
     }
 
 
@@ -2177,4 +2197,11 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": __import__(
             "llogtail_spark.operators.sketches", fromlist=["kmv_distinct_sql"]
         ).kmv_distinct_sql(),
+        "rate_spikes": __import__(
+            "llogtail_spark.operators.telemetry", fromlist=["rate_spikes_sql"]
+        ).rate_spikes_sql(),
+        "interarrival_stats": __import__(
+            "llogtail_spark.operators.telemetry",
+            fromlist=["interarrival_stats_sql"],
+        ).interarrival_stats_sql(),
     }

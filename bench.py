@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "unigram_surprisal",
     "corpus_diff",
     "kmv_distinct",
+    "rate_spikes",
+    "interarrival_stats",
 ]
 
 

@@ -177,6 +177,184 @@ def funnel_counts(df: DataFrame, steps: tuple = FUNNEL_STEPS,
     )
 
 
+RATE_SPIKE_FACTOR = 2  # a minute is a spike at >= FACTOR x median rate
+
+
+def rate_spikes(df: DataFrame, ts_col: str = "ts",
+                type_col: str = "event_type") -> DataFrame:
+    """Per-event-type rate-spike detection over minute buckets: a
+    minute is a spike when its event count reaches RATE_SPIKE_FACTOR
+    times the type's median minute-rate (exact lower median by rank —
+    no engine-specific quantile interpolation).
+
+    Returns only the spiking minutes:
+      (event_type, minute_idx:long, n_events:long, med_rate:long)
+
+    Scale shape (10^12 events): the ONLY wide operation is the
+    map-side-combinable groupBy(type, minute); everything after runs
+    over the (types x observed-minutes) histogram, which is dim-sized
+    (a year of minutes is ~5e5 rows per type). Median is over
+    OBSERVED minutes — silent minutes don't dilute it (documented;
+    that is the alert-engineering convention for sparse sources).
+    Reference anchor: llogtail's per-sink rollup counts
+    (collector.go:125-174) — this is the same rollup keyed on time,
+    promoted to an alert.
+    """
+    per_min = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.floor(F.col(ts_col).cast("timestamp").cast("long") / 60)
+            .cast("long").alias("minute_idx"),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("n_events", "minute_idx")
+    ranked = per_min.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    med = ranked.filter(F.col("rn") == F.ceil(F.col("n") / 2)).select(
+        "event_type", F.col("n_events").alias("med_rate")
+    )
+    # med is dim-sized (one row per type) -> broadcast.
+    return (
+        per_min.join(F.broadcast(med), "event_type")
+        .filter(F.col("n_events") >= RATE_SPIKE_FACTOR * F.col("med_rate"))
+        .select("event_type", "minute_idx", "n_events", "med_rate")
+    )
+
+
+def rate_spikes_sql(factor: int = RATE_SPIKE_FACTOR) -> str:
+    """DuckDB twin of rate_spikes: identical minute index
+    (epoch // 60), identical rank-based lower median, identical
+    spike predicate."""
+    return f"""
+        WITH per_min AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 60) AS BIGINT) AS minute_idx,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY n_events, minute_idx) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM per_min),
+        med AS (
+            SELECT event_type, n_events AS med_rate FROM ranked
+            WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+        SELECT p.event_type, p.minute_idx, p.n_events, m.med_rate
+        FROM per_min p JOIN med m USING (event_type)
+        WHERE p.n_events >= {factor} * m.med_rate
+    """
+
+
+INTERARRIVAL_P = 95  # upper percentile reported (exact, by histogram)
+
+
+def interarrival_stats(df: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts",
+                       type_col: str = "event_type") -> DataFrame:
+    """Per-event-type inter-arrival statistics: the gap (whole epoch
+    seconds) between consecutive events of the SAME user, attributed
+    to the type of the LATER event.
+
+    Returns (event_type, n_gaps, avg_gap_x100, max_gap_s, p95_gap_s)
+    — avg floored at 2 decimals, p95 the exact lower-rank percentile.
+
+    Scale shape (10^12 events): one shuffle on user_id for the lag
+    window (per-user partitions are user-history-sized, bounded), then
+    gaps collapse to a (type, gap_s) HISTOGRAM (map-side combinable)
+    before any ranking — the p95 cumulative runs over the histogram
+    (gap domain is bounded by the corpus time range in seconds), never
+    over the 10^12 raw gaps. Same decomposition as
+    corpus.length_quantiles.
+    """
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gaps = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_e", epoch)
+        .withColumn("_gap", F.col("_e") - F.lag("_e").over(w))
+        .where(F.col("_gap").isNotNull())
+        .select(F.col(type_col).alias("event_type"),
+                F.col("_gap").cast("long").alias("gap_s"))
+    )
+    hist = gaps.groupBy("event_type", "gap_s").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wt = Window.partitionBy("event_type")
+    wcum = wt.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("n_gaps", F.sum("cnt").over(wt))
+        .withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("sum_gap", F.sum(F.col("gap_s") * F.col("cnt")).over(wt))
+        .withColumn("max_gap", F.max("gap_s").over(wt))
+    )
+    # p95 rank over raw gaps = ceil(P/100 * n); the smallest histogram
+    # row whose cumulative count reaches it holds the exact value.
+    target = F.ceil(F.col("n_gaps") * INTERARRIVAL_P / 100)
+    p95 = (
+        cum.filter(F.col("cum") >= target)
+        .groupBy("event_type")
+        .agg(F.min("gap_s").alias("p95_gap_s"))
+    )
+    # every histogram row of a type carries identical window totals;
+    # max() just picks that shared value deterministically.
+    per_type = cum.groupBy("event_type").agg(
+        F.max("n_gaps").alias("n_gaps"),
+        F.max("sum_gap").alias("sum_gap"),
+        F.max("max_gap").alias("max_gap_s"),
+    )
+    return per_type.join(p95, "event_type").select(
+        "event_type",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.floor(F.col("sum_gap") * 100 / F.col("n_gaps")).cast("long")
+        .alias("avg_gap_x100"),
+        F.col("max_gap_s").cast("long").alias("max_gap_s"),
+        F.col("p95_gap_s").cast("long").alias("p95_gap_s"),
+    )
+
+
+def interarrival_stats_sql(p: int = INTERARRIVAL_P) -> str:
+    """DuckDB twin of interarrival_stats: identical lag ordering
+    (ts, event_id), floored-epoch gaps, histogram-cumulative exact
+    percentile, and floor arithmetic."""
+    return f"""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap_s
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        hist AS (
+            SELECT event_type, gap_s, CAST(count(*) AS BIGINT) AS cnt
+            FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+        cum AS (
+            SELECT *,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n_gaps,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_s
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(gap_s * cnt) OVER (PARTITION BY event_type)
+                       AS sum_gap,
+                   max(gap_s) OVER (PARTITION BY event_type) AS max_gap
+            FROM hist),
+        p95 AS (
+            SELECT event_type, min(gap_s) AS p95_gap_s FROM cum
+            WHERE cum >= ceil(n_gaps * {p} / 100.0) GROUP BY 1)
+        SELECT t.event_type,
+               CAST(t.n_gaps AS BIGINT) AS n_gaps,
+               CAST(floor(t.sum_gap * 100 / t.n_gaps) AS BIGINT)
+                   AS avg_gap_x100,
+               CAST(t.max_gap AS BIGINT) AS max_gap_s,
+               CAST(p.p95_gap_s AS BIGINT) AS p95_gap_s
+        FROM (SELECT DISTINCT event_type, n_gaps, sum_gap, max_gap
+              FROM cum) t
+        JOIN p95 p USING (event_type)
+    """
+
+
 def funnel_counts_sql(steps: tuple = FUNNEL_STEPS) -> str:
     """DuckDB twin of funnel_counts: the sequential-min chain stated
     directly — t1 = min ts of step 1, t_k = min ts of step k with

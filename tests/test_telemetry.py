@@ -88,3 +88,90 @@ def test_funnel_plan_no_python_no_join(spark):
     plan = funnel_counts(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "Join" not in plan
+
+
+def test_rate_spikes_hand_values(spark):
+    """Type 'a': minute counts [1,1,1,1,6] -> median 1, spike at the
+    6-count minute (6 >= 2*1). Type 'b': counts [3,3] -> median 3, no
+    minute reaches 2*3."""
+    from llogtail_spark.operators.telemetry import rate_spikes
+
+    def ev(i, typ, minute, within=0):
+        return (i, typ, datetime(2024, 1, 1, 0, minute, within), 100 + i)
+
+    rows = []
+    i = 0
+    for m in range(4):
+        rows.append(ev(i, "a", m)); i += 1
+    for s in range(6):
+        rows.append(ev(i, "a", 4, s)); i += 1
+    for s in range(3):
+        rows.append(ev(i, "b", 0, s)); i += 1
+        rows.append(ev(i, "b", 1, s)); i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, user_id long")
+    out = rate_spikes(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_type"] == "a" and r["n_events"] == 6 and r["med_rate"] == 1
+    assert r["minute_idx"] == int(datetime(2024, 1, 1).timestamp() // 60) + 4
+
+
+def test_rate_spikes_single_wide_shuffle(spark):
+    """Everything after the (type, minute) rollup is dim-sized: the
+    median join must be a broadcast, never a shuffled join."""
+    from llogtail_spark.operators.telemetry import rate_spikes
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS event_id", "'t' || cast(id % 3 AS string) AS event_type",
+        "timestamp_seconds(1700000000 + id * 7) AS ts", "id % 50 AS user_id")
+    plan = rate_spikes(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_interarrival_hand_values(spark):
+    """u1 events at t=0,10,30 (type x at 10, y at 30); u2 at t=0,100.
+    Gaps attributed to the LATER event's type: x:[10], y:[20,100].
+    y: n=2, avg=60.00, max=100, p95 -> ceil(1.9)=2nd smallest = 100."""
+    from llogtail_spark.operators.telemetry import interarrival_stats
+
+    base = datetime(2024, 1, 1)
+
+    def at(sec):
+        return datetime(2024, 1, 1, sec // 3600, (sec % 3600) // 60, sec % 60)
+
+    rows = [
+        (0, 1, "x", base), (1, 1, "x", at(10)), (2, 1, "y", at(30)),
+        (3, 2, "x", base), (4, 2, "y", at(100)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in interarrival_stats(df).collect()}
+    assert out["x"]["n_gaps"] == 1 and out["x"]["avg_gap_x100"] == 1000
+    assert out["y"]["n_gaps"] == 2
+    assert out["y"]["avg_gap_x100"] == 6000
+    assert out["y"]["max_gap_s"] == 100
+    assert out["y"]["p95_gap_s"] == 100
+
+
+def test_interarrival_percentile_is_exact_rank(spark):
+    """101 gaps of 1..101 seconds for one type: p95 rank = ceil(95.95)
+    = 96 -> the 96th smallest gap. Layout must not matter."""
+    from llogtail_spark.operators.telemetry import interarrival_stats
+
+    rows = [(0, 1, "t", datetime(2024, 1, 1))]
+    sec, eid = 0, 1
+    for g in range(1, 102):
+        sec += g
+        rows.append((eid, 1, "t",
+                     datetime(2024, 1, 1, sec // 3600, (sec % 3600) // 60,
+                              sec % 60)))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    a = interarrival_stats(df.repartition(1)).collect()[0]
+    b = interarrival_stats(df.repartition(8, "event_id")).collect()[0]
+    assert a == b
+    assert a["p95_gap_s"] == 96
+    assert a["max_gap_s"] == 101
