@@ -1170,6 +1170,27 @@ def _q_dedup_verified(spark, sf):
     return resolve_components(verified, docs.select("doc_id"))
 
 
+def _q_containment_pairs(spark, sf):
+    """Asymmetric near-dup detection: LSH candidates -> exact word-
+    3-gram overlap coefficient |∩|/min(|A|,|B|) — catches a short doc
+    embedded in a long one, which symmetric Jaccard verification
+    rejects. Runs only on candidates, never all pairs."""
+    from llogtail_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_containment,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, hash_mode="portable", **MINHASH_CONF)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        shingle_containment(pairs.join(ta, "id_a").join(tb, "id_b"), "_ta", "_tb")
+        .filter(F.col("containment_x10000") >= 8000)
+        .select("id_a", "id_b", "containment_x10000")
+    )
+
+
 def _q_simhash(spark, sf):
     from llogtail_spark.operators.dedup import simhash_portable
 
@@ -1277,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "rate_spikes": _q_rate_spikes,
         "interarrival_stats": _q_interarrival_stats,
+        "containment_pairs": _q_containment_pairs,
     }
 
 
@@ -1433,6 +1455,33 @@ def _dedup_verified_oracle() -> str:
                coalesce(c.rep, d.doc_id) AS rep,
                CAST(d.doc_id = coalesce(c.rep, d.doc_id) AS INT) AS keep
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """
+
+
+def _containment_oracle(threshold: int = 8000) -> str:
+    """LSH candidates (replicated arithmetic) -> exact word-3-gram
+    overlap coefficient floor(|∩| * 10000 / least(|A|, |B|))."""
+    pairs_sql = _minhash_oracle()
+    shingles = (
+        "list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1), "
+        "i -> array_to_string(list_slice(ws, i, i + 2), ' ')))"
+    )
+    return f"""
+        WITH lsh_pairs AS ({pairs_sql}),
+        shin AS (
+            SELECT doc_id, {shingles} AS sh
+            FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+                  FROM documents)),
+        scored AS (
+            SELECT p.id_a, p.id_b,
+                   CAST(floor(len(list_intersect(a.sh, b.sh)) * 10000.0 /
+                        least(len(a.sh), len(b.sh))) AS BIGINT)
+                       AS containment_x10000
+            FROM lsh_pairs p
+            JOIN shin a ON a.doc_id = p.id_a
+            JOIN shin b ON b.doc_id = p.id_b)
+        SELECT id_a, id_b, containment_x10000
+        FROM scored WHERE containment_x10000 >= {threshold}
     """
 
 
@@ -2204,4 +2253,5 @@ def oracle_sql() -> dict[str, str]:
             "llogtail_spark.operators.telemetry",
             fromlist=["interarrival_stats_sql"],
         ).interarrival_stats_sql(),
+        "containment_pairs": _containment_oracle(),
     }

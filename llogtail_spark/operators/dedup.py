@@ -307,6 +307,33 @@ def ngram_jaccard(df_pairs: DataFrame, a_col: str, b_col: str, n: int = 3) -> Da
     ).drop("_sa", "_sb")
 
 
+def shingle_containment(
+    df_pairs: DataFrame, a_col: str, b_col: str, n: int = 3
+) -> DataFrame:
+    """Exact word-n-gram overlap coefficient (x10000, integer) for
+    explicit pairs: |A ∩ B| / min(|A|, |B|) — the ASYMMETRIC dup
+    signal. A short doc fully embedded in a long one scores ~10000
+    here while its Jaccard (|∩|/|∪|) stays low, so quote-expansion
+    and boilerplate-wrapped copies that symmetric verification
+    rejects are caught (Broder 1997 distinguishes resemblance from
+    containment for exactly this case).
+
+    Same evaluation discipline as ngram_jaccard: each side's shingle
+    array comes from one Arrow UDF (materialized by the eval node);
+    intersect/size are Catalyst expressions over the materialized
+    arrays. Scale: runs ONLY on LSH candidate pairs (O(R*k) under the
+    representative cap), never all pairs."""
+    g = _word_grams_udf(n, distinct=True)
+    staged = df_pairs.withColumn("_sa", g(F.col(a_col))).withColumn(
+        "_sb", g(F.col(b_col))
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    low = F.least(F.size("_sa"), F.size("_sb"))
+    return staged.withColumn(
+        "containment_x10000", F.floor(inter * 10000 / low).cast("long")
+    ).drop("_sa", "_sb")
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit simhash per document: majority vote per bit over
     xxhash64 of distinct words. explode + 64 conditional sums — a

@@ -447,3 +447,24 @@ def test_dup_cluster_histogram_plan_two_shuffles(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a 4x longer one: containment
+    (overlap coefficient) = 10000, while jaccard stays well under a
+    7000 verification threshold — the case the asymmetric signal
+    exists for."""
+    from llogtail_spark.operators.dedup import (
+        ngram_jaccard,
+        shingle_containment,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(8))
+    pairs = spark.createDataFrame(
+        [(1, 2, short, long)], "id_a long, id_b long, _ta string, _tb string"
+    )
+    c = shingle_containment(pairs, "_ta", "_tb").collect()[0]
+    j = ngram_jaccard(pairs, "_ta", "_tb").collect()[0]
+    assert c["containment_x10000"] == 10000
+    assert j["jaccard_x10000"] < 7000
