@@ -742,6 +742,16 @@ def _q_kmv_distinct(spark, sf):
     return kmv_distinct(_t(spark, sf, "documents"))
 
 
+def _q_countmin_freq(spark, sf):
+    """Count-min sketch probed at literal tokens: DEPTHxWIDTH counter
+    build (one combinable groupBy), broadcast lookup, min-over-rows
+    estimate — the fixed-size mergeable summary replacing an exact
+    token histogram at 10^12 rows."""
+    from llogtail_spark.operators.sketches import countmin_freq
+
+    return countmin_freq(_t(spark, sf, "documents"))
+
+
 def _q_bpe_merges(spark, sf):
     """First BPE induction pass: adjacent char-pair counts weighted by
     word frequency — corpus collapses to the word histogram once, pair
@@ -1299,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_spikes": _q_rate_spikes,
         "interarrival_stats": _q_interarrival_stats,
         "containment_pairs": _q_containment_pairs,
+        "countmin_freq": _q_countmin_freq,
     }
 
 
@@ -2254,4 +2265,7 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["interarrival_stats_sql"],
         ).interarrival_stats_sql(),
         "containment_pairs": _containment_oracle(),
+        "countmin_freq": __import__(
+            "llogtail_spark.operators.sketches", fromlist=["countmin_freq_sql"]
+        ).countmin_freq_sql(),
     }

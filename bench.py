@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "rate_spikes",
     "interarrival_stats",
+    "containment_pairs",
+    "countmin_freq",
 ]
 
 

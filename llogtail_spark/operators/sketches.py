@@ -111,6 +111,131 @@ def kmv_distinct(
     )
 
 
+CM_DEPTH = 4     # independent hash rows; P(overestimate > eps*N) <= 2^-D
+CM_WIDTH = 64    # counters per row; eps = e / W
+# Probe tokens: literal constants so the DuckDB twin recomputes the
+# identical cells. Mix of frequent, mid, and absent tokens — the
+# absent one exercises CM's collision-floor overestimate.
+CM_PROBES = ("join", "hash", "scan", "window", "the", "vector",
+             "stream", "zzz_absent")
+
+
+def countmin_freq(
+    df: DataFrame,
+    text_col: str = "text",
+    probes: tuple = CM_PROBES,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-min frequency sketch (Cormode & Muthukrishnan 2005) over
+    the token stream, probed at literal tokens.
+
+    Build: every token increments one counter per hash row — a
+    (row, cell) explode (x DEPTH, constant) into ONE map-side-
+    combinable groupBy; the materialized sketch is DEPTH x WIDTH
+    counters (256 rows here) regardless of input size, i.e. the
+    mergeable fixed-size summary that replaces an exact token
+    histogram at 10^12 rows. Probe: each probe token's DEPTH cells
+    look up the (broadcast, dim-sized) sketch; the estimate is the
+    min over rows — an upper bound on the true count, within
+    eps*N = (e/WIDTH)*N with probability 1 - 2^-DEPTH.
+
+    Output: (token, est_count:long). Deterministic: the portable hash
+    family makes every counter and therefore every estimate
+    reproducible in the DuckDB twin. Reference anchor: llogtail's
+    byte/line counters per sink (collector.go:125-174) — the same
+    counting discipline compressed to sublinear space.
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    h = char_fold_hash(F.col("tok"))
+    cells = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    (order_hash(h, i) % width).alias("cell"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("rc")
+    )
+    sketch = cells.groupBy(
+        F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+
+    # probe side: a tiny literal DF (len(probes) x depth rows); the
+    # row_i-th seed picks that row's cell via a constant-depth CASE.
+    probe_rows = [(t, i) for t in probes for i in range(depth)]
+    probes_df = spark.createDataFrame(probe_rows, "token string, row_i int")
+    hh = char_fold_hash(F.col("token"))
+    cell_expr = order_hash(hh, 0) % width
+    for i in range(1, depth):
+        cell_expr = F.when(
+            F.col("row_i") == i, order_hash(hh, i) % width
+        ).otherwise(cell_expr)
+    probes_df = probes_df.withColumn("cell", cell_expr)
+    # sketch is DEPTH*WIDTH rows -> broadcast; missing cells (never
+    # incremented) are true zeros.
+    looked = probes_df.join(
+        F.broadcast(sketch), ["row_i", "cell"], "left"
+    ).select("token", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    return looked.groupBy("token").agg(
+        F.min("cnt").cast("long").alias("est_count")
+    )
+
+
+def countmin_freq_sql(
+    text_col: str = "text",
+    probes: tuple = CM_PROBES,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of countmin_freq — identical hash rows, cells, and
+    min-over-rows estimate."""
+    rows = " UNION ALL ".join(
+        f"SELECT tok, {i} AS row_i, "
+        f"({order_hash_sql('h', i)}) % {width} AS cell FROM hashed"
+        for i in range(depth)
+    )
+    probe_vals = ", ".join(f"('{t}')" for t in probes)
+    probe_cells = " UNION ALL ".join(
+        f"SELECT token, {i} AS row_i, "
+        f"({order_hash_sql(char_fold_hash_sql('token'), i)}) % {width} AS cell "
+        f"FROM probe_toks"
+        for i in range(depth)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(coalesce({text_col}, '')),
+                                   '{WS_CLASS}'),
+                x -> x <> '')) AS tok
+            FROM {table}),
+        hashed AS (SELECT tok, {char_fold_hash_sql('tok')} AS h FROM tok),
+        cells AS ({rows}),
+        sketch AS (
+            SELECT row_i, cell, CAST(count(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2),
+        probe_toks AS (SELECT * FROM (VALUES {probe_vals}) AS v(token)),
+        probe_cells AS ({probe_cells}),
+        looked AS (
+            SELECT p.token, coalesce(s.cnt, 0) AS cnt
+            FROM probe_cells p
+            LEFT JOIN sketch s ON s.row_i = p.row_i AND s.cell = p.cell)
+        SELECT token, CAST(min(cnt) AS BIGINT) AS est_count
+        FROM looked GROUP BY token
+    """
+
+
 def kmv_distinct_sql(
     text_col: str = "text",
     group_col: str = "source",

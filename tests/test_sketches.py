@@ -71,3 +71,55 @@ def test_rank_limit_pushed_below_exchange(spark):
             for i in range(20)]
     plan = kmv_distinct(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_countmin_upper_bounds_truth(spark):
+    """CM never underestimates: for every probe token present in the
+    corpus, est >= exact count; and the overestimate respects the
+    eps*N bound at 4-row confidence."""
+    from collections import Counter
+
+    from llogtail_spark.operators.sketches import (
+        CM_PROBES,
+        CM_WIDTH,
+        countmin_freq,
+    )
+
+    words = ["join", "hash", "scan", "window", "the", "vector", "stream"]
+    rows, truth, total = [], Counter(), 0
+    for i in range(300):
+        text = " ".join(words[j % len(words)] for j in range(i % 9 + 1))
+        for w in text.split():
+            truth[w] += 1
+            total += 1
+        rows.append((i, "s", text))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    est = {r["token"]: r["est_count"] for r in countmin_freq(df).collect()}
+    eps_n = (2.718 / CM_WIDTH) * total
+    for t in CM_PROBES:
+        assert est[t] >= truth[t], (t, est[t], truth[t])
+        assert est[t] <= truth[t] + eps_n, (t, est[t], truth[t], eps_n)
+
+
+def test_countmin_merge_invariance(spark):
+    from llogtail_spark.operators.sketches import countmin_freq
+
+    rows = [(i, "s", " ".join(f"w{j}" for j in range(i % 20)))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(map(tuple, countmin_freq(df.repartition(1)).collect()))
+    b = sorted(map(tuple, countmin_freq(df.repartition(16, "doc_id")).collect()))
+    assert a == b
+
+
+def test_countmin_sketch_is_fixed_size(spark):
+    """The materialized sketch is DEPTH*WIDTH rows regardless of
+    input — the probe join must see a broadcast, never a shuffled
+    join against the corpus."""
+    from llogtail_spark.operators.sketches import countmin_freq
+
+    rows = [(i, "s", "join hash scan") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = countmin_freq(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
