@@ -116,6 +116,23 @@ SHOWCASE = [
      "each user's sorted events (greedy earliest-advance == the "
      "sequential-min chain), per-step counts via a tiny sequence "
      "explode — zero joins, zero Python."),
+    ("kmv_distinct",
+     "KMV cardinality sketch: hash-distinct with map-side combine, "
+     "then WindowGroupLimit keeps a bottom-K heap BELOW the per-"
+     "group exchange — the shuffle ships K rows per partition per "
+     "group, never the distinct set."),
+    ("countmin_freq",
+     "Count-min sketch: one combinable (row, cell) groupBy builds "
+     "the fixed DEPTHxWIDTH counter table; probes look it up via "
+     "BroadcastHashJoin — no shuffled join anywhere."),
+    ("rate_spikes",
+     "Minute-rate spike alert: the only wide op is the combinable "
+     "(type, minute) rollup; the rank median runs over the dim-"
+     "sized histogram and rejoins by broadcast."),
+    ("interarrival_stats",
+     "Inter-arrival stats: one user-keyed lag window, then the gap "
+     "domain collapses to a combinable (type, gap) histogram — the "
+     "exact p95 cumulative never sorts raw gaps."),
 ]
 
 
