@@ -808,6 +808,15 @@ def _q_interarrival_stats(spark, sf):
     return interarrival_stats(_t(spark, sf, "events"))
 
 
+def _q_active_users_7d(spark, sf):
+    """DAU/WAU engagement rollup: one distinct-(user, day) shuffle,
+    explode-into-covered-days trailing window (no day-range
+    self-join), map-side-deduped distinct counts."""
+    from llogtail_spark.operators.telemetry import active_users_7d
+
+    return active_users_7d(_t(spark, sf, "events"))
+
+
 def _q_cohort_retention(spark, sf):
     """Weekly cohort retention over the event stream: distinct
     (user, week) grain, per-user cohort min, dim-sized rollup +
@@ -1310,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": _q_interarrival_stats,
         "containment_pairs": _q_containment_pairs,
         "countmin_freq": _q_countmin_freq,
+        "active_users_7d": _q_active_users_7d,
     }
 
 
@@ -2268,4 +2278,8 @@ def oracle_sql() -> dict[str, str]:
         "countmin_freq": __import__(
             "llogtail_spark.operators.sketches", fromlist=["countmin_freq_sql"]
         ).countmin_freq_sql(),
+        "active_users_7d": __import__(
+            "llogtail_spark.operators.telemetry",
+            fromlist=["active_users_7d_sql"],
+        ).active_users_7d_sql(),
     }

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "interarrival_stats",
     "containment_pairs",
     "countmin_freq",
+    "active_users_7d",
 ]
 
 

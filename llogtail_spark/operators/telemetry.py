@@ -355,6 +355,70 @@ def interarrival_stats_sql(p: int = INTERARRIVAL_P) -> str:
     """
 
 
+WAU_WINDOW_DAYS = 7
+
+
+def active_users_7d(df: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts") -> DataFrame:
+    """Daily + trailing-7-day active users per epoch-day.
+
+    Returns (day_idx:long, dau:long, wau:long) for every day with at
+    least one active user; wau counts distinct users active in
+    [day-6, day].
+
+    Scale shape (10^12 events): ONE wide shuffle collapses the stream
+    to the DISTINCT (user, day) activity grain (map-side combinable);
+    the trailing window is an explode of each activity row into the
+    <= 7 future days it covers (linear, no self-join over a day
+    range), then a per-day distinct-user count whose partial
+    aggregation dedupes map-side. At extreme cardinalities the exact
+    count-distinct swaps for the KMV sketch (operators/sketches.py)
+    with the same plan shape. Reference anchor: per-sink rollup
+    counts keyed on time (collector.go:125-174).
+    """
+    day = F.floor(F.col(ts_col).cast("timestamp").cast("long") / 86400)
+    ud = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("u"), day.cast("long").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    contrib = ud.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (WAU_WINDOW_DAYS - 1))
+        ).alias("day_out"),
+    )
+    wau = contrib.groupBy("day_out").agg(
+        F.count_distinct("u").cast("long").alias("wau")
+    )
+    return dau.join(wau, dau["day"] == wau["day_out"]).select(
+        F.col("day").alias("day_idx"), "dau", "wau"
+    )
+
+
+def active_users_7d_sql(window_days: int = WAU_WINDOW_DAYS) -> str:
+    """DuckDB twin of active_users_7d: identical epoch-day index and
+    explode-into-covered-days window."""
+    return f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau
+            FROM ud GROUP BY 1),
+        contrib AS (
+            SELECT u, day + g.range AS day_out
+            FROM ud CROSS JOIN range(0, {window_days}) g),
+        wau AS (
+            SELECT day_out, CAST(count(DISTINCT u) AS BIGINT) AS wau
+            FROM contrib GROUP BY 1)
+        SELECT d.day AS day_idx, d.dau, w.wau
+        FROM dau d JOIN wau w ON w.day_out = d.day
+    """
+
+
 def funnel_counts_sql(steps: tuple = FUNNEL_STEPS) -> str:
     """DuckDB twin of funnel_counts: the sequential-min chain stated
     directly — t1 = min ts of step 1, t_k = min ts of step k with

@@ -175,3 +175,52 @@ def test_interarrival_percentile_is_exact_rank(spark):
     assert a == b
     assert a["p95_gap_s"] == 96
     assert a["max_gap_s"] == 101
+
+
+def test_active_users_7d_hand_values(spark):
+    """u1 active on days 0 and 10; u2 on days 0 and 3. DAU: d0=2,
+    d3=1, d10=1. WAU(d0)=2, WAU(d3)=2 (u1 from d0 still in window,
+    u2 active), WAU(d10)=1 (d0/d3 activity out of the 7-day window
+    ending d10... d3 covers d3..d9, so only u1's d10 row counts)."""
+    from datetime import datetime, timedelta
+
+    from llogtail_spark.operators.telemetry import active_users_7d
+
+    base = datetime(2024, 1, 1)
+
+    def at(day):
+        return base + timedelta(days=day)
+
+    rows = [
+        (0, 1, "x", at(0)), (1, 1, "x", at(10)),
+        (2, 2, "x", at(0)), (3, 2, "x", at(3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = {r["day_idx"]: r for r in active_users_7d(df).collect()}
+    d0 = min(out)
+    assert out[d0]["dau"] == 2 and out[d0]["wau"] == 2
+    assert out[d0 + 3]["dau"] == 1 and out[d0 + 3]["wau"] == 2
+    assert out[d0 + 10]["dau"] == 1 and out[d0 + 10]["wau"] == 1
+    assert set(out) == {d0, d0 + 3, d0 + 10}
+
+
+def test_active_users_7d_window_edges(spark):
+    """A user active on day 0 counts toward WAU(day 6) but not
+    WAU(day 7)."""
+    from datetime import datetime, timedelta
+
+    from llogtail_spark.operators.telemetry import active_users_7d
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (0, 1, "x", base),
+        (1, 2, "x", base + timedelta(days=6)),
+        (2, 3, "x", base + timedelta(days=7)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = {r["day_idx"]: r for r in active_users_7d(df).collect()}
+    d0 = min(out)
+    assert out[d0 + 6]["wau"] == 2   # u1 (d0) + u2 (d6)
+    assert out[d0 + 7]["wau"] == 2   # u2 (d6) + u3 (d7); u1 aged out
