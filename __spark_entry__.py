@@ -732,6 +732,15 @@ def _q_corpus_profile(spark, sf):
     return corpus_profile(_t(spark, sf, "documents"))
 
 
+def _q_source_entropy(spark, sf):
+    """Per-source token Shannon entropy (integer eighth-bits): one
+    combinable histogram shuffle, dim-sized totals broadcast back,
+    entropy as a second combinable agg — no window, no sort."""
+    from llogtail_spark.operators.corpus import source_entropy
+
+    return source_entropy(_t(spark, sf, "documents"))
+
+
 def _q_kmv_distinct(spark, sf):
     """Per-source KMV distinct-token sketch: K smallest portable
     hashes per group (rank-limit heap below the exchange), integer
@@ -1320,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "countmin_freq": _q_countmin_freq,
         "active_users_7d": _q_active_users_7d,
+        "source_entropy": _q_source_entropy,
     }
 
 
@@ -2282,4 +2292,5 @@ def oracle_sql() -> dict[str, str]:
             "llogtail_spark.operators.telemetry",
             fromlist=["active_users_7d_sql"],
         ).active_users_7d_sql(),
+        "source_entropy": _corpus_mod().source_entropy_sql(),
     }

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "countmin_freq",
     "active_users_7d",
+    "source_entropy",
 ]
 
 

@@ -1192,6 +1192,84 @@ def _elog8_sql(x: str) -> str:
             f"AS BIGINT) - 8)")
 
 
+def source_entropy(df: DataFrame, text_col: str = "text",
+                   group_col: str = "source") -> DataFrame:
+    """Per-source token Shannon entropy in integer eighth-bits — the
+    corpus-health metric that flags template farms (entropy collapses
+    when a source repeats the same few tokens) and tokenizer-hostile
+    noise (entropy near log2(vocab) with a flat distribution).
+
+    H_x8 = floor( sum_t c_t * (elog8(N) - elog8(c_t)) / N ), with
+    c_t the token's count in the source and N the source's token
+    total — the plug-in estimator with both logs in the exact-
+    portable eighth-bit integer domain (_elog8), so the DuckDB twin
+    reproduces every value bit-for-bit.
+
+    Output: (source, n_tokens:long, n_distinct:long, entropy_x8:long)
+
+    Scale shape (10^12 rows): ONE combinable (source, token) count
+    shuffle builds the histogram; totals are a dim-sized rollup
+    broadcast back; the entropy sum is a second combinable agg over
+    the histogram. No window, no sort, no Python.
+    """
+    hist = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.explode(_tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("src", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = hist.groupBy("src").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    joined = hist.join(F.broadcast(tot), "src").withColumn(
+        "_term", F.col("cnt") * (_elog8(F.col("n_tokens")) - _elog8(F.col("cnt")))
+    )
+    return (
+        joined.groupBy("src")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("n_distinct").alias("n_distinct"),
+            F.floor(F.sum("_term") / F.max("n_tokens")).cast("long")
+            .alias("entropy_x8"),
+        )
+        .select(F.col("src").alias(group_col), "n_tokens", "n_distinct",
+                "entropy_x8")
+    )
+
+
+def source_entropy_sql(text_col: str = "text", group_col: str = "source",
+                       table: str = "documents") -> str:
+    """DuckDB twin of source_entropy — identical histogram grain and
+    eighth-bit log arithmetic."""
+    return f"""
+        WITH tok AS (
+            SELECT {group_col} AS src,
+                   unnest(list_filter(
+                       string_split_regex(lower(coalesce({text_col}, '')),
+                                          '{WS_CLASS}'),
+                       x -> x <> '')) AS tok
+            FROM {table}),
+        hist AS (
+            SELECT src, tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY 1, 2),
+        tot AS (
+            SELECT src, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct
+            FROM hist GROUP BY 1)
+        SELECT h.src AS {group_col},
+               max(t.n_tokens) AS n_tokens,
+               max(t.n_distinct) AS n_distinct,
+               CAST(floor(sum(h.cnt * ({_elog8_sql('t.n_tokens')}
+                   - {_elog8_sql('h.cnt')})) / max(t.n_tokens)) AS BIGINT)
+                   AS entropy_x8
+        FROM hist h JOIN tot t USING (src)
+        GROUP BY h.src
+    """
+
+
 # Phrase-BM25 retrieval defaults: query phrases (bigrams — unigrams
 # carry no idf signal in a small-vocab corpus) and result count.
 BM25_PHRASES = ("vector hash", "stream batch", "merge sort")

@@ -712,3 +712,34 @@ def test_corpus_diff_bucketed_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_snap_old")
         spark.sql("DROP TABLE IF EXISTS t_snap_new")
+
+
+def test_source_entropy_hand_values(spark):
+    """Uniform 4-token source: H = 2 bits exactly (all logs hit
+    powers of two -> the eighth-bit approximation is exact = 16).
+    Constant source: H = 0. Skewed source is strictly between."""
+    from llogtail_spark.operators.corpus import source_entropy
+
+    rows = [
+        (1, "a b c d a b c d", "uniform"),
+        (2, "x x x x x x x x", "constant"),
+        (3, "p p p p p p q r", "skewed"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_entropy(df).collect()}
+    assert out["uniform"]["entropy_x8"] == 16  # 2.0 bits exact
+    assert out["uniform"]["n_tokens"] == 8
+    assert out["uniform"]["n_distinct"] == 4
+    assert out["constant"]["entropy_x8"] == 0
+    assert 0 < out["skewed"]["entropy_x8"] < 16
+
+
+def test_source_entropy_no_window_no_python(spark):
+    from llogtail_spark.operators.corpus import source_entropy
+
+    rows = [(i, "w%d tok" % (i % 5), "s") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = source_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
