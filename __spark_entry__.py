@@ -741,6 +741,15 @@ def _q_source_entropy(spark, sf):
     return source_entropy(_t(spark, sf, "documents"))
 
 
+def _q_token_pmi(spark, sf):
+    """Top-k collocations by eighth-bit integer PMI: two combinable
+    histograms, broadcast vocab joins, TakeOrdered — never a global
+    bigram sort."""
+    from llogtail_spark.operators.corpus import token_pmi
+
+    return token_pmi(_t(spark, sf, "documents"))
+
+
 def _q_kmv_distinct(spark, sf):
     """Per-source KMV distinct-token sketch: K smallest portable
     hashes per group (rank-limit heap below the exchange), integer
@@ -1330,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_freq": _q_countmin_freq,
         "active_users_7d": _q_active_users_7d,
         "source_entropy": _q_source_entropy,
+        "token_pmi": _q_token_pmi,
     }
 
 
@@ -2293,4 +2303,5 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["active_users_7d_sql"],
         ).active_users_7d_sql(),
         "source_entropy": _corpus_mod().source_entropy_sql(),
+        "token_pmi": _corpus_mod().token_pmi_sql(),
     }

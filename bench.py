@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "countmin_freq",
     "active_users_7d",
     "source_entropy",
+    "token_pmi",
 ]
 
 

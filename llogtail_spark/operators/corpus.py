@@ -1270,6 +1270,126 @@ def source_entropy_sql(text_col: str = "text", group_col: str = "source",
     """
 
 
+PMI_MIN_COUNT = 5   # bigrams below this are PMI noise (rare-pair bias)
+PMI_TOPK = 20
+
+
+def token_pmi(df: DataFrame, text_col: str = "text",
+              min_count: int = PMI_MIN_COUNT,
+              top_k: int = PMI_TOPK) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    statistic behind phrase induction for tokenizer/vocab prep
+    (Mikolov et al. 2013 use exactly this count ratio to merge
+    word2vec phrases).
+
+    PMI(a,b) = log2( p(ab) / (p(a) p(b)) ) with p(ab) = c_ab/N_bi and
+    p(·) = c/N_uni, computed entirely in the exact-portable eighth-bit
+    integer log domain as
+      pmi_x8 = elog8(c_ab) + 2*elog8(N_uni)
+             - elog8(N_bi) - elog8(c_a) - elog8(c_b)
+    (sum-of-logs form — no c_a*c_b product that would overflow BIGINT
+    at web scale). Rare pairs (c_ab < min_count) are dropped first:
+    PMI's known bias is that a typo pair occurring once scores top.
+
+    Output: (tok_a, tok_b, n_ab:long, pmi_x8:long), ordered by
+    (pmi_x8 desc, tok_a, tok_b), top_k rows.
+
+    Scale shape (10^12 docs): two combinable histogram shuffles
+    (unigrams, bigram structs); totals are 1-row aggregates riding
+    broadcast; the two unigram-count joins broadcast the vocab (dim-
+    sized up to ~10^6 — beyond that they degrade to shuffled hash
+    joins on the token key, same correctness); final selection is
+    TakeOrderedAndProject, never a global sort of the bigram table.
+    """
+    toks = _tokens(F.col(text_col))
+    # zip_with over two slices (each argument evaluated once) — the
+    # element_at-in-transform form re-inlines the split per element
+    # (measured 8x slower; see __spark_entry__._toks_and_grams).
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt_u"))
+    )
+    bi = (
+        df.select(F.explode(grams).alias("g"))
+        .select(F.col("g.a").alias("tok_a"), F.col("g.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("cnt_u").cast("long").alias("n_uni"))
+    n_bi_tot = (
+        df.select(F.explode(grams).alias("g"))
+        .agg(F.count("*").cast("long").alias("n_bi"))
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("cnt_u").alias("cnt_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("cnt_u").alias("cnt_b"))
+    scored = (
+        bi.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_tot))
+        .withColumn(
+            "pmi_x8",
+            (
+                _elog8(F.col("n_ab")) + F.lit(2) * _elog8(F.col("n_uni"))
+                - _elog8(F.col("n_bi")) - _elog8(F.col("cnt_a"))
+                - _elog8(F.col("cnt_b"))
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.select("tok_a", "tok_b", "n_ab", "pmi_x8")
+        .orderBy(F.desc("pmi_x8"), "tok_a", "tok_b")
+        .limit(top_k)
+    )
+
+
+def token_pmi_sql(text_col: str = "text", min_count: int = PMI_MIN_COUNT,
+                  top_k: int = PMI_TOPK, table: str = "documents") -> str:
+    """DuckDB twin of token_pmi — identical histograms, eighth-bit
+    log arithmetic, ordering, and limit."""
+    ws = (
+        f"list_filter(string_split_regex(lower(coalesce({text_col}, '')), "
+        f"'{WS_CLASS}'), x -> x <> '')"
+    )
+    return f"""
+        WITH toks AS (SELECT {ws} AS ws FROM {table}),
+        uni AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt_u
+            FROM (SELECT unnest(ws) AS tok FROM toks) GROUP BY 1),
+        grams AS (
+            SELECT ws[i] AS tok_a, ws[i + 1] AS tok_b
+            FROM toks, unnest(range(1, greatest(len(ws), 1))) t(i)),
+        bi AS (
+            SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
+            FROM grams GROUP BY 1, 2
+            HAVING count(*) >= {min_count}),
+        tot AS (
+            SELECT (SELECT sum(cnt_u) FROM uni) AS n_uni,
+                   (SELECT count(*) FROM grams) AS n_bi)
+        SELECT b.tok_a, b.tok_b, b.n_ab,
+               CAST({_elog8_sql('b.n_ab')} + 2 * {_elog8_sql('t.n_uni')}
+                    - {_elog8_sql('t.n_bi')} - {_elog8_sql('a.cnt_u')}
+                    - {_elog8_sql('c.cnt_u')} AS BIGINT) AS pmi_x8
+        FROM bi b
+        JOIN uni a ON a.tok = b.tok_a
+        JOIN uni c ON c.tok = b.tok_b
+        CROSS JOIN tot t
+        ORDER BY pmi_x8 DESC, b.tok_a, b.tok_b
+        LIMIT {top_k}
+    """
+
+
 # Phrase-BM25 retrieval defaults: query phrases (bigrams — unigrams
 # carry no idf signal in a small-vocab corpus) and result count.
 BM25_PHRASES = ("vector hash", "stream batch", "merge sort")

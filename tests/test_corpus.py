@@ -743,3 +743,34 @@ def test_source_entropy_no_window_no_python(spark):
     assert "Window" not in plan
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_token_pmi_ranks_collocations(spark):
+    """'new york' always co-occurs (perfect association) and must
+    out-rank 'the of', which co-occurs only as often as independence
+    predicts; a pair below min_count never appears."""
+    from llogtail_spark.operators.corpus import token_pmi
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "new york " + "the of the of the the of of", "s"))
+    rows.append((100, "rare pair", "s"))  # n_ab=1 < min_count=5
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = token_pmi(df).collect()
+    ranked = [(r["tok_a"], r["tok_b"]) for r in out]
+    assert ("new", "york") in ranked
+    assert ("rare", "pair") not in ranked
+    pmi = {(r["tok_a"], r["tok_b"]): r["pmi_x8"] for r in out}
+    assert pmi[("new", "york")] > pmi.get(("the", "of"), -10**9)
+    ny = [r for r in out if (r["tok_a"], r["tok_b"]) == ("new", "york")][0]
+    assert ny["n_ab"] == 10
+
+
+def test_token_pmi_takeordered_no_global_sort(spark):
+    from llogtail_spark.operators.corpus import token_pmi
+
+    rows = [(i, "a b c d e f g h", "s") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = token_pmi(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
