@@ -155,8 +155,16 @@ def countmin_freq(
             )
         ).alias("tok")
     )
+    # collapse to the vocab-sized token histogram BEFORE hashing: the
+    # cell depends only on the token, so sketch[cell] += count is
+    # identical to per-instance increments — and the char-fold hash
+    # (whose expression each of the `depth` cell entries embeds a
+    # copy of, via project collapse) runs `depth` times per DISTINCT
+    # token instead of per token instance (measured 3x on sf0.1).
+    hist = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
     h = char_fold_hash(F.col("tok"))
-    cells = toks.select(
+    cells = hist.select(
+        "n",
         F.explode(
             F.array(*[
                 F.struct(
@@ -165,11 +173,11 @@ def countmin_freq(
                 )
                 for i in range(depth)
             ])
-        ).alias("rc")
+        ).alias("rc"),
     )
     sketch = cells.groupBy(
         F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell")
-    ).agg(F.count("*").cast("long").alias("cnt"))
+    ).agg(F.sum("n").cast("long").alias("cnt"))
 
     # probe side: a tiny literal DF (len(probes) x depth rows); the
     # row_i-th seed picks that row's cell via a constant-depth CASE.
