@@ -435,3 +435,87 @@ def test_corpus_ops_match_duckdb_on_random_texts(spark):
     for j in range(5):
         assert "footer" not in strip[950 + j]["text_clean"]
         assert strip[950 + j]["n_kept"] < strip[950 + j]["n_chunks"]
+
+
+def test_sketch_and_entropy_ops_match_duckdb_on_random_texts(spark):
+    """kmv_distinct / countmin_freq / source_entropy / token_pmi vs
+    their DuckDB oracles on adversarial random texts (mixed
+    whitespace, punctuation-glued tokens, empties, NULLs) — the hash
+    and eighth-bit-log arithmetic must agree bit-for-bit."""
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(SEED + 7)
+    vocab = ["join", "hash", "scan,", "the", "a!", "zz9", "..", "&", "Vector"]
+    docs = []
+    for i in range(200):
+        n = int(rng.integers(0, 30))
+        ws = rng.choice([" ", "  ", "\t", " \n"], size=max(n, 1))
+        words = rng.choice(vocab, size=n)
+        docs.append((i, "".join(w + s for w, s in zip(words, ws)),
+                     f"s{int(rng.integers(0, 4))}"))
+    docs += [(900, "", "s0"), (901, "   \t ", "s1"), (902, None, "s2")]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "source"])
+
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracles = entry.oracle_sql()
+
+    from llogtail_spark.operators.corpus import source_entropy, token_pmi
+    from llogtail_spark.operators.sketches import countmin_freq, kmv_distinct
+
+    for name, fn in [
+        ("kmv_distinct", kmv_distinct),
+        ("countmin_freq", countmin_freq),
+        ("source_entropy", source_entropy),
+        ("token_pmi", token_pmi),
+    ]:
+        got = sorted(map(tuple, fn(sdf).collect()))
+        want = sorted(map(tuple, con.execute(oracles[name]).fetchall()))
+        assert got == want, name
+
+
+def test_telemetry_ops_match_duckdb_on_random_events(spark):
+    """rate_spikes / interarrival_stats / active_users_7d vs DuckDB
+    on random event streams with timestamp ties, NULL users/ts, and
+    bursty minutes."""
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(SEED + 11)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(800):
+        # bursty: half the events land in 3 hot minutes
+        if rng.random() < 0.5:
+            sec = int(rng.choice([60, 300, 3600])) + int(rng.integers(0, 60))
+        else:
+            sec = int(rng.integers(0, 14 * 86400))
+        rows.append((
+            i,
+            base + dt.timedelta(seconds=sec),
+            int(rng.integers(1, 40)) if rng.random() > 0.05 else None,
+            str(rng.choice(["view", "click", "purchase"])),
+        ))
+    rows.append((9000, None, 5, "view"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracles = entry.oracle_sql()
+
+    from llogtail_spark.operators.telemetry import (
+        active_users_7d,
+        interarrival_stats,
+        rate_spikes,
+    )
+
+    for name, fn in [
+        ("rate_spikes", rate_spikes),
+        ("interarrival_stats", interarrival_stats),
+        ("active_users_7d", active_users_7d),
+    ]:
+        got = sorted(map(tuple, fn(sdf).collect()))
+        want = sorted(map(tuple, con.execute(oracles[name]).fetchall()))
+        assert got == want, name
+        assert len(got) > 0, name
