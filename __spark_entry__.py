@@ -750,6 +750,15 @@ def _q_token_pmi(spark, sf):
     return token_pmi(_t(spark, sf, "documents"))
 
 
+def _q_tfidf_topterms(spark, sf):
+    """Per-source characteristic terms by integer tf-idf: two
+    combinable histograms, broadcast vocab-sized df join, rank-limit
+    per-source selection."""
+    from llogtail_spark.operators.corpus import tfidf_topterms
+
+    return tfidf_topterms(_t(spark, sf, "documents"))
+
+
 def _q_kmv_distinct(spark, sf):
     """Per-source KMV distinct-token sketch: K smallest portable
     hashes per group (rank-limit heap below the exchange), integer
@@ -1340,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users_7d": _q_active_users_7d,
         "source_entropy": _q_source_entropy,
         "token_pmi": _q_token_pmi,
+        "tfidf_topterms": _q_tfidf_topterms,
     }
 
 
@@ -2304,4 +2314,5 @@ def oracle_sql() -> dict[str, str]:
         ).active_users_7d_sql(),
         "source_entropy": _corpus_mod().source_entropy_sql(),
         "token_pmi": _corpus_mod().token_pmi_sql(),
+        "tfidf_topterms": _corpus_mod().tfidf_topterms_sql(),
     }

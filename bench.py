@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "active_users_7d",
     "source_entropy",
     "token_pmi",
+    "tfidf_topterms",
 ]
 
 

@@ -1390,6 +1390,94 @@ def token_pmi_sql(text_col: str = "text", min_count: int = PMI_MIN_COUNT,
     """
 
 
+TFIDF_TOP_TERMS = 5
+
+
+def tfidf_topterms(df: DataFrame, text_col: str = "text",
+                   group_col: str = "source",
+                   top_n: int = TFIDF_TOP_TERMS) -> DataFrame:
+    """Per-source characteristic terms: top-n tokens by tf-idf, the
+    dataset-card line that says WHAT distinguishes each source (raw
+    top-frequency terms are the same stopwords everywhere; idf
+    down-weights them).
+
+    score = tf(source, t) * idf_x8(t), with idf_x8 =
+    elog8(N_docs) - elog8(df_t) in the exact-portable eighth-bit
+    integer domain (df_t = docs containing t — the classic smoothed-
+    free idf; a token in every doc scores ~0 and drops out).
+
+    Output: (source, term, n:long, score_x8:long), top_n rows per
+    source ordered by (score desc, term asc).
+
+    Scale shape: two combinable histograms (per-doc DISTINCT tokens
+    for df_t; (source, token) counts for tf), the vocab-sized df side
+    broadcast back, and per-source selection via a rank-limit window
+    (WindowGroupLimit heaps below the exchange). No global sort.
+    """
+    toks = _tokens(F.col(text_col))
+    docs_tok = df.select(
+        F.col(group_col).alias("src"),
+        F.explode(F.array_distinct(toks)).alias("tok"),
+    )
+    n_docs = df.select(F.count("*").cast("long").alias("n_docs"))
+    dfreq = docs_tok.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df_t")
+    )
+    tf = (
+        df.select(F.col(group_col).alias("src"),
+                  F.explode(toks).alias("tok"))
+        .groupBy("src", "tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_x8",
+            (F.col("n") * (_elog8(F.col("n_docs")) - _elog8(F.col("df_t"))))
+            .cast("long"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score_x8"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(F.col("src").alias(group_col), F.col("tok").alias("term"),
+                "n", "score_x8")
+    )
+
+
+def tfidf_topterms_sql(text_col: str = "text", group_col: str = "source",
+                       top_n: int = TFIDF_TOP_TERMS,
+                       table: str = "documents") -> str:
+    """DuckDB twin of tfidf_topterms."""
+    ws = (
+        f"list_filter(string_split_regex(lower(coalesce({text_col}, '')), "
+        f"'{WS_CLASS}'), x -> x <> '')"
+    )
+    return f"""
+        WITH base AS (SELECT {group_col} AS src, {ws} AS ws FROM {table}),
+        dfreq AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS df_t
+            FROM (SELECT unnest(list_distinct(ws)) AS tok FROM base)
+            GROUP BY 1),
+        tf AS (
+            SELECT src, tok, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT src, unnest(ws) AS tok FROM base)
+            GROUP BY 1, 2),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {table}),
+        scored AS (
+            SELECT t.src, t.tok, t.n,
+                   CAST(t.n * ({_elog8_sql('nd.n_docs')}
+                        - {_elog8_sql('d.df_t')}) AS BIGINT) AS score_x8
+            FROM tf t JOIN dfreq d USING (tok) CROSS JOIN nd)
+        SELECT src AS {group_col}, tok AS term, n, score_x8
+        FROM (SELECT *, row_number() OVER (PARTITION BY src
+                  ORDER BY score_x8 DESC, tok) AS rn FROM scored)
+        WHERE rn <= {top_n}
+    """
+
+
 # Phrase-BM25 retrieval defaults: query phrases (bigrams — unigrams
 # carry no idf signal in a small-vocab corpus) and result count.
 BM25_PHRASES = ("vector hash", "stream batch", "merge sort")

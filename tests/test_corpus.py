@@ -774,3 +774,36 @@ def test_token_pmi_takeordered_no_global_sort(spark):
     plan = token_pmi(df)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+def test_tfidf_topterms_downweights_ubiquitous(spark):
+    """'common' appears in every doc (idf ~0 -> drops out of the
+    top); each source's marker token dominates its top terms."""
+    from llogtail_spark.operators.corpus import tfidf_topterms
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "common alpha alpha alpha filler%d" % i, "A"))
+    for i in range(8, 16):
+        rows.append((i, "common beta beta beta filler%d" % i, "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {}
+    for r in tfidf_topterms(df).collect():
+        out.setdefault(r["source"], []).append(r)
+    assert out["A"][0]["term"] == "alpha" and out["A"][0]["n"] == 24
+    assert out["B"][0]["term"] == "beta"
+    for src in out:
+        terms = [r["term"] for r in out[src]]
+        # 'common' has df = N_docs -> idf_x8 = 0 -> score 0; the
+        # per-doc unique fillers (score > 0) outrank it
+        assert "common" not in terms[:4], terms
+
+
+def test_tfidf_rank_limit_below_exchange(spark):
+    from llogtail_spark.operators.corpus import tfidf_topterms
+
+    rows = [(i, "w%d x y z" % (i % 7), "s%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = tfidf_topterms(df)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan
