@@ -817,6 +817,14 @@ def _q_corpus_diff(spark, sf):
     return corpus_diff(old, new)
 
 
+def _q_salted_event_rollup(spark, sf):
+    """Skew-proof two-phase salted rollup == plain GROUP BY (the
+    oracle): fixed-point values keep the fold exactly associative."""
+    from llogtail_spark.operators.aggregate import salted_event_rollup
+
+    return salted_event_rollup(_t(spark, sf, "events"))
+
+
 def _q_rate_spikes(spark, sf):
     """Minute-rate spike alerting per event type: one combinable
     (type, minute) rollup, exact rank median over the dim-sized
@@ -1350,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_entropy": _q_source_entropy,
         "token_pmi": _q_token_pmi,
         "tfidf_topterms": _q_tfidf_topterms,
+        "salted_event_rollup": _q_salted_event_rollup,
     }
 
 
@@ -2315,4 +2324,8 @@ def oracle_sql() -> dict[str, str]:
         "source_entropy": _corpus_mod().source_entropy_sql(),
         "token_pmi": _corpus_mod().token_pmi_sql(),
         "tfidf_topterms": _corpus_mod().tfidf_topterms_sql(),
+        "salted_event_rollup": __import__(
+            "llogtail_spark.operators.aggregate",
+            fromlist=["salted_event_rollup_sql"],
+        ).salted_event_rollup_sql(),
     }

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "source_entropy",
     "token_pmi",
     "tfidf_topterms",
+    "salted_event_rollup",
 ]
 
 

@@ -87,6 +87,54 @@ def salted_sink_aggregates(routed: DataFrame, n_salts: int = 64) -> DataFrame:
     )
 
 
+def salted_event_rollup(df: DataFrame, key_col: str = "event_type",
+                        id_col: str = "event_id",
+                        user_col: str = "user_id",
+                        val_col: str = "value",
+                        n_salts: int = 64) -> DataFrame:
+    """Two-phase salted rollup over a low-cardinality key, producing
+    results IDENTICAL to the plain GROUP BY (which is its oracle):
+    the skew discipline the north rule names, driver-visible.
+
+    Phase 1 groups on (key, salt, user) — a pathological hot key
+    spreads over n_salts * |users-in-key| reducers; phase 2 folds
+    the salts. Values are fixed-point BIGINT per row BEFORE summing
+    (round(value*100)) so the fold is exactly associative — a salted
+    double sum could differ from the plain sum in the last ulp and
+    flip a floor.
+
+    Output: (key_col, n_events:long, sum_value_x100:long,
+    n_users:long).
+    """
+    v100 = F.round(F.col(val_col) * 100).cast("long")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    ).withColumn("_v", v100)
+    partial = salted.groupBy(key_col, "_salt", user_col).agg(
+        F.count("*").alias("c"), F.sum("_v").alias("v")
+    )
+    return partial.groupBy(key_col).agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum("v").cast("long").alias("sum_value_x100"),
+        F.countDistinct(user_col).cast("long").alias("n_users"),
+    )
+
+
+def salted_event_rollup_sql(key_col: str = "event_type",
+                            user_col: str = "user_id",
+                            val_col: str = "value") -> str:
+    """The salted rollup's oracle IS the plain GROUP BY — salting is
+    an execution strategy, not a semantic."""
+    return f"""
+        SELECT {key_col},
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round({val_col} * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_x100,
+               CAST(count(DISTINCT {user_col}) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+    """
+
+
 def pipeline_stats(df: DataFrame, rules) -> DataFrame:
     """ONE-job lineage stats for the pipeline: per input partition,
     the input identity (in_row_count, in_tok_total, in_checksum) plus

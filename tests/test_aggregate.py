@@ -72,3 +72,37 @@ def test_partition_stats_sum_to_totals(spark, data_dir, oracle_pdf):
     assert stats["row_count"].sum() == len(oracle_pdf)
     assert stats["tok_total"].sum() == int(oracle_pdf["n_tok"].sum())
     assert len(stats) == 6  # one row per input file
+
+
+def test_salted_event_rollup_equals_plain(spark):
+    """The salted two-phase rollup must be value-identical to the
+    plain GROUP BY on a pathologically skewed key (90% one type),
+    including NULL users and exact fixed-point sums."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from llogtail_spark.operators.aggregate import salted_event_rollup
+
+    rows = []
+    for i in range(2000):
+        rows.append((
+            i,
+            "hot" if i % 10 else "cold",
+            None if i % 97 == 0 else i % 50,
+            i * 0.015,  # exercises round-half cases
+        ))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, value double")
+    salted = {r["event_type"]: r for r in salted_event_rollup(df).collect()}
+    plain = {
+        r["event_type"]: r
+        for r in df.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+            .alias("sum_value_x100"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        ).collect()
+    }
+    assert salted == plain
+    assert salted["hot"]["n_events"] == 1800
