@@ -133,6 +133,14 @@ SHOWCASE = [
      "Inter-arrival stats: one user-keyed lag window, then the gap "
      "domain collapses to a combinable (type, gap) histogram — the "
      "exact p95 cumulative never sorts raw gaps."),
+    ("token_pmi",
+     "PMI collocation mining: two combinable histograms, broadcast "
+     "vocab joins, TakeOrderedAndProject — the bigram table is never "
+     "globally sorted."),
+    ("salted_event_rollup",
+     "Salted skew rollup: (key, salt, user) partial spreads a hot "
+     "key over 64 reducers, the key-level fold is exact (fixed-"
+     "point BIGINT) — result == plain GROUP BY."),
 ]
 
 
