@@ -750,6 +750,15 @@ def _q_token_pmi(spark, sf):
     return token_pmi(_t(spark, sf, "documents"))
 
 
+def _q_log_templates(spark, sf):
+    """Drain-style log template mining (fixed-partition variant):
+    one combinable (source, len, pos, token) count shuffle, modal
+    pick via rank-limit window, position-table-only assembly."""
+    from llogtail_spark.operators.corpus import log_templates
+
+    return log_templates(_t(spark, sf, "documents"))
+
+
 def _q_tfidf_topterms(spark, sf):
     """Per-source characteristic terms by integer tf-idf: two
     combinable histograms, broadcast vocab-sized df join, rank-limit
@@ -1359,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi": _q_token_pmi,
         "tfidf_topterms": _q_tfidf_topterms,
         "salted_event_rollup": _q_salted_event_rollup,
+        "log_templates": _q_log_templates,
     }
 
 
@@ -2328,4 +2338,5 @@ def oracle_sql() -> dict[str, str]:
             "llogtail_spark.operators.aggregate",
             fromlist=["salted_event_rollup_sql"],
         ).salted_event_rollup_sql(),
+        "log_templates": _corpus_mod().log_templates_sql(),
     }

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "token_pmi",
     "tfidf_topterms",
     "salted_event_rollup",
+    "log_templates",
 ]
 
 

@@ -1478,6 +1478,130 @@ def tfidf_topterms_sql(text_col: str = "text", group_col: str = "source",
     """
 
 
+TEMPLATE_MAJORITY_BP = 9000  # a position is constant at >= 90% agreement
+TEMPLATE_MIN_LINES = 3       # groups below this are not templates
+
+
+def log_templates(df: DataFrame, text_col: str = "text",
+                  group_col: str = "source",
+                  majority_bp: int = TEMPLATE_MAJORITY_BP,
+                  min_lines: int = TEMPLATE_MIN_LINES) -> DataFrame:
+    """Log template mining: the Drain/Spell-family operation that
+    turns a stream of log lines into message templates with variable
+    slots — the structure extraction every log pipeline's consumers
+    run on routed sinks (He et al. 2017, Drain).
+
+    Deterministic formulation (fixed-partition variant): lines group
+    by (source, token_count) — Drain's first two tree levels — and
+    within a group each token position keeps its MODAL token if it
+    covers >= majority_bp of the group's lines, else becomes the
+    wildcard '<*>'. Ties break to the lexicographically smallest
+    token, so an independent engine derives the identical template.
+
+    Output: (source, n_tok:long, n_lines:long, template:string) for
+    groups with >= min_lines lines.
+
+    Scale shape (10^12 lines): posexplode -> ONE map-side-combinable
+    count shuffle keyed on (source, len, pos, token); the modal pick
+    is a rank-limit window (WindowGroupLimit heaps below the
+    exchange); template assembly sorts only the per-group POSITION
+    table (bounded by max line length), never lines. The known trade
+    vs full Drain: variable-length variants of one message land in
+    different (source, len) groups — the standard fixed-depth
+    simplification, stated rather than hidden.
+    """
+    toks = _tokens(F.col(text_col))
+    base = (
+        df.select(F.col(group_col).alias("src"), toks.alias("ws"))
+        .withColumn("n_tok", F.size("ws").cast("long"))
+        .filter(F.col("n_tok") > 0)
+    )
+    tot = base.groupBy("src", "n_tok").agg(
+        F.count("*").cast("long").alias("n_lines")
+    ).filter(F.col("n_lines") >= min_lines)
+    pos = base.select(
+        "src", "n_tok", F.posexplode("ws").alias("pos", "tok")
+    )
+    cnt = pos.groupBy("src", "n_tok", "pos", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("src", "n_tok", "pos").orderBy(
+        F.desc("c"), F.asc("tok")
+    )
+    modal = cnt.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    # tot is dim-sized (sources x lengths) -> broadcast; the majority
+    # test is integer (c * 10000 >= bp * n_lines).
+    slots = modal.join(F.broadcast(tot), ["src", "n_tok"]).withColumn(
+        "slot",
+        F.when(
+            F.col("c") * 10000 >= majority_bp * F.col("n_lines"), F.col("tok")
+        ).otherwise(F.lit("<*>")),
+    )
+    return (
+        slots.groupBy("src", "n_tok")
+        .agg(
+            F.max("n_lines").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("slot")))
+                    ),
+                    lambda x: x.slot,
+                ),
+                " ",
+            ).alias("template"),
+        )
+        .select(F.col("src").alias(group_col), "n_tok", "n_lines", "template")
+    )
+
+
+def log_templates_sql(text_col: str = "text", group_col: str = "source",
+                      majority_bp: int = TEMPLATE_MAJORITY_BP,
+                      min_lines: int = TEMPLATE_MIN_LINES,
+                      table: str = "documents") -> str:
+    """DuckDB twin of log_templates — identical grouping, modal pick
+    (count desc, token asc), majority test, and position-ordered
+    assembly."""
+    ws = (
+        f"list_filter(string_split_regex(lower(coalesce({text_col}, '')), "
+        f"'{WS_CLASS}'), x -> x <> '')"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {group_col} AS src, ws, CAST(len(ws) AS BIGINT) AS n_tok
+            FROM (SELECT {group_col}, {ws} AS ws FROM {table})
+            WHERE len(ws) > 0),
+        tot AS (
+            SELECT src, n_tok, CAST(count(*) AS BIGINT) AS n_lines
+            FROM base GROUP BY 1, 2
+            HAVING count(*) >= {min_lines}),
+        pos AS (
+            SELECT src, n_tok, i - 1 AS pos, ws[i] AS tok
+            FROM base, unnest(range(1, len(ws) + 1)) t(i)),
+        cnt AS (
+            SELECT src, n_tok, pos, tok, CAST(count(*) AS BIGINT) AS c
+            FROM pos GROUP BY 1, 2, 3, 4),
+        modal AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY src, n_tok, pos
+                           ORDER BY c DESC, tok) AS rn
+                FROM cnt)
+            WHERE rn = 1),
+        slots AS (
+            SELECT m.src, m.n_tok, m.pos, t.n_lines,
+                   CASE WHEN m.c * 10000 >= {majority_bp} * t.n_lines
+                        THEN m.tok ELSE '<*>' END AS slot
+            FROM modal m JOIN tot t USING (src, n_tok))
+        SELECT src AS {group_col}, n_tok, max(n_lines) AS n_lines,
+               array_to_string(list_transform(list_sort(
+                   list({{'pos': pos, 'slot': slot}})), x -> x.slot), ' ')
+                   AS template
+        FROM slots GROUP BY src, n_tok
+    """
+
+
 # Phrase-BM25 retrieval defaults: query phrases (bigrams — unigrams
 # carry no idf signal in a small-vocab corpus) and result count.
 BM25_PHRASES = ("vector hash", "stream batch", "merge sort")

@@ -807,3 +807,37 @@ def test_tfidf_rank_limit_below_exchange(spark):
     plan = tfidf_topterms(df)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Python" not in plan
+
+
+def test_log_templates_hand_values(spark):
+    """5 lines of 'error at <ip> code <n>' shape: constant positions
+    survive, variable positions become <*>; a 2-line group is below
+    min_lines and emits nothing."""
+    from llogtail_spark.operators.corpus import log_templates
+
+    rows = []
+    for i in range(5):
+        rows.append((i, f"error at host{i} code {i * 7}", "app"))
+    rows += [(10, "tiny group", "app"), (11, "tiny group", "app")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = log_templates(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["template"] == "error at <*> code <*>"
+    assert r["n_lines"] == 5 and r["n_tok"] == 5
+
+
+def test_log_templates_majority_and_ties(spark):
+    """9 of 10 lines agree on position 2 -> constant (>= 90%); a
+    50/50 position wildcards; modal ties break lexicographically
+    (both engines)."""
+    from llogtail_spark.operators.corpus import log_templates
+
+    rows = []
+    for i in range(10):
+        third = "ok" if i < 9 else "fail"
+        half = "left" if i % 2 == 0 else "right"
+        rows.append((i, f"status {third} {half}", "s"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = log_templates(df).collect()[0]
+    assert r["template"] == "status ok <*>"
