@@ -92,9 +92,9 @@ def kmv_distinct(
     # ONE wide shuffle: hash-distinct with map-side combine.
     dedup = hashed.groupBy("grp", "hv").agg(F.lit(1))
     # rank-limit: WindowGroupLimit plans a per-partition bottom-K heap
-    # BELOW the group exchange (pinned in tests/test_plans.py), so the
-    # per-group shuffle moves K rows per upstream partition, not the
-    # whole distinct set.
+    # BELOW the group exchange (pinned in tests/test_sketches.py), so
+    # the per-group shuffle moves K rows per upstream partition, not
+    # the whole distinct set.
     w = Window.partitionBy("grp").orderBy("hv")
     kept = dedup.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     agg = kept.groupBy("grp").agg(
