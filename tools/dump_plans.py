@@ -141,6 +141,14 @@ SHOWCASE = [
      "Salted skew rollup: (key, salt, user) partial spreads a hot "
      "key over 64 reducers, the key-level fold is exact (fixed-"
      "point BIGINT) — result == plain GROUP BY."),
+    ("log_templates",
+     "Drain-style template mining: one combinable (source, len, pos, "
+     "token) count shuffle, modal pick via rank-limit window, "
+     "assembly over the bounded position table — lines are never "
+     "re-sorted."),
+    ("tfidf_topterms",
+     "Per-source tf-idf terms: vocab-sized df side broadcast; "
+     "WindowGroupLimit top-n heaps below the source exchange."),
 ]
 
 
