@@ -111,6 +111,35 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def host_probe() -> dict:
+    """~2s single-thread host-health probe, embedded in the output JSON
+    so every recorded bench carries evidence of the window it ran in
+    (BASELINE.md documents reproducible 5-30% hypervisor-steal spikes
+    and sibling-VM memory-bandwidth saturation on this sandbox).
+
+    cpu_probe_sec: fixed pure-Python loop — healthy ~0.6s on this VM;
+    >2s means heavy steal (measured 3.3s during a window where the
+    same tree's pipeline reps ran 3x slow). membw_1t_gbs: 1-thread
+    numpy triad — healthy ~8-15 GB/s; <1 means sibling saturation
+    (measured 0.05 during the worst recorded window).
+    """
+    import numpy as np
+
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    cpu_sec = time.time() - t0
+    n = 12_500_000  # 3 x 100 MB arrays
+    a = np.ones(n)
+    b = np.ones(n)
+    t0 = time.time()
+    for _ in range(3):
+        (a + 1.5 * b).sum()
+    membw = (3 * 4 * n * 8) / (time.time() - t0) / 1e9
+    return {"cpu_probe_sec": round(cpu_sec, 2), "membw_1t_gbs": round(membw, 1)}
+
+
 def bench_pipeline(spark, tmp: str) -> dict:
     from llogtail_spark.config import PipelineConf
     from llogtail_spark.generate import write_fixture
@@ -197,11 +226,15 @@ def bench_queries(spark) -> dict[str, float]:
 def main() -> None:
     from llogtail_spark.session import get_spark
 
+    host_before = host_probe()
+    log(f"host probe (pre): {host_before}")
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(2 * CPUS, 32))
     tmp = tempfile.mkdtemp(prefix="llogtail-bench-")
     try:
         pipe = bench_pipeline(spark, tmp)
         queries = bench_queries(spark)
+        host_after = host_probe()
+        log(f"host probe (post): {host_after}")
         result = {
             "metric": "routed_sequences_per_sec",
             "value": pipe["routed_seq_per_sec"],
@@ -210,6 +243,7 @@ def main() -> None:
             "sf": SF,
             "cpus": CPUS,
             "pipeline": pipe,
+            "host": {"before": host_before, "after": host_after},
         }
         print(json.dumps(result), flush=True)
     finally:
