@@ -1116,6 +1116,20 @@ ANN_CONF = dict(k=3, dim=64, n_bits=6, seed=7, decimals=6)
 IVF_CONF = dict(k=3, dim=64, n_cells=16, nprobe=4, seed=11, decimals=6)
 SEMDEDUP_CONF = dict(dim=64, n_cells=16, seed=11, decimals=6,
                      threshold_x10000=9000)
+KMEANS_CONF = dict(dim=64, n_clusters=8, seed=5, decimals=6)
+
+
+def _q_kmeans_assign(spark, sf):
+    """Cluster-assignment profile (one Lloyd step over the full
+    table + purity vs the ground-truth label column): the evaluation
+    loop of semantic mixture balancing / topic bucketing. Assignment
+    reuses the IVF coarse-quantizer Arrow UDF against seeded
+    decimal-rounded centroids so DuckDB recomputes identical cluster
+    ids from the same literals."""
+    from llogtail_spark.operators.similarity import kmeans_cluster_profile
+
+    emb = _t(spark, sf, "embeddings")
+    return kmeans_cluster_profile(emb, **KMEANS_CONF)
 
 
 def _q_semantic_dedup(spark, sf):
@@ -1358,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "semantic_dedup": _q_semantic_dedup,
+        "kmeans_assign": _q_kmeans_assign,
         "kmv_distinct": _q_kmv_distinct,
         "rate_spikes": _q_rate_spikes,
         "interarrival_stats": _q_interarrival_stats,
@@ -1703,6 +1718,45 @@ def _semdedup_oracle() -> str:
                CAST(CASE WHEN coalesce(a.n_smaller, 0) > 0
                     THEN 0 ELSE 1 END AS INTEGER) AS keep
         FROM v LEFT JOIN agg a ON v.vec_id = a.vec_id
+    """
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB twin of kmeans_cluster_profile: identical argmax-dot
+    assignment against the same decimal-rounded centroid literals
+    (score desc, cluster asc — make_cell_udf's order), then the same
+    two-level integer rollup; purity uses exact integer division so
+    both engines agree bit-for-bit."""
+    from llogtail_spark.operators.similarity import rounded_centroids
+
+    cents = rounded_centroids(KMEANS_CONF["dim"], KMEANS_CONF["n_clusters"],
+                              KMEANS_CONF["seed"], KMEANS_CONF["decimals"])
+    rows = ", ".join(
+        "(" + str(c) + ", [" + ", ".join(repr(float(v)) for v in cents[c]) + "])"
+        for c in range(KMEANS_CONF["n_clusters"])
+    )
+    return f"""
+        WITH cells AS (SELECT * FROM (VALUES {rows}) t(cell, cv)),
+        sc AS (
+            SELECT vec_id, label, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), cv) DESC,
+                                cell) AS cr
+            FROM embeddings, cells),
+        a AS (SELECT cell AS cluster_id, label FROM sc WHERE cr = 1),
+        bl AS (SELECT cluster_id, label, count(*) AS cnt
+               FROM a GROUP BY cluster_id, label),
+        r AS (SELECT cluster_id, label, cnt,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY cnt DESC, label) AS rk,
+                     sum(cnt) OVER (PARTITION BY cluster_id) AS n
+              FROM bl)
+        SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+               CAST(n AS BIGINT) AS n,
+               CAST(label AS INTEGER) AS majority_label,
+               CAST((1000 * cnt) // n AS BIGINT) AS purity_x1000
+        FROM r WHERE rk = 1
     """
 
 
@@ -2313,6 +2367,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "semantic_dedup": _semdedup_oracle(),
+        "kmeans_assign": _kmeans_oracle(),
         "kmv_distinct": __import__(
             "llogtail_spark.operators.sketches", fromlist=["kmv_distinct_sql"]
         ).kmv_distinct_sql(),

@@ -512,3 +512,72 @@ def semantic_dedup(
     return base.groupBy("_cell").applyInPandas(
         cell_matrix, "vec_id long, cell int, n_near long, keep int"
     )
+
+
+def kmeans_cluster_profile(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_clusters: int = 8,
+    seed: int = 5,
+    decimals: int | None = 6,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Cluster-assignment profile: assign every embedding to its
+    nearest centroid (max dot product — one Lloyd assignment step over
+    the FULL table) and roll each cluster up against a ground-truth
+    label column:
+
+      (cluster_id, n, majority_label, purity_x1000)
+
+    majority_label is the most frequent label in the cluster (ties ->
+    lowest label); purity_x1000 = (1000 * majority_count) div n, exact
+    integer arithmetic so an independent engine reproduces it
+    bit-for-bit. This is the evaluation loop of semantic-mixture
+    balancing / topic bucketing over a training corpus: fit centroids
+    on a sample (train_centroids), then profile how the full corpus
+    lands.
+
+    Spark-first shape: the assignment is the shared IVF coarse-
+    quantizer Arrow UDF (one numpy matmul per batch, JVM->Arrow->BLAS,
+    no per-row Python); the rollup is two partial-aggregable
+    hash aggregates — shuffle keyed on (cluster, label) whose
+    cardinality is n_clusters * n_labels, i.e. tiny at any corpus
+    scale, then a k-row majority pick. At 10^12 rows the plan is scan
+    -> UDF -> map-side combine -> two ~zero-cost reduces: the scan
+    dominates, which is the floor.
+
+    Default centroids are the seeded decimal-rounded constants
+    (rounded_centroids) so the DuckDB oracle recomputes identical
+    assignments from the same literals; pass centroids= for the
+    production path (fit by train_centroids on a reservoir sample).
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else rounded_centroids(dim, n_clusters, seed,
+                               6 if decimals is None else decimals)
+    )
+    assign1 = make_cell_udf(cents, 1)
+    assigned = emb.select(
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cluster_id"),
+        F.col(label_col).alias("_lbl"),
+    )
+    by_label = assigned.groupBy("cluster_id", "_lbl").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_cnt"), F.asc("_lbl")
+    )
+    return (
+        by_label.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n", F.sum("_cnt").over(Window.partitionBy("cluster_id")))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("n").cast("long").alias("n"),
+            F.col("_lbl").cast("int").alias("majority_label"),
+            F.expr("(1000 * _cnt) div n").cast("long").alias("purity_x1000"),
+        )
+    )

@@ -346,3 +346,62 @@ def test_semantic_dedup_plan(emb):
     assert plan.count("FlatMapGroupsInPandas") == 1
     for node in ("Join", "CartesianProduct", "BatchEvalPython"):
         assert node not in plan
+
+
+def numpy_kmeans_profile(emb_np, labels, cents):
+    """Independent argmax-dot assignment (ties -> lowest cell,
+    make_cell_udf's stable order) + exact integer purity rollup."""
+    scores = emb_np.astype(np.float64) @ cents.T
+    assign = np.argsort(-scores, axis=1, kind="stable")[:, 0]
+    out = {}
+    for c in sorted(set(int(a) for a in assign)):
+        ls = [int(l) for l, a in zip(labels, assign) if a == c]
+        n = len(ls)
+        counts = {}
+        for l in ls:
+            counts[l] = counts.get(l, 0) + 1
+        maj = min(
+            (l for l in counts if counts[l] == max(counts.values()))
+        )
+        out[c] = (n, maj, (1000 * counts[maj]) // n)
+    return out
+
+
+def test_kmeans_profile_matches_numpy(spark, emb_np):
+    from llogtail_spark.operators.similarity import (
+        kmeans_cluster_profile, rounded_centroids,
+    )
+
+    labels = [i % 3 for i in range(N)]
+    rows = [(i, labels[i], emb_np[i].tolist()) for i in range(N)]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label int, embedding array<float>"
+    )
+    got = {
+        r["cluster_id"]: (r["n"], r["majority_label"], r["purity_x1000"])
+        for r in kmeans_cluster_profile(
+            df, dim=DIM, n_clusters=4, seed=5, decimals=6
+        ).collect()
+    }
+    cents = rounded_centroids(DIM, 4, 5, 6)
+    assert got == numpy_kmeans_profile(emb_np, labels, cents)
+    assert sum(n for (n, _, _) in got.values()) == N  # every row assigned
+
+
+def test_kmeans_profile_plan_single_eval(spark, emb_np):
+    """Scan -> ONE Arrow assignment eval -> partial+final hash aggs;
+    no joins, no second UDF eval (the isnotnull re-inline pathology
+    pinned out for lsh/ivf must not reappear here)."""
+    from llogtail_spark.operators.similarity import kmeans_cluster_profile
+
+    rows = [(i, i % 3, emb_np[i].tolist()) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label int, embedding array<float>"
+    )
+    plan = (
+        kmeans_cluster_profile(df, dim=DIM, n_clusters=4, seed=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    for node in ("Join", "CartesianProduct", "BatchEvalPython"):
+        assert node not in plan
