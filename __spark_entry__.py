@@ -834,6 +834,26 @@ def _q_salted_event_rollup(spark, sf):
     return salted_event_rollup(_t(spark, sf, "events"))
 
 
+def _q_skew_join_salted(spark, sf):
+    """Salted replicate-join on a pathologically hot key (5 event
+    types over the whole table): the big side spreads each key across
+    8 salts so no reducer owns a whole key; the dim side is written
+    8x. Row-identical to the plain join the oracle runs."""
+    from llogtail_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_count")
+    )
+    return salted_join(
+        ev.select("event_id", "event_type"),
+        dim,
+        on=["event_type"],
+        n_salts=8,
+        salt_on=["event_id"],
+    ).select("event_id", "event_type", "type_count")
+
+
 def _q_rate_spikes(spark, sf):
     """Minute-rate spike alerting per event type: one combinable
     (type, minute) rollup, exact rank median over the dim-sized
@@ -1383,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi": _q_token_pmi,
         "tfidf_topterms": _q_tfidf_topterms,
         "salted_event_rollup": _q_salted_event_rollup,
+        "skew_join_salted": _q_skew_join_salted,
         "log_templates": _q_log_templates,
     }
 
@@ -2394,4 +2415,12 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["salted_event_rollup_sql"],
         ).salted_event_rollup_sql(),
         "log_templates": _corpus_mod().log_templates_sql(),
+        "skew_join_salted": """
+            WITH dim AS (
+                SELECT event_type, count(*) AS type_count
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, d.type_count
+            FROM events e JOIN dim d USING (event_type)
+        """,
     }

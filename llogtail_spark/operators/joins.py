@@ -142,3 +142,47 @@ def range_join_bucketed(
     return pb.join(ib, on=[*on, "_bkt"]).filter(
         (F.col(point_ts) > F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     ).drop("_bkt")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Skew-proof shuffled equi-join: salt the big (skewed) side,
+    replicate the small side across all salts, join on (on..., salt).
+
+    A shuffled join on a hot key puts every row of that key in ONE
+    reducer task — the straggler that stalls a 1000-executor stage.
+    Salting splits each key's rows across `n_salts` shuffle partitions
+    (salt = pmod(xxhash64(salt_on...), n_salts), deterministic under
+    retry) at the cost of writing the small side n_salts times; each
+    matching (big, small) pair still meets exactly once, so the result
+    is row-identical to the plain join for 'inner' and 'left' (NULL
+    keys never equi-match on either path, and an unmatched left row
+    survives exactly once). This is the explicit form of the north
+    rule's "salted repartitioning ... before the per-sink aggregation
+    stage"; AQE skew-split (session.py) stays on as the runtime
+    backstop, but AQE cannot split a hot key finer than one reducer's
+    input — salting can. Reference anchor: llogtail shards work by
+    file, so one hot source serializes a worker the same way
+    (collector.go:74-78); salting is the shard-split it lacks.
+
+    salt_on defaults to all big-side columns: duplicate rows collide
+    on a salt, which only skews the spread when the table is mostly
+    copies of one row. Pass a row-unique column (an id) when you have
+    one — cheaper to hash and perfectly uniform.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_src = [F.col(c) for c in (salt_on or big.columns)]
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int")
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, on=[*on, "_salt"], how=how).drop("_salt")

@@ -183,3 +183,82 @@ def test_asof_null_right_ts_never_matches(spark):
                      right_cols=["v"]).collect()}
     assert out["early"] == (None, None)  # no real prior row -> null group
     assert out["late"] == (_ts(5), 100)
+
+
+# ---------------------------------------------------------------- salted join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share one hot key; duplicates on both sides so the
+    # equality check covers multiplicity, plus NULL keys on both sides
+    rows = [(i, "hot" if i % 10 else "cold", i % 7) for i in range(1, 401)]
+    rows += [(900, None, 1), (901, None, 2)]
+    big = spark.createDataFrame(rows, "rid int, k string, v int")
+    dim = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("cold", 3), (None, 4), ("unseen", 5)],
+        "k string, w int",
+    )
+    return big, dim
+
+
+def _sorted_rows(df):
+    # None-safe total order (left-join rows carry NULLs)
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, repr(x)) for x in t),
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain_join(skewed, how):
+    from llogtail_spark.operators.joins import salted_join
+
+    big, dim = skewed
+    plain = big.join(dim, on=["k"], how=how)
+    salted = salted_join(big, dim, on=["k"], n_salts=8, how=how,
+                         salt_on=["rid"])
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_salted_join_spreads_hot_key(skewed):
+    """The whole point: rows of ONE key land in many shuffle
+    partitions. Count distinct salts assigned to the hot key."""
+    from llogtail_spark.operators.joins import salted_join
+    from pyspark.sql import functions as F
+
+    big, dim = skewed
+    n = (
+        big.withColumn("_salt", F.pmod(F.xxhash64("rid"), F.lit(8)))
+        .filter(F.col("k") == "hot")
+        .select("_salt").distinct().count()
+    )
+    assert n == 8  # 360 hot rows cover all 8 salts w.h.p. (seeded hash)
+
+
+def test_salted_join_keys_include_salt(spark, skewed):
+    """With broadcast disabled the executed plan must be a shuffled
+    join whose partitioning includes the salt — the hot key no longer
+    maps to a single reducer."""
+    from llogtail_spark.operators.joins import salted_join
+
+    big, dim = skewed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            salted_join(big, dim, on=["k"], n_salts=8, salt_on=["rid"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "_salt" in plan and "hashpartitioning(k" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_salted_join_rejects_outer(skewed):
+    from llogtail_spark.operators.joins import salted_join
+
+    big, dim = skewed
+    with pytest.raises(ValueError):
+        salted_join(big, dim, on=["k"], how="full")
