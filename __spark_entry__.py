@@ -1311,6 +1311,56 @@ def _q_ann_ivf(spark, sf):
     return ivf_topk(emb, queries, **IVF_CONF)
 
 
+def _q_zorder_shards(spark, sf):
+    """Z-order (Morton) layout audit: interleaved-bit clustering key
+    over (user, hour), per-shard row counts + dimension spans — the
+    zone-map evidence for multi-dimensional file pruning. Key
+    computation is a zero-shuffle codegen projection; the audit is
+    one combinable groupBy on a <=256-value key."""
+    from llogtail_spark.operators.layout import zorder_shards
+
+    return zorder_shards(_t(spark, sf, "events"))
+
+
+def _q_k_anonymity(spark, sf):
+    """k-anonymity audit over the (lang, source, length-bucket)
+    quasi-identifier: per-lang group counts, below-k groups, and
+    re-identifiable-row rate in bp. Two stacked combinable
+    aggregations, nothing collected."""
+    from llogtail_spark.operators.governance import k_anonymity
+
+    return k_anonymity(_t(spark, sf, "documents"))
+
+
+def _q_inverted_index(spark, sf):
+    """Inverted-index construction: top-df terms with capped, sorted
+    posting lists. Distinct (doc, term) then ONE term-keyed shuffle
+    with map-side combine; top-k via TakeOrderedAndProject."""
+    from llogtail_spark.operators.indexing import inverted_index
+
+    return inverted_index(_t(spark, sf, "documents"))
+
+
+def _q_pagerank(spark, sf):
+    """3-iteration integer PageRank over the customer<->supplier
+    order graph: per round one equi-join + one combinable sum, all
+    integer arithmetic so results are partitioning-invariant (the
+    property that makes the DuckDB unrolled-CTE oracle value-exact)."""
+    from llogtail_spark.operators.indexing import pagerank
+
+    return pagerank(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+
+
+def _q_scd2_intervals(spark, sf):
+    """SCD-2 state-interval derivation per user (change compression +
+    closing lead over ONE user-keyed sort), rolled up per state —
+    the batch twin of llogtail's rotation-superseded file identities
+    (log_watcher.go:228-261)."""
+    from llogtail_spark.operators.telemetry import scd2_intervals
+
+    return scd2_intervals(_t(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_fanout": _q_pipeline_route_fanout,
@@ -1405,6 +1455,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_rollup": _q_salted_event_rollup,
         "skew_join_salted": _q_skew_join_salted,
         "log_templates": _q_log_templates,
+        "zorder_shards": _q_zorder_shards,
+        "k_anonymity": _q_k_anonymity,
+        "inverted_index": _q_inverted_index,
+        "pagerank": _q_pagerank,
+        "scd2_intervals": _q_scd2_intervals,
     }
 
 
@@ -1917,6 +1972,30 @@ def _corpus_mod():
     return corpus
 
 
+def _layout_mod():
+    from llogtail_spark.operators import layout
+
+    return layout
+
+
+def _governance_mod():
+    from llogtail_spark.operators import governance
+
+    return governance
+
+
+def _indexing_mod():
+    from llogtail_spark.operators import indexing
+
+    return indexing
+
+
+def _telemetry_mod():
+    from llogtail_spark.operators import telemetry
+
+    return telemetry
+
+
 def _sample_oracle() -> str:
     from llogtail_spark.operators.sampling import sample_bucket_sql
 
@@ -2423,4 +2502,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type, d.type_count
             FROM events e JOIN dim d USING (event_type)
         """,
+        "zorder_shards": _layout_mod().zorder_shards_sql(),
+        "k_anonymity": _governance_mod().k_anonymity_sql(),
+        "inverted_index": _indexing_mod().inverted_index_sql(),
+        "pagerank": _indexing_mod().pagerank_sql(),
+        "scd2_intervals": _telemetry_mod().scd2_intervals_sql(),
     }

@@ -1,0 +1,189 @@
+"""Index-construction operators: inverted-index postings and
+link-graph PageRank.
+
+Both generalize the reference's routing tables. llogtail keeps a
+static map sink-name -> matching files and fans every line out by
+consulting it (collector.go:125-174); an inverted index is the same
+structure built FROM the data (term -> posting list of documents),
+and PageRank is the iterative importance weighting a crawler/selector
+applies over a link graph before deciding what to keep.
+
+Scale shape (10^12 rows):
+- inverted_index: explode to (doc, term), distinct within the doc
+  (map-side), then ONE shuffle on term with map-side combine for df;
+  posting lists are CAPPED (top POSTINGS_CAP doc ids) so no reducer
+  materializes an unbounded list for a stop-word — the full posting
+  list at scale is written as term-bucketed parquet instead of a
+  single array cell. Final top-k terms by df is a
+  TakeOrderedAndProject, never a global sort.
+- pagerank: rank updates as integer arithmetic (division-floored
+  contributions), so results are bitwise-reproducible regardless of
+  partitioning / summation order — the property that makes the
+  DuckDB oracle value-exact and cluster reruns deterministic. Each
+  iteration is one equi-join (edges x ranks, both hash-partitioned
+  on the SAME key so the exchange is reused round to round) plus one
+  combinable sum. Iteration count is fixed and small (power-method
+  convergence is geometric); each round's lineage is cut by the
+  caller at cluster scale (checkpoint) — here 3 unrolled rounds stay
+  a single plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llogtail_spark.operators.corpus import _tokens
+
+POSTINGS_CAP = 10
+INDEX_TOP_TERMS = 20
+
+PR_ITERS = 3
+# fixed-point PageRank constants: rank scale 1e6, damping 0.85
+PR_INIT = 1_000_000
+PR_BASE = 150_000
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   top_terms: int = INDEX_TOP_TERMS,
+                   cap: int = POSTINGS_CAP) -> DataFrame:
+    """Top-df terms with capped posting lists: (term, df, postings)
+    where postings is the first `cap` doc ids in ascending order,
+    comma-joined (a string so independent engines hash it
+    identically). df counts DISTINCT documents containing the term.
+
+    The distinct runs on the exploded (doc, term) pairs BEFORE the
+    term aggregation — partial distinct + partial count both combine
+    map-side. sort_array + slice bound the per-term state."""
+    pairs = (
+        df.select(F.col(id_col).alias("doc"),
+                  F.explode(_tokens(F.col(text_col))).alias("term"))
+        .distinct()
+    )
+    agg = pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc")), 1, cap),
+                lambda x: x.cast("string"),
+            ),
+            ","
+        ).alias("postings"),
+    )
+    return (
+        agg.orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_terms)
+        .select("term", F.col("df").cast("long").alias("df"), "postings")
+    )
+
+
+def inverted_index_sql(top_terms: int = INDEX_TOP_TERMS,
+                       cap: int = POSTINGS_CAP) -> str:
+    """DuckDB twin: identical tokenization, distinct grain, posting
+    cap/order, and (df DESC, term ASC) top-k tiebreak."""
+    from llogtail_spark.operators.dedup import WS_CLASS
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT doc_id AS doc, term
+            FROM (SELECT doc_id,
+                         unnest(list_filter(
+                             string_split_regex(lower(coalesce(text, '')),
+                                                '{WS_CLASS}'),
+                             x -> x <> '')) AS term
+                  FROM documents)),
+        agg AS (
+            SELECT term, count(*) AS df,
+                   array_to_string(
+                       (list_sort(list(doc)))[1:{cap}], ',') AS postings
+            FROM pairs GROUP BY term)
+        SELECT term, CAST(df AS BIGINT) AS df, postings
+        FROM agg ORDER BY df DESC, term LIMIT {top_terms}
+    """
+
+
+def _pr_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer<->supplier edges from order lines:
+    customer c placed an order containing a line supplied by s.
+    Distinct node pairs, namespaced ids, both directions."""
+    base = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    return base.union(base.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+
+
+def pagerank(orders: DataFrame, lineitem: DataFrame,
+             iters: int = PR_ITERS, top_k: int = 20) -> DataFrame:
+    """Integer-arithmetic PageRank over the customer<->supplier
+    graph, `iters` power iterations, top_k nodes by final rank.
+
+    rank'(v) = PR_BASE + (85 * sum over in-neighbors u of
+               floor(rank(u) / outdeg(u))) / 100, all integer ops —
+    deterministic under any partitioning. Returns (node, rank)."""
+    edges = _pr_edges(orders, lineitem)
+    deg = edges.groupBy("a").agg(F.count("*").alias("outdeg"))
+    ranks = deg.select(F.col("a").alias("node"),
+                       F.lit(PR_INIT).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "a")
+            .join(ranks, edges.a == ranks.node)
+            .select(
+                F.col("b").alias("node"),
+                F.floor(F.col("rank") / F.col("outdeg"))
+                .cast("long").alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(
+                (F.lit(PR_BASE)
+                 + F.floor(F.lit(PR_DAMP_NUM) * F.sum("c")
+                           / F.lit(PR_DAMP_DEN)))
+                .cast("long").alias("rank")
+            )
+        )
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(top_k)
+
+
+def pagerank_sql(iters: int = PR_ITERS, top_k: int = 20) -> str:
+    """DuckDB twin: the same `iters` rounds unrolled as CTEs with
+    identical integer arithmetic."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+        r{i} AS (
+            SELECT e.b AS node,
+                   CAST({PR_BASE} + floor({PR_DAMP_NUM} *
+                        sum(floor(r.rank / d.outdeg)) / {PR_DAMP_DEN})
+                        AS BIGINT) AS rank
+            FROM edges e JOIN deg d ON e.a = d.a
+                         JOIN {prev} r ON e.a = r.node
+            GROUP BY e.b)""")
+        prev = f"r{i}"
+    return f"""
+        WITH base AS (
+            SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS b
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+            SELECT a, b FROM base
+            UNION ALL SELECT b AS a, a AS b FROM base),
+        deg AS (SELECT a, count(*) AS outdeg FROM edges GROUP BY a),
+        r0 AS (SELECT a AS node, CAST({PR_INIT} AS BIGINT) AS rank
+               FROM deg),
+        {",".join(rounds)}
+        SELECT node, rank FROM {prev}
+        ORDER BY rank DESC, node LIMIT {top_k}
+    """

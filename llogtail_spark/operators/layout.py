@@ -1,0 +1,118 @@
+"""Data-layout operators: Z-order (Morton-curve) clustering keys for
+multi-dimensional file pruning.
+
+The reference prunes work one-dimensionally: a sink reads only the
+files its glob matched and only past its checkpoint offset
+(log_watcher.go:97-126, utils.go:218-228). A 100 TB table queried by
+BOTH user and time can't pick one sort key without destroying pruning
+on the other dimension; the standard warehouse answer (Delta/Iceberg
+`OPTIMIZE ZORDER BY`) is to sort by an interleaved-bit Morton code so
+files stay tight ranges in BOTH dimensions at once.
+
+`zorder_key` is the write-time layout primitive: a pure projection
+(zero shuffle, whole-stage codegen — the bit interleave compiles to
+shifts/ands/ors) followed by `repartitionByRange(z)` at write time.
+`zorder_shards` is its audit query: per Z-shard row counts plus the
+span each shard covers in each dimension — the numbers that prove a
+min/max-zone-map index would prune multi-dimensional predicates.
+
+Scale shape (10^12 rows):
+- key computation is embarrassingly parallel (scan-local projection);
+- the audit aggregation is ONE combinable groupBy on a bounded key
+  domain (256 shards here — min/max/count all map-side combine);
+- at write time, `repartitionByRange` over z samples ranges (AQE
+  handles skew) and each output file covers a contiguous Morton
+  range, i.e. a small rectangle in (user, hour) space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# bits per dimension in the Morton code (8+8 -> 16-bit z)
+ZBITS = 8
+# audit granularity: shard id = top 8 bits of z (<= 256 shards)
+SHARD_SHIFT = 8
+
+
+def morton16(bx: Column, by: Column) -> Column:
+    """Interleave the low 8 bits of two non-negative ints into a
+    16-bit Morton code: bit i of bx lands at 2i+1, bit i of by at 2i.
+    Pure integer expression — stays inside whole-stage codegen."""
+    z = F.lit(0)
+    for i in range(ZBITS):
+        z = z + F.shiftleft(
+            F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        ) + F.shiftleft(
+            F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i
+        )
+    return z
+
+
+def _morton16_sql(bx: str, by: str) -> str:
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def zorder_key(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts") -> DataFrame:
+    """Append the 16-bit Morton layout key over (user bucket, hour
+    bucket). Buckets: user_id mod 256; hour index (epoch // 3600)
+    mod 256. Write path: `.repartitionByRange(n, "z").write...` —
+    each file then covers a rectangle in (user, hour) space."""
+    bx = (F.col(user_col) % 256).cast("int")
+    # TIMESTAMP_NTZ cannot cast to BIGINT directly; hop via timestamp
+    # (session tz pinned UTC, matching DuckDB's naive epoch())
+    by = (F.floor(F.col(ts_col).cast("timestamp").cast("long") / 3600)
+          % 256).cast("int")
+    return df.withColumn("_bx", bx).withColumn("_by", by).withColumn(
+        "z", morton16(F.col("_bx"), F.col("_by")).cast("int")
+    )
+
+
+def zorder_shards(df: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts") -> DataFrame:
+    """Z-order layout audit: per Z-shard (top 8 Morton bits) row count
+    and the min/max span covered in each source dimension. A tight
+    layout shows every shard spanning a small user range AND a small
+    hour range — the precondition for zone-map pruning on either
+    predicate. Returns (zshard, n, user_lo, user_hi, hour_lo,
+    hour_hi), <= 256 rows."""
+    keyed = zorder_key(df, user_col, ts_col)
+    return (
+        keyed.groupBy(
+            F.shiftright(F.col("z"), SHARD_SHIFT).cast("int").alias("zshard")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_bx").cast("int").alias("user_lo"),
+            F.max("_bx").cast("int").alias("user_hi"),
+            F.min("_by").cast("int").alias("hour_lo"),
+            F.max("_by").cast("int").alias("hour_hi"),
+        )
+    )
+
+
+def zorder_shards_sql(user_col: str = "user_id", ts_col: str = "ts") -> str:
+    """DuckDB twin: identical bucketing (mod 256 / epoch-hour mod 256),
+    identical bit interleave, identical shard shift."""
+    z = _morton16_sql("bx", "by")
+    return f"""
+        WITH keyed AS (
+            SELECT CAST({user_col} % 256 AS INTEGER) AS bx,
+                   CAST(CAST(floor(epoch({ts_col}) / 3600) AS BIGINT) % 256
+                        AS INTEGER) AS by
+            FROM events),
+        coded AS (SELECT bx, by, ({z}) AS zval FROM keyed)
+        SELECT CAST(zval >> {SHARD_SHIFT} AS INTEGER) AS zshard,
+               count(*) AS n,
+               CAST(min(bx) AS INTEGER) AS user_lo,
+               CAST(max(bx) AS INTEGER) AS user_hi,
+               CAST(min(by) AS INTEGER) AS hour_lo,
+               CAST(max(by) AS INTEGER) AS hour_hi
+        FROM coded GROUP BY zshard
+    """

@@ -450,3 +450,92 @@ def funnel_counts_sql(steps: tuple = FUNNEL_STEPS) -> str:
                    OVER (ORDER BY step)) AS BIGINT) AS conv_bp
         FROM counts WHERE n_users > 0
     """
+
+
+# ------------------------------------------------------------- SCD-2
+
+def scd2_intervals(df: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type-2 derivation: compress each
+    user's event stream into state-validity intervals (state =
+    event_type; an interval opens when the state CHANGES and closes
+    when the next change arrives), then roll the intervals up per
+    state.
+
+    This is the warehouse twin of llogtail's rotation handling: a
+    file identity is 'current' until a rotation event supersedes it
+    and the old identity keeps its recorded span (log_watcher.go:
+    228-261); SCD-2 keeps every superseded state row with its
+    [valid_from, valid_to) span instead of overwriting.
+
+    Scale shape (10^12 events): ONE shuffle on user_id; both windows
+    (change detection lag, closing lead) and the change filter reuse
+    that single (user_id, ts, event_id) sort — Spark plans one
+    Exchange + one Sort. The final rollup is dim-sized (one row per
+    event_type). Deterministic tie-break: (ts, event_id).
+
+    Returns (event_type, n_intervals, n_closed, open_now,
+    avg_dur_sec, max_dur_sec) — durations floored to whole seconds
+    over CLOSED intervals; open intervals (the user's current state)
+    counted separately."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        df.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull()
+                | (F.col("_prev") != F.col("event_type")))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = changes.select(
+        "user_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wc).alias("valid_to"),
+    )
+    # NTZ -> timestamp -> long (session tz pinned UTC; see _week_idx)
+    dur = (F.col("valid_to").cast("timestamp").cast("long")
+           - F.col("valid_from").cast("timestamp").cast("long"))
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("valid_to").isNotNull().cast("long"))
+            .alias("n_closed"),
+            F.sum(F.col("valid_to").isNull().cast("long")).alias("open_now"),
+            F.floor(F.avg(dur)).cast("long").alias("avg_dur_sec"),
+            F.max(dur).cast("long").alias("max_dur_sec"),
+        )
+    )
+
+
+def scd2_intervals_sql() -> str:
+    """DuckDB twin: identical change compression, (ts, event_id)
+    tie-break, epoch-second floor arithmetic."""
+    return """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events),
+        changes AS (
+            SELECT user_id, ts, event_id, event_type FROM marked
+            WHERE prev_type IS NULL OR prev_type <> event_type),
+        iv AS (
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS valid_to
+            FROM changes)
+        SELECT event_type,
+               count(*) AS n_intervals,
+               CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_closed,
+               CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS open_now,
+               CAST(floor(avg(CAST(floor(epoch(valid_to)) AS BIGINT)
+                              - CAST(floor(epoch(valid_from)) AS BIGINT)))
+                    AS BIGINT) AS avg_dur_sec,
+               CAST(max(CAST(floor(epoch(valid_to)) AS BIGINT)
+                        - CAST(floor(epoch(valid_from)) AS BIGINT))
+                    AS BIGINT) AS max_dur_sec
+        FROM iv GROUP BY event_type
+    """

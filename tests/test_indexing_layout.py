@@ -1,0 +1,183 @@
+"""Hand-computed semantics for the indexing / layout / governance
+batch: Morton z-order keys, k-anonymity, inverted-index postings,
+integer PageRank, and SCD-2 intervals."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(day, hour=0, minute=0):
+    return datetime(2024, 1, day, hour, minute)
+
+
+# ------------------------------------------------------------ zorder
+
+def test_morton_interleave_hand_values(spark):
+    """morton16(bx, by) interleaves bits: bx=0b11, by=0b01 ->
+    z = (1<<1)|(1<<3) | (1<<0) = 0b1011 = 11."""
+    from llogtail_spark.operators.layout import morton16
+
+    df = spark.range(1).select(
+        morton16(F.lit(3), F.lit(1)).alias("z"),
+        morton16(F.lit(0), F.lit(0)).alias("z0"),
+        morton16(F.lit(255), F.lit(255)).alias("zmax"),
+    )
+    r = df.collect()[0]
+    assert r["z"] == 0b1011
+    assert r["z0"] == 0
+    assert r["zmax"] == 65535
+
+
+def test_zorder_shards_locality(spark):
+    """Rows in the same (user, hour) 16x16 block land in the same
+    shard, and the audit spans stay within the block width (16)."""
+    from llogtail_spark.operators.layout import zorder_shards
+
+    rows = [
+        (1, _ts(1, 0)), (2, _ts(1, 1)),      # users 1-2, hours 0-1
+        (200, _ts(5, 3)), (201, _ts(5, 4)),  # far block
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = zorder_shards(df).collect()
+    assert sum(r["n"] for r in out) == 4
+    for r in out:
+        assert r["user_hi"] - r["user_lo"] < 16
+        assert r["hour_hi"] - r["hour_lo"] < 16
+
+
+# ------------------------------------------------------- k-anonymity
+
+def test_k_anonymity_hand_values(spark):
+    """6 'en' docs in one QI group (>=k), 2 'fr' docs alone in
+    theirs (<k): fr is fully at risk, en not at all."""
+    from llogtail_spark.operators.governance import k_anonymity
+
+    rows = [(i, "t", "en", "web", 150) for i in range(6)]
+    rows += [(10, "t", "fr", "web", 150), (11, "t", "fr", "web", 450)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {r["lang"]: r for r in k_anonymity(df, k=5).collect()}
+    assert out["en"]["groups_below_k"] == 0
+    assert out["en"]["rows_at_risk"] == 0
+    assert out["en"]["risk_bp"] == 0
+    assert out["fr"]["n_groups"] == 2
+    assert out["fr"]["groups_below_k"] == 2
+    assert out["fr"]["rows_at_risk"] == 2
+    assert out["fr"]["risk_bp"] == 10000
+
+
+# ---------------------------------------------------- inverted index
+
+def test_inverted_index_df_and_postings(spark):
+    """df counts DISTINCT docs (repeats inside a doc collapse);
+    postings are ascending doc ids, capped."""
+    from llogtail_spark.operators.indexing import inverted_index
+
+    rows = [
+        (3, "alpha alpha beta"),
+        (1, "alpha gamma"),
+        (2, "beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in
+           inverted_index(df, top_terms=10, cap=2).collect()}
+    assert out["alpha"]["df"] == 2
+    assert out["alpha"]["postings"] == "1,3"
+    assert out["beta"]["df"] == 2
+    assert out["beta"]["postings"] == "2,3"
+    assert out["gamma"]["df"] == 1
+    assert out["gamma"]["postings"] == "1"
+
+
+def test_inverted_index_cap_bounds_postings(spark):
+    """A stop-word appearing in every doc keeps only `cap` ids —
+    the reducer never materializes the full posting list cell."""
+    from llogtail_spark.operators.indexing import inverted_index
+
+    df = spark.createDataFrame(
+        [(i, "the") for i in range(50)], "doc_id long, text string")
+    r = inverted_index(df, top_terms=1, cap=3).collect()[0]
+    assert r["df"] == 50
+    assert r["postings"] == "0,1,2"
+
+
+# ---------------------------------------------------------- pagerank
+
+def test_pagerank_star_graph(spark):
+    """Star: customer 0 orders from suppliers 1,2,3; supplier 1 also
+    serves customer 9. The hub (c0) must outrank leaf suppliers 2,3,
+    and s1 (two neighbors) outranks s2/s3 (one). Integer arithmetic
+    checked against a driver-side replay of the same recurrence."""
+    from llogtail_spark.operators.indexing import (
+        PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_INIT, pagerank)
+
+    orders = spark.createDataFrame(
+        [(100, 0), (101, 9)], "o_orderkey long, o_custkey long")
+    line = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3), (101, 1)],
+        "l_orderkey long, l_suppkey long")
+    out = {r["node"]: r["rank"] for r in
+           pagerank(orders, line, iters=3, top_k=10).collect()}
+
+    # driver replay
+    edges = [("c0", "s1"), ("c0", "s2"), ("c0", "s3"), ("c9", "s1")]
+    edges += [(b, a) for a, b in edges]
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {n: PR_INIT for n in deg}
+    for _ in range(3):
+        nxt = {}
+        for a, b in edges:
+            nxt[b] = nxt.get(b, 0) + rank[a] // deg[a]
+        rank = {n: PR_BASE + PR_DAMP_NUM * s // PR_DAMP_DEN
+                for n, s in nxt.items()}
+    assert out == rank
+    assert out["c0"] > out["s2"] == out["s3"]
+    assert out["s1"] > out["s2"]
+
+
+# ------------------------------------------------------------- SCD-2
+
+def test_scd2_change_compression(spark):
+    """Consecutive same-state events collapse into one interval;
+    the last state per user stays open (valid_to NULL)."""
+    from llogtail_spark.operators.telemetry import scd2_intervals
+
+    rows = [
+        (1, 1, _ts(1, 0), "view"),
+        (2, 1, _ts(1, 1), "view"),     # same state, no new interval
+        (3, 1, _ts(1, 2), "click"),    # closes view @ 2h
+        (4, 2, _ts(1, 0), "view"),     # open forever
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    out = {r["event_type"]: r for r in scd2_intervals(df).collect()}
+    assert out["view"]["n_intervals"] == 2
+    assert out["view"]["n_closed"] == 1
+    assert out["view"]["open_now"] == 1
+    assert out["view"]["avg_dur_sec"] == 7200
+    assert out["view"]["max_dur_sec"] == 7200
+    assert out["click"]["n_intervals"] == 1
+    assert out["click"]["open_now"] == 1
+
+
+def test_scd2_tiebreak_on_event_id(spark):
+    """Equal timestamps order by event_id: state flips A->B at the
+    same ts still produce a closed A interval of 0 seconds."""
+    from llogtail_spark.operators.telemetry import scd2_intervals
+
+    rows = [
+        (1, 1, _ts(1), "a"),
+        (2, 1, _ts(1), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    out = {r["event_type"]: r for r in scd2_intervals(df).collect()}
+    assert out["a"]["n_closed"] == 1
+    assert out["a"]["max_dur_sec"] == 0
+    assert out["b"]["open_now"] == 1
