@@ -1361,6 +1361,34 @@ def _q_scd2_intervals(spark, sf):
     return scd2_intervals(_t(spark, sf, "events"))
 
 
+def _q_markov_transitions(spark, sf):
+    """First-order Markov transition matrix of user behavior: one
+    user-keyed lag window, then a combinable rollup onto the
+    |types|^2 domain with per-origin bp shares."""
+    from llogtail_spark.operators.telemetry import markov_transitions
+
+    return markov_transitions(_t(spark, sf, "events"))
+
+
+def _q_event_type_drift(spark, sf):
+    """Day-over-day total-variation drift of the event-type mix (bp
+    over floor-bp shares): one combinable shuffle onto the day x type
+    grid; everything downstream is dim-sized."""
+    from llogtail_spark.operators.telemetry import event_type_drift
+
+    return event_type_drift(_t(spark, sf, "events"))
+
+
+def _q_incremental_mv_merge(spark, sf):
+    """Incremental materialized-view maintenance: old-batch and
+    new-batch partial aggregates merged by re-aggregation — equals
+    the from-scratch GROUP BY (the oracle) without rescanning old
+    facts. Mergeable stats only (count/sum/min/max)."""
+    from llogtail_spark.operators.aggregate import incremental_mv_merge
+
+    return incremental_mv_merge(_t(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_fanout": _q_pipeline_route_fanout,
@@ -1460,6 +1488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "pagerank": _q_pagerank,
         "scd2_intervals": _q_scd2_intervals,
+        "markov_transitions": _q_markov_transitions,
+        "event_type_drift": _q_event_type_drift,
+        "incremental_mv_merge": _q_incremental_mv_merge,
     }
 
 
@@ -1996,6 +2027,12 @@ def _telemetry_mod():
     return telemetry
 
 
+def _aggregate_mod():
+    from llogtail_spark.operators import aggregate
+
+    return aggregate
+
+
 def _sample_oracle() -> str:
     from llogtail_spark.operators.sampling import sample_bucket_sql
 
@@ -2507,4 +2544,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _indexing_mod().inverted_index_sql(),
         "pagerank": _indexing_mod().pagerank_sql(),
         "scd2_intervals": _telemetry_mod().scd2_intervals_sql(),
+        "markov_transitions": _telemetry_mod().markov_transitions_sql(),
+        "event_type_drift": _telemetry_mod().event_type_drift_sql(),
+        "incremental_mv_merge": _aggregate_mod().incremental_mv_merge_sql(),
     }

@@ -172,3 +172,70 @@ def partition_stats(df: DataFrame, part_col: str = "part") -> DataFrame:
         F.sum("n_tok").alias("tok_total"),
         _cksum_for(df).alias("checksum"),
     )
+
+
+# ------------------------------------------- incremental MV merge
+
+MV_SPLIT_DAY = 15  # synthetic batch boundary: days < 15 = old MV
+
+
+def incremental_mv_merge(df: DataFrame, split_day: int = MV_SPLIT_DAY,
+                         key_col: str = "event_type") -> DataFrame:
+    """Incremental materialized-view maintenance by partial-state
+    merge: the standing MV (events before `split_day` of the month)
+    and the new-batch delta are aggregated INDEPENDENTLY, then merged
+    by re-aggregating the two partial-state tables — never rescanning
+    the old fact data. Equals the from-scratch GROUP BY (the oracle)
+    because every kept statistic is mergeable: count/sum/min/max
+    (NOT countDistinct — a distinct would need a sketch like KMV,
+    see operators/sketches.py).
+
+    This is llogtail's resume discipline applied to aggregates: on
+    restart the collector re-reads only past-checkpoint bytes and
+    FOLDS them into standing per-sink counts (collector.go:125-174,
+    utils.go:218-228); here the checkpointed state is the MV rows.
+
+    Scale shape (10^12 events/day): each side is one combinable
+    shuffle onto the key domain; the merge re-agg runs on 2x dim-size
+    rows. At cluster scale the old side is a stored table — zero
+    fact-scan cost per refresh.
+
+    Returns (event_type, n, value_cents, vmin_cents, vmax_cents)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def partial(part: DataFrame) -> DataFrame:
+        return part.groupBy(key_col).agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("value_cents"),
+            F.min(cents).alias("vmin_cents"),
+            F.max(cents).alias("vmax_cents"),
+        )
+
+    dom = F.dayofmonth(F.col("ts").cast("timestamp"))
+    old_mv = partial(df.filter(dom < split_day))
+    delta = partial(df.filter(dom >= split_day))
+    return (
+        old_mv.unionByName(delta)
+        .groupBy(key_col)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+            F.min("vmin_cents").cast("long").alias("vmin_cents"),
+            F.max("vmax_cents").cast("long").alias("vmax_cents"),
+        )
+    )
+
+
+def incremental_mv_merge_sql(key_col: str = "event_type") -> str:
+    """Oracle = the from-scratch aggregate the merge must equal."""
+    return f"""
+        SELECT {key_col},
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents,
+               CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS vmin_cents,
+               CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS vmax_cents
+        FROM events GROUP BY {key_col}
+    """

@@ -539,3 +539,138 @@ def scd2_intervals_sql() -> str:
                     AS BIGINT) AS max_dur_sec
         FROM iv GROUP BY event_type
     """
+
+
+# -------------------------------------------------- Markov / drift
+
+def markov_transitions(df: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: count consecutive (prev_type -> type) pairs and the
+    per-origin transition probability in basis points.
+
+    The routing analog: llogtail's dispatch consults a static
+    sink-name -> files table (collector.go:125-174); the transition
+    matrix is the data-derived routing table of user behavior.
+
+    Scale shape (10^12 events): ONE shuffle on user_id for the lag
+    window; the pair rollup is combinable onto a bounded key domain
+    (|event types|^2), and the per-origin total reuses that tiny
+    aggregate (window over <=|types| rows). Tie-break (ts, event_id).
+
+    Returns (from_type, to_type, n, p_bp)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        df.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    worigin = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"),
+        F.floor(F.col("n") * 10000 / F.sum("n").over(worigin))
+        .cast("long").alias("p_bp"),
+    )
+
+
+def markov_transitions_sql() -> str:
+    """DuckDB twin: identical lag grain, tie-break, and bp floor."""
+    return """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS from_type
+            FROM events),
+        pairs AS (
+            SELECT from_type, event_type AS to_type, count(*) AS n
+            FROM seq WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type)
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               CAST(floor(n * 10000 / sum(n) OVER
+                          (PARTITION BY from_type)) AS BIGINT) AS p_bp
+        FROM pairs
+    """
+
+
+def event_type_drift(df: DataFrame) -> DataFrame:
+    """Day-over-day distribution drift of the event-type mix: per
+    day, the total-variation distance (in basis points, over
+    floor-bp shares so both engines agree bit-for-bit) between that
+    day's event-type share vector and the previous day's. The alarm
+    a pipeline raises when a source changes behavior — llogtail's
+    per-sink counts (collector.go:125-174) watched as a distribution
+    rather than a total.
+
+    Scale shape: events collapse to the (day, type) grid in ONE
+    combinable shuffle (grid is days x types — dim-sized); the dense
+    grid completion (cross join of two tiny aggregates), share
+    computation, and lag window all run on that dim table.
+
+    Returns (day_idx, tv_bp) for every day with a predecessor IN THE
+    GRID (consecutive day indexes; gaps documented: lag is over the
+    observed day sequence)."""
+    day = F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
+    counts = (
+        df.groupBy(day.cast("long").alias("day_idx"),
+                   F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    days = counts.select("day_idx").distinct()
+    types = counts.select("event_type").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(counts, ["day_idx", "event_type"], "left")
+        .select("day_idx", "event_type",
+                F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    wday = Window.partitionBy("day_idx")
+    share = grid.select(
+        "day_idx", "event_type",
+        F.floor(F.col("n") * 10000 / F.sum("n").over(wday))
+        .cast("long").alias("share_bp"),
+    )
+    wtype = Window.partitionBy("event_type").orderBy("day_idx")
+    diff = share.withColumn(
+        "prev_bp", F.lag("share_bp").over(wtype)
+    ).filter(F.col("prev_bp").isNotNull())
+    return (
+        diff.groupBy("day_idx")
+        .agg(F.floor(F.sum(F.abs(F.col("share_bp") - F.col("prev_bp"))) / 2)
+             .cast("long").alias("tv_bp"))
+    )
+
+
+def event_type_drift_sql() -> str:
+    """DuckDB twin: identical day index, dense grid, bp floor,
+    lag-over-observed-days, and halved L1."""
+    return """
+        WITH counts AS (
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+                   event_type, count(*) AS n
+            FROM events GROUP BY day_idx, event_type),
+        grid AS (
+            SELECT d.day_idx, t.event_type, coalesce(c.n, 0) AS n
+            FROM (SELECT DISTINCT day_idx FROM counts) d
+            CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+            LEFT JOIN counts c
+              ON c.day_idx = d.day_idx AND c.event_type = t.event_type),
+        share AS (
+            SELECT day_idx, event_type,
+                   CAST(floor(n * 10000 / sum(n) OVER
+                              (PARTITION BY day_idx)) AS BIGINT)
+                       AS share_bp
+            FROM grid),
+        diff AS (
+            SELECT day_idx, share_bp,
+                   lag(share_bp) OVER
+                       (PARTITION BY event_type ORDER BY day_idx)
+                       AS prev_bp
+            FROM share)
+        SELECT day_idx,
+               CAST(floor(sum(abs(share_bp - prev_bp)) / 2) AS BIGINT)
+                   AS tv_bp
+        FROM diff WHERE prev_bp IS NOT NULL
+        GROUP BY day_idx
+    """

@@ -181,3 +181,77 @@ def test_scd2_tiebreak_on_event_id(spark):
     assert out["a"]["n_closed"] == 1
     assert out["a"]["max_dur_sec"] == 0
     assert out["b"]["open_now"] == 1
+
+
+# --------------------------------------------- markov / drift / MV
+
+def test_markov_transitions_hand_values(spark):
+    """u1: a->b->b; u2: a->b. Transitions: (a,b)x2, (b,b)x1.
+    p_bp from origin a: (a,b)=10000; from b: (b,b)=10000."""
+    from llogtail_spark.operators.telemetry import markov_transitions
+
+    rows = [
+        (1, 1, _ts(1, 0), "a"), (2, 1, _ts(1, 1), "b"),
+        (3, 1, _ts(1, 2), "b"),
+        (4, 2, _ts(1, 0), "a"), (5, 2, _ts(1, 1), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    out = {(r["from_type"], r["to_type"]): r
+           for r in markov_transitions(df).collect()}
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "b")]["p_bp"] == 10000
+    assert out[("b", "b")]["n"] == 1
+    assert out[("b", "b")]["p_bp"] == 10000
+    assert ("b", "a") not in out
+
+
+def test_markov_no_cross_user_transitions(spark):
+    """The lag window is per user: u1 ends with 'a', u2 starts with
+    'b' — no (a,b) transition may appear."""
+    from llogtail_spark.operators.telemetry import markov_transitions
+
+    rows = [(1, 1, _ts(1, 0), "a"), (2, 2, _ts(1, 1), "b")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    assert markov_transitions(df).count() == 0
+
+
+def test_event_type_drift_hand_values(spark):
+    """Day 0: 2xA, 2xB (5000/5000 bp). Day 1: 4xA (10000/0).
+    TV = (|10000-5000| + |0-5000|) / 2 = 5000 bp."""
+    from llogtail_spark.operators.telemetry import event_type_drift
+
+    rows = [(i, 1, _ts(1, i), t) for i, t in enumerate("AABB")]
+    rows += [(10 + i, 1, _ts(2, i), "A") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    out = event_type_drift(df).collect()
+    assert len(out) == 1
+    assert out[0]["tv_bp"] == 5000
+
+
+def test_incremental_mv_merge_equals_full_aggregate(spark):
+    """Merged partial states == from-scratch GROUP BY, including a
+    key present on only one side of the split."""
+    from llogtail_spark.operators.aggregate import incremental_mv_merge
+
+    rows = [
+        (1, 1, _ts(2), "a", 1.25),    # old batch (day < 15)
+        (2, 1, _ts(3), "a", 2.00),
+        (3, 1, _ts(20), "a", 0.50),   # delta
+        (4, 1, _ts(21), "b", 7.75),   # delta-only key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    out = {r["event_type"]: r for r in incremental_mv_merge(df).collect()}
+    assert out["a"]["n"] == 3
+    assert out["a"]["value_cents"] == 375
+    assert out["a"]["vmin_cents"] == 50
+    assert out["a"]["vmax_cents"] == 200
+    assert out["b"]["n"] == 1
+    assert out["b"]["value_cents"] == 775
