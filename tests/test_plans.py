@@ -20,6 +20,15 @@ def _formatted(df) -> str:
     )
 
 
+def _final_tree(fmt: str) -> str:
+    """The Final Plan tree section of a formatted explain (AQE
+    formatted output repeats every node in the Initial Plan section
+    and again in the node details — counting the whole string double-
+    counts)."""
+    body = fmt.split("== Initial Plan ==")[0]
+    return body
+
+
 def test_enrich_uses_broadcast_hash_join(spark, data_dir):
     from llogtail_spark.operators.enrich import enrich_stage
 
@@ -329,3 +338,73 @@ def test_plans_md_is_fresh(spark):
     near = sections["embedding_near_dup"]
     assert "CartesianProduct" not in near
     assert "BroadcastNestedLoopJoin" not in near
+
+
+def test_zorder_audit_single_exchange_no_python(spark):
+    """The Morton key is a codegen projection (zero Python eval);
+    the audit is ONE partial+final aggregation exchange."""
+    import re
+
+    from llogtail_spark.operators.layout import zorder_shards
+
+    df = zorder_shards(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    df.collect()
+    tree = _final_tree(_formatted(df))
+    assert tree.count(" Exchange (") == 1, tree
+    assert "EvalPython" not in tree
+    # the Morton projection stays inside codegen (starred nodes)
+    assert "* Project" in tree
+
+
+def test_pagerank_adjacency_checkpoint_cuts_rescans(spark):
+    """Without the adjacency localCheckpoint each power iteration
+    re-derived the whole orders x lineitem subtree (61 parquet scans
+    in the 3-round executed plan). The checkpoint makes every round
+    read the materialized adjacency: ZERO parquet scans remain in the
+    post-materialization executed plan, and no cartesian anywhere."""
+    import re
+
+    from llogtail_spark.operators.indexing import pagerank
+
+    out = pagerank(
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+    )
+    out.collect()
+    fmt = _formatted(out)
+    assert len(re.findall(r"Scan parquet", fmt)) == 0, fmt[:2000]
+    assert "CartesianProduct" not in fmt
+    assert "BroadcastNestedLoopJoin" not in fmt
+
+
+def test_inverted_index_takeordered_no_global_sort(spark):
+    """Top-df terms must plan TakeOrderedAndProject (distributed
+    top-k), never a global Sort of the vocabulary."""
+    import re
+
+    from llogtail_spark.operators.indexing import inverted_index
+
+    df = inverted_index(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    df.collect()
+    tree = _final_tree(_formatted(df))
+    assert "TakeOrderedAndProject" in tree
+    # no Sort node other than inside TakeOrdered (which isn't one)
+    assert tree.count(" Sort (") == 0, tree
+    assert "EvalPython" not in tree
+
+
+def test_scd2_windows_share_one_user_exchange(spark):
+    """Both SCD-2 windows (change-detect lag, closing lead) ride ONE
+    user_id exchange: the filter between them preserves partitioning
+    and ordering, so Catalyst must not re-shuffle or re-sort."""
+    import re
+
+    from llogtail_spark.operators.telemetry import scd2_intervals
+
+    df = scd2_intervals(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    df.collect()
+    tree = _final_tree(_formatted(df))
+    # exactly 2 exchanges: the user_id shuffle + the tiny final agg
+    assert tree.count(" Exchange (") == 2, tree
+    assert tree.count(" Sort (") == 1, tree
+    assert tree.count(" Window (") == 2, tree
