@@ -104,6 +104,14 @@ BENCH_QUERIES = [
     "tfidf_topterms",
     "salted_event_rollup",
     "log_templates",
+    "zorder_shards",
+    "inverted_index",
+    "pagerank",
+    "scd2_intervals",
+    "markov_transitions",
+    "event_type_drift",
+    "incremental_mv_merge",
+    "k_anonymity",
 ]
 
 

@@ -149,6 +149,19 @@ SHOWCASE = [
     ("tfidf_topterms",
      "Per-source tf-idf terms: vocab-sized df side broadcast; "
      "WindowGroupLimit top-n heaps below the source exchange."),
+    ("zorder_shards",
+     "Z-order layout audit: the 16-bit Morton interleave is a pure "
+     "codegen projection (zero Python, zero pre-shuffle); the audit "
+     "is ONE partial+final aggregation exchange over <=256 shards."),
+    ("pagerank",
+     "Integer PageRank: the adjacency (edges + outdeg) materializes "
+     "ONCE via lazy localCheckpoint — every power iteration joins "
+     "the checkpointed RDD (0 parquet rescans in the executed plan) "
+     "and folds with a combinable integer sum."),
+    ("scd2_intervals",
+     "SCD-2 intervals: change-detect lag and closing lead share ONE "
+     "user_id exchange + sort (the filter between them preserves "
+     "both); the rollup exchange moves only dim-sized rows."),
 ]
 
 
