@@ -211,8 +211,12 @@ def incremental_mv_merge(df: DataFrame, split_day: int = MV_SPLIT_DAY,
             F.max(cents).alias("vmax_cents"),
         )
 
+    # the two sides must PARTITION the input exactly — a NULL ts row
+    # would satisfy neither predicate and silently vanish from the
+    # merge while the from-scratch oracle still counts it. NULL ts
+    # joins the old batch by definition.
     dom = F.dayofmonth(F.col("ts").cast("timestamp"))
-    old_mv = partial(df.filter(dom < split_day))
+    old_mv = partial(df.filter((dom < split_day) | dom.isNull()))
     delta = partial(df.filter(dom >= split_day))
     return (
         old_mv.unionByName(delta)

@@ -69,8 +69,13 @@ def zorder_key(df: DataFrame, user_col: str = "user_id",
     # (session tz pinned UTC, matching DuckDB's naive epoch())
     by = (F.floor(F.col(ts_col).cast("timestamp").cast("long") / 3600)
           % 256).cast("int")
-    return df.withColumn("_bx", bx).withColumn("_by", by).withColumn(
-        "z", morton16(F.col("_bx"), F.col("_by")).cast("int")
+    return (
+        # a layout key needs both dimensions; rows missing either
+        # can't be placed on the curve (engines also disagree on how
+        # NULL aggregates/stringifies, so the audit twin would drift)
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_bx", bx).withColumn("_by", by)
+        .withColumn("z", morton16(F.col("_bx"), F.col("_by")).cast("int"))
     )
 
 
@@ -106,7 +111,8 @@ def zorder_shards_sql(user_col: str = "user_id", ts_col: str = "ts") -> str:
             SELECT CAST({user_col} % 256 AS INTEGER) AS bx,
                    CAST(CAST(floor(epoch({ts_col}) / 3600) AS BIGINT) % 256
                         AS INTEGER) AS by
-            FROM events),
+            FROM events
+            WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL),
         coded AS (SELECT bx, by, ({z}) AS zval FROM keyed)
         SELECT CAST(zval >> {SHARD_SHIFT} AS INTEGER) AS zshard,
                count(*) AS n,

@@ -480,6 +480,10 @@ def scd2_intervals(df: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         df.select("user_id", "ts", "event_id", "event_type")
+        # an event without a timestamp or user cannot be ordered into
+        # a state stream — and Spark (NULLS FIRST asc) and ANSI SQL
+        # engines (NULLS LAST) would order it differently anyway
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .withColumn("_prev", F.lag("event_type").over(w))
         .filter(F.col("_prev").isNull()
                 | (F.col("_prev") != F.col("event_type")))
@@ -515,7 +519,8 @@ def scd2_intervals_sql() -> str:
                    lag(event_type) OVER
                        (PARTITION BY user_id ORDER BY ts, event_id)
                        AS prev_type
-            FROM events),
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         changes AS (
             SELECT user_id, ts, event_id, event_type FROM marked
             WHERE prev_type IS NULL OR prev_type <> event_type),
@@ -561,6 +566,9 @@ def markov_transitions(df: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         df.select("user_id", "ts", "event_id", "event_type")
+        # NULL ts/user can't be ordered into a stream (and the two
+        # engines disagree on NULL placement in window ORDER BY)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .withColumn("from_type", F.lag("event_type").over(w))
         .filter(F.col("from_type").isNotNull())
         .groupBy("from_type", F.col("event_type").alias("to_type"))
@@ -582,7 +590,8 @@ def markov_transitions_sql() -> str:
                    lag(event_type) OVER
                        (PARTITION BY user_id ORDER BY ts, event_id)
                        AS from_type
-            FROM events),
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         pairs AS (
             SELECT from_type, event_type AS to_type, count(*) AS n
             FROM seq WHERE from_type IS NOT NULL
@@ -613,8 +622,11 @@ def event_type_drift(df: DataFrame) -> DataFrame:
     observed day sequence)."""
     day = F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
     counts = (
-        df.groupBy(day.cast("long").alias("day_idx"),
-                   F.col("event_type"))
+        # a NULL day/type cell would poison the dense grid (NULL keys
+        # never equi-join, so its share divides by an empty total)
+        df.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(day.cast("long").alias("day_idx"),
+                 F.col("event_type"))
         .agg(F.count("*").alias("n"))
     )
     days = counts.select("day_idx").distinct()
@@ -649,7 +661,9 @@ def event_type_drift_sql() -> str:
         WITH counts AS (
             SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
                    event_type, count(*) AS n
-            FROM events GROUP BY day_idx, event_type),
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY day_idx, event_type),
         grid AS (
             SELECT d.day_idx, t.event_type, coalesce(c.n, 0) AS n
             FROM (SELECT DISTINCT day_idx FROM counts) d

@@ -519,3 +519,58 @@ def test_telemetry_ops_match_duckdb_on_random_events(spark):
         want = sorted(map(tuple, con.execute(oracles[name]).fetchall()))
         assert got == want, name
         assert len(got) > 0, name
+
+
+def test_behavior_ops_match_duckdb_on_random_events(spark):
+    """markov_transitions / event_type_drift / scd2_intervals /
+    incremental_mv_merge / zorder_shards vs DuckDB on random event
+    streams with timestamp ties, NULL users/ts/values, and bursty
+    days — the NULL-ordering and grid-poisoning traps the operators
+    filter explicitly."""
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(SEED + 13)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(900):
+        sec = int(rng.integers(0, 20 * 86400))
+        rows.append((
+            i,
+            base + dt.timedelta(seconds=sec)
+            if rng.random() > 0.04 else None,
+            int(rng.integers(1, 40)) if rng.random() > 0.05 else None,
+            str(rng.choice(["view", "click", "purchase", "error"])),
+            round(float(rng.uniform(0.01, 300.0)), 2)
+            if rng.random() > 0.05 else None,
+        ))
+    # exact ties: same user, same ts, distinct event ids
+    tie = base + dt.timedelta(seconds=777)
+    rows += [(2000, tie, 7, "view", 1.0), (2001, tie, 7, "click", 2.0),
+             (2002, tie, 7, "view", None)]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracles = entry.oracle_sql()
+
+    from llogtail_spark.operators.aggregate import incremental_mv_merge
+    from llogtail_spark.operators.layout import zorder_shards
+    from llogtail_spark.operators.telemetry import (
+        event_type_drift,
+        markov_transitions,
+        scd2_intervals,
+    )
+
+    for name, fn in [
+        ("markov_transitions", markov_transitions),
+        ("event_type_drift", event_type_drift),
+        ("scd2_intervals", scd2_intervals),
+        ("incremental_mv_merge", incremental_mv_merge),
+        ("zorder_shards", zorder_shards),
+    ]:
+        got = sorted(map(tuple, fn(sdf).collect()))
+        want = sorted(map(tuple, con.execute(oracles[name]).fetchall()))
+        assert got == want, (name, got[:5], want[:5])
+        assert len(got) > 0, name
