@@ -1389,6 +1389,79 @@ def _q_incremental_mv_merge(spark, sf):
     return incremental_mv_merge(_t(spark, sf, "events"))
 
 
+def _q_bloom_prune_join(spark, sf):
+    """Explicit Bloom runtime filter ahead of a fact-side join: the
+    distinct keys of the (selective) build side become a broadcast
+    numpy bitset; ONE ArrowEvalPython prunes lineitem in its scan
+    stage BEFORE any shuffle; the exact join then removes the ~4e-4
+    false positives, so the result equals the plain join the oracle
+    runs. The hand-rolled form of Spark's InjectRuntimeFilter, which
+    never fires for PySpark UDF-free plans below its stats thresholds
+    and is not expressible from the Python API."""
+    from llogtail_spark.operators.joins import bloom_prune_probe
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    build = orders.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    pruned = bloom_prune_probe(li, build, "l_orderkey", "o_orderkey")
+    return (
+        pruned.join(build, pruned.l_orderkey == build.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_x100"),
+        )
+    )
+
+
+def _q_time_weighted_avg(spark, sf):
+    """Per-user time-weighted average gauge value (fixed-point, exact
+    integer sums): one user-keyed lead window, aggregate on the same
+    partitioning, user-dim output."""
+    from llogtail_spark.operators.telemetry import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf, "events"))
+
+
+def _q_star_join_q3(spark, sf):
+    """TPC-H Q3-shaped star join (shipping priority): two broadcast
+    dims (filtered customer -> orders) against the lineitem fact,
+    partial+final agg on orderkey, TakeOrderedAndProject top 10 by
+    exact fixed-point revenue. The multi-join showcase where Catalyst
+    picks join order + broadcast strategy from the declared plan."""
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_x100")
+        )
+        .orderBy(F.desc("revenue_x100"), "l_orderkey")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_fanout": _q_pipeline_route_fanout,
@@ -1489,6 +1562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "scd2_intervals": _q_scd2_intervals,
         "markov_transitions": _q_markov_transitions,
+        "bloom_prune_join": _q_bloom_prune_join,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "star_join_q3": _q_star_join_q3,
         "event_type_drift": _q_event_type_drift,
         "incremental_mv_merge": _q_incremental_mv_merge,
     }
@@ -2547,4 +2623,34 @@ def oracle_sql() -> dict[str, str]:
         "markov_transitions": _telemetry_mod().markov_transitions_sql(),
         "event_type_drift": _telemetry_mod().event_type_drift_sql(),
         "incremental_mv_merge": _aggregate_mod().incremental_mv_merge_sql(),
+        "bloom_prune_join": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(floor(
+                       l.l_extendedprice * (1 - l.l_discount) * 100
+                   ) AS BIGINT)) AS BIGINT) AS revenue_x100
+            FROM lineitem l
+            JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+                  WHERE o_totalprice > 450000) o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "time_weighted_avg": _telemetry_mod().time_weighted_avg_sql(),
+        "star_join_q3": """
+            SELECT l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority,
+                   CAST(sum(CAST(floor(
+                       l.l_extendedprice * (1 - l.l_discount) * 100
+                   ) AS BIGINT)) AS BIGINT) AS revenue_x100
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+            ORDER BY revenue_x100 DESC, l.l_orderkey
+            LIMIT 10
+        """,
     }

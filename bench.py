@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "event_type_drift",
     "incremental_mv_merge",
     "k_anonymity",
+    "bloom_prune_join",
+    "time_weighted_avg",
+    "star_join_q3",
 ]
 
 

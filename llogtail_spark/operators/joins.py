@@ -186,3 +186,120 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return b.join(s, on=[*on, "_salt"], how=how).drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pruning (explicit runtime filter / semi-join push)
+# ---------------------------------------------------------------------------
+
+# bloom sizing: bits per distinct build key and probes per lookup.
+# 16 bits/key with 8 probes gives fpp ~= 4e-4 — false positives only
+# cost a wasted shuffle row (the exact join removes them), never a
+# wrong answer.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_N_HASHES = 8
+# driver-side gate: a bloom build collects the DISTINCT build keys to
+# the driver (like Spark's own InjectRuntimeFilter, whose creation
+# side must fit under a threshold). 4M int64 keys = 32 MB — past
+# that, skip pruning and let the plain shuffled join run.
+BLOOM_MAX_BUILD_KEYS = 4_000_000
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer (public-domain constants) over
+    a np.uint64 array — the per-batch hash the probe-side Arrow UDF
+    runs, so it must be pure numpy (no per-row Python)."""
+    import numpy as np
+
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(keys, m_bits: int, n_hashes: int):
+    """(n_keys, n_hashes) bit positions via double hashing
+    pos_i = h1 + i*h2 mod m (m a power of two)."""
+    import numpy as np
+
+    k = keys.astype(np.uint64)
+    h1 = _splitmix64(k)
+    h2 = _splitmix64(k ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m_bits - 1)
+
+
+def bloom_prune_probe(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str | None = None,
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
+    n_hashes: int = BLOOM_N_HASHES,
+    max_build_keys: int = BLOOM_MAX_BUILD_KEYS,
+) -> DataFrame:
+    """Explicit runtime filter: prune `probe` rows whose integer
+    `key` cannot match any `build` key, BEFORE the join's shuffle.
+
+    This is the hand-rolled form of Spark's InjectRuntimeFilter /
+    bloom_filter_agg (not exposed to PySpark): when the build side is
+    too big to broadcast-join but its DISTINCT key set still fits in a
+    few MB of bloom bits, shipping the bloom to every probe task turns
+    a shuffle of 10^12 rows into a shuffle of only the ~matching rows.
+    llogtail's analog is glob-level pruning — a sink never reads files
+    its pattern can't match (log_watcher.go:97-126); this prunes at
+    row granularity with the same "cheap check before expensive work"
+    contract.
+
+    No false negatives (every build key's bits are set), so a follow-up
+    exact join returns exactly the plain join's rows; false positives
+    (~2^-bits_per_key*ln2... ≈ 4e-4 at 16/8) only leak extra rows into
+    the shuffle. NULL probe keys are dropped — NULL never equi-joins.
+
+    Plan shape: build = one distinct-aggregate + driver collect (gated
+    at max_build_keys); probe = scan -> ONE ArrowEvalPython (numpy
+    bitset test, ~30 ns/row) -> filter. The bitset ships once per
+    executor via sc.broadcast, not per task.
+    """
+    import numpy as np
+
+    spark = probe.sparkSession
+    build_key = build_key or probe_key
+    rows = (
+        build.select(F.col(build_key).cast("long").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+        .limit(max_build_keys + 1)
+        .collect()
+    )
+    if len(rows) > max_build_keys:
+        raise ValueError(
+            f"bloom build side has >{max_build_keys} distinct keys; "
+            "skip bloom pruning and run the plain join"
+        )
+    keys = np.array([r["k"] for r in rows], dtype=np.int64)
+    n = max(len(keys), 1)
+    m_bits = 1 << max(int(n * bits_per_key - 1).bit_length(), 6)
+    bitset = np.zeros(m_bits >> 6, dtype=np.uint64)
+    if len(keys):
+        pos = _bloom_positions(keys, m_bits, n_hashes).ravel()
+        np.bitwise_or.at(
+            bitset, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    bc = spark.sparkContext.broadcast(bitset)
+
+    @F.pandas_udf("boolean")
+    def _might_contain(s):
+        import pandas as pd
+
+        bits = bc.value
+        vals = s.fillna(0).to_numpy(dtype=np.int64)
+        p = _bloom_positions(vals, m_bits, n_hashes)
+        hit = (
+            bits[(p >> np.uint64(6)).astype(np.int64)]
+            >> (p & np.uint64(63)) & np.uint64(1)
+        ).astype(bool).all(axis=1)
+        return pd.Series(hit & ~s.isna().to_numpy())
+
+    return probe.filter(_might_contain(F.col(probe_key).cast("long")))

@@ -688,3 +688,80 @@ def event_type_drift_sql() -> str:
         FROM diff WHERE prev_bp IS NOT NULL
         GROUP BY day_idx
     """
+
+
+def time_weighted_avg(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", val_col: str = "value"
+                      ) -> DataFrame:
+    """Per-user time-weighted average of a gauge value: each reading
+    holds until the next one, so it weighs by its holding duration
+    (microseconds) — the standard telemetry rollup for irregular
+    samples, where a plain AVG over-counts bursts. llogtail ships
+    readings at whatever rate the file grows (log_watcher.go tail
+    loop); the TWA is the value a downstream dashboard should show.
+
+    Exactness across engines: the value is fixed-pointed FIRST
+    (floor(value*1000) as int64), durations are integer epoch-micro
+    gaps, so numerator sum(v_fp*dt) and denominator sum(dt) are exact
+    integer sums in any order; twa_x1000 = num div den (values are
+    non-negative). The last reading per user has no successor and
+    carries zero weight — dropped, as is a user with a single reading.
+
+    Scale shape (10^12 rows): ONE shuffle on user for the lead
+    window; the aggregate rides the same partitioning (no second
+    exchange — pinned for the analogous moving-avg plan in
+    test_plans.py); output is user-dim-sized.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col), F.col("event_id")))
+    gaps = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+                  & F.col(val_col).isNotNull())
+        .select(
+            F.col(user_col),
+            F.floor(F.col(val_col) * 1000).cast("long").alias("v_fp"),
+            (F.lead(us).over(w) - us).alias("dt_us"),
+        )
+        .filter(F.col("dt_us").isNotNull())
+    )
+    return (
+        gaps.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("dt_us").alias("dur_us"),
+            F.sum(F.col("v_fp") * F.col("dt_us")).alias("_num"),
+        )
+        .filter(F.col("dur_us") > 0)
+        .select(
+            user_col, "n_gaps", "dur_us",
+            F.expr("_num div dur_us").alias("twa_x1000"),
+        )
+    )
+
+
+def time_weighted_avg_sql() -> str:
+    """DuckDB twin: identical fixed-point, micro gaps, integer div.
+    (ts, event_id) ordering matches the Spark window; ties at equal
+    ts contribute dt=0 so the tie order cannot change the sums."""
+    return """
+        WITH gaps AS (
+            SELECT user_id,
+                   CAST(floor(value * 1000) AS BIGINT) AS v_fp,
+                   lead(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       - epoch_us(ts) AS dt_us
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND value IS NOT NULL),
+        agg AS (
+            SELECT user_id, count(*) AS n_gaps,
+                   sum(dt_us) AS dur_us,
+                   sum(v_fp * dt_us) AS num
+            FROM gaps WHERE dt_us IS NOT NULL
+            GROUP BY user_id)
+        SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+               CAST(dur_us AS BIGINT) AS dur_us,
+               CAST(num // dur_us AS BIGINT) AS twa_x1000
+        FROM agg WHERE dur_us > 0
+    """

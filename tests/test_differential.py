@@ -574,3 +574,43 @@ def test_behavior_ops_match_duckdb_on_random_events(spark):
         want = sorted(map(tuple, con.execute(oracles[name]).fetchall()))
         assert got == want, (name, got[:5], want[:5])
         assert len(got) > 0, name
+
+
+def test_time_weighted_avg_matches_duckdb_on_random_events(spark):
+    """time_weighted_avg vs DuckDB on random gauge streams with
+    timestamp ties (dt=0 weight, so tie order can't matter), NULL
+    ts/user/value, microsecond-precision timestamps, and single-
+    reading users (dropped: no holding duration)."""
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(SEED + 17)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(900):
+        rows.append((
+            i,
+            base + dt.timedelta(seconds=float(rng.uniform(0, 7 * 86400)))
+            if rng.random() > 0.04 else None,
+            int(rng.integers(1, 60)) if rng.random() > 0.05 else None,
+            round(float(rng.uniform(0.0, 490.0)), 2)
+            if rng.random() > 0.05 else None,
+        ))
+    tie = base + dt.timedelta(seconds=123.456789)
+    rows += [(2000, tie, 3, 1.5), (2001, tie, 3, 2.5),
+             (2002, tie, 3, None), (2003, None, 3, 9.0)]
+    # user 59 reserved: exactly one reading -> no output row
+    rows = [r for r in rows if r[2] != 59] + [(3000, base, 59, 7.0)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    from llogtail_spark.operators.telemetry import time_weighted_avg
+
+    got = sorted(map(tuple, time_weighted_avg(sdf).collect()))
+    want = sorted(map(tuple, con.execute(
+        entry.oracle_sql()["time_weighted_avg"]).fetchall()))
+    assert got == want, (got[:5], want[:5])
+    assert len(got) > 10
+    assert all(u != 59 for u, *_ in got)

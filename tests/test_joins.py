@@ -262,3 +262,68 @@ def test_salted_join_rejects_outer(skewed):
     big, dim = skewed
     with pytest.raises(ValueError):
         salted_join(big, dim, on=["k"], how="full")
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime pruning
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prune_no_false_negatives_random_keys(spark):
+    """Property: every probe row whose key IS in the build set
+    survives pruning (bloom guarantees no false negatives), across
+    random 64-bit keys including negatives."""
+    import numpy as np
+
+    from llogtail_spark.operators.joins import bloom_prune_probe
+
+    rng = np.random.default_rng(7)
+    build_keys = rng.integers(-(2**62), 2**62, size=500).tolist()
+    probe_keys = build_keys + rng.integers(-(2**62), 2**62, size=5000).tolist()
+    probe = spark.createDataFrame([(int(k),) for k in probe_keys], "k long")
+    build = spark.createDataFrame([(int(k),) for k in build_keys], "bk long")
+    kept = {
+        r["k"] for r in bloom_prune_probe(probe, build, "k", "bk").collect()
+    }
+    assert set(map(int, build_keys)) <= kept
+
+
+def test_bloom_prune_drops_most_non_matching_and_nulls(spark):
+    """Dense int keys (the adversarial case for a weak hash): pruning
+    keeps well under 1% of non-matching rows at 16 bits/key, and NULL
+    probe keys never survive (NULL never equi-joins)."""
+    from llogtail_spark.operators.joins import bloom_prune_probe
+
+    probe = spark.createDataFrame(
+        [(i,) for i in range(20000)] + [(None,)], "k long"
+    )
+    build = spark.createDataFrame([(i,) for i in range(100)], "bk long")
+    kept = [r["k"] for r in bloom_prune_probe(probe, build, "k", "bk").collect()]
+    assert None not in kept
+    fp = len(kept) - 100
+    assert 0 <= fp < 200  # fpp ~4e-4 -> expected ~8 of 19900
+
+
+def test_bloom_prune_build_gate_raises(spark):
+    from llogtail_spark.operators.joins import bloom_prune_probe
+
+    probe = spark.createDataFrame([(1,)], "k long")
+    build = spark.range(50).select(F.col("id").alias("bk"))
+    with pytest.raises(ValueError, match="distinct keys"):
+        bloom_prune_probe(probe, build, "k", "bk", max_build_keys=10)
+
+
+def test_bloom_prune_single_arrow_eval_in_scan_stage(spark):
+    """Plan pin: the probe side carries exactly ONE ArrowEvalPython
+    (the bitset test) and no exchange before the filter — the bloom
+    prunes in the scan stage, ahead of any join shuffle (the r02
+    double-eval pathology must not reappear here)."""
+    from llogtail_spark.operators.joins import bloom_prune_probe
+
+    probe = spark.range(10000).select(F.col("id").alias("k"))
+    build = spark.range(50).select(F.col("id").alias("bk"))
+    pruned = bloom_prune_probe(probe, build, "k", "bk")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    n_eval = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_eval == 1, plan
+    assert "Exchange" not in plan, plan

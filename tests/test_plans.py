@@ -408,3 +408,34 @@ def test_scd2_windows_share_one_user_exchange(spark):
     assert tree.count(" Exchange (") == 2, tree
     assert tree.count(" Sort (") == 1, tree
     assert tree.count(" Window (") == 2, tree
+
+
+def test_star_join_q3_broadcasts_dims_and_takeordered(spark):
+    """TPC-H Q3 shape: both dim sides (filtered customer, filtered
+    orders) broadcast — the fact table never shuffles for the joins —
+    and the global top-10 is TakeOrderedAndProject, not a full sort."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["star_join_q3"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    tree = _final_tree(_formatted(df))
+    assert tree.count(" BroadcastHashJoin ") == 2, tree
+    assert " SortMergeJoin " not in tree, tree
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """TWA rides ONE user_id exchange: lead window, partial+final
+    aggregate, and the integer division all run in the window's
+    stage — no second shuffle for the groupBy on the same key."""
+    from llogtail_spark.operators.telemetry import time_weighted_avg
+
+    df = time_weighted_avg(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    df.collect()
+    tree = _final_tree(_formatted(df))
+    assert tree.count(" Exchange (") == 1, tree
+    assert tree.count(" Sort (") == 1, tree
+    # partial+final pair, both above the single exchange
+    assert tree.count(" HashAggregate (") == 2, tree
