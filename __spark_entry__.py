@@ -1462,6 +1462,34 @@ def _q_star_join_q3(spark, sf):
     )
 
 
+def _q_heavy_hitters(spark, sf):
+    """Misra-Gries sketch-guided EXACT heavy hitters: per-partition
+    k-counter summaries nominate candidates (union provably covers
+    every token with freq > n/k), one broadcast-semi-join pass counts
+    only those — the vocabulary never shuffles."""
+    from llogtail_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf, "documents"))
+
+
+def _q_mad_outliers(spark, sf):
+    """Robust per-type outlier census (exact lower median + MAD from
+    ONE combinable histogram shuffle; deviation histogram re-keys the
+    same histogram — the raw data is scanned once)."""
+    from llogtail_spark.operators.telemetry import mad_outliers
+
+    return mad_outliers(_t(spark, sf, "events"))
+
+
+def _q_gram_matrix(spark, sf):
+    """Distributed Gram matrix over the embedding corpus: numpy block
+    partials per partition (BLAS outer products, per-row fixed-point),
+    dim^2-sized shuffle, mergeable tree-reduce."""
+    from llogtail_spark.operators.similarity import gram_matrix
+
+    return gram_matrix(_t(spark, sf, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_fanout": _q_pipeline_route_fanout,
@@ -1565,6 +1593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": _q_bloom_prune_join,
         "time_weighted_avg": _q_time_weighted_avg,
         "star_join_q3": _q_star_join_q3,
+        "heavy_hitters": _q_heavy_hitters,
+        "mad_outliers": _q_mad_outliers,
+        "gram_matrix": _q_gram_matrix,
         "event_type_drift": _q_event_type_drift,
         "incremental_mv_merge": _q_incremental_mv_merge,
     }
@@ -2636,6 +2667,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderpriority
         """,
         "time_weighted_avg": _telemetry_mod().time_weighted_avg_sql(),
+        "heavy_hitters": __import__(
+            "llogtail_spark.operators.sketches",
+            fromlist=["heavy_hitters_sql"],
+        ).heavy_hitters_sql(),
+        "mad_outliers": _telemetry_mod().mad_outliers_sql(),
+        "gram_matrix": __import__(
+            "llogtail_spark.operators.similarity",
+            fromlist=["gram_matrix_sql"],
+        ).gram_matrix_sql(),
         "star_join_q3": """
             SELECT l.l_orderkey,
                    strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "bloom_prune_join",
     "time_weighted_avg",
     "star_join_q3",
+    "heavy_hitters",
+    "mad_outliers",
+    "gram_matrix",
 ]
 
 

@@ -581,3 +581,99 @@ def kmeans_cluster_profile(
             F.expr("(1000 * _cnt) div n").cast("long").alias("purity_x1000"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram matrix (token/embedding second-moment aggregation)
+# ---------------------------------------------------------------------------
+
+# fixed-point scale for per-row products; each row's term is
+# integerized BEFORE summation so the sum is exactly associative
+# (independent of partitioning) and the DuckDB oracle can match it
+# bit-for-bit. At 10^12 rows drop to 1e4 to keep sums inside int64.
+GRAM_SCALE = 1_000_000
+# rows per numpy outer-product block: 2048 * d^2 * 8B = 67 MB at d=64
+GRAM_CHUNK = 2048
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding",
+                dim: int = 64, scale: int = GRAM_SCALE) -> DataFrame:
+    """Upper-triangular Gram matrix sum_rows floor(x_i*x_j*scale) over
+    an embedding column — the second-moment statistic behind PCA
+    whitening, covariance shift detection, and feature-correlation
+    audits of an embedding corpus.
+
+    Spark-first shape: the ONLY data-sized work is a per-partition
+    numpy block accumulation (mapInPandas; X-chunk outer products in
+    BLAS, floor, int64 accumulate), emitting ONE d*(d+1)/2-row partial
+    per partition. The shuffle then carries d^2-ish tiny rows per
+    partition — never the data — and the final groupBy(i,j) sum is the
+    classic mergeable tree-reduce. Per-row integerization (not
+    floor-after-sum) keeps the result independent of row order and
+    partition boundaries, which is what makes the value-level oracle
+    (and retry/speculative-execution determinism at cluster scale)
+    possible.
+
+    Rows that are NULL or of the wrong length are dropped and counted
+    nowhere; `n` (rows aggregated) rides every output row so the
+    consumer can normalize. Returns (i, j, gram_fp, n), 1-based
+    indices, i <= j.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("gram_fp", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+    def _partial(batches):
+        import pandas as pd
+
+        G = np.zeros((dim, dim), dtype=np.int64)
+        n_rows = 0
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col]
+                    if v is not None and len(v) == dim]
+            if not vecs:
+                continue
+            X = np.asarray(vecs, dtype=np.float64)
+            for s in range(0, len(X), GRAM_CHUNK):
+                C = X[s:s + GRAM_CHUNK]
+                P = np.floor(
+                    (C[:, :, None] * C[:, None, :]) * float(scale)
+                ).astype(np.int64)
+                G += P.sum(axis=0)
+            n_rows += len(X)
+        ii, jj = np.triu_indices(dim)
+        yield pd.DataFrame({
+            "i": (ii + 1).astype(np.int32), "j": (jj + 1).astype(np.int32),
+            "gram_fp": G[ii, jj], "n": np.int64(n_rows),
+        })
+
+    partials = df.select(vec_col).mapInPandas(_partial, out_schema)
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("gram_fp").alias("gram_fp"), F.sum("n").alias("n"))
+    )
+
+
+def gram_matrix_sql(dim: int = 64, scale: int = GRAM_SCALE) -> str:
+    """DuckDB twin: brute-force per-row floor(x_i*x_j*scale) over the
+    upper-triangular index grid — identical float64 product and
+    integerization order."""
+    return f"""
+        WITH idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+        pairs AS (
+            SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
+        vecs AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {dim})
+        SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+               CAST(sum(CAST(floor(e[p.i] * e[p.j] * {scale}) AS BIGINT))
+                    AS BIGINT) AS gram_fp,
+               CAST(count(*) AS BIGINT) AS n
+        FROM vecs, pairs p
+        GROUP BY p.i, p.j
+    """

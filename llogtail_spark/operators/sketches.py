@@ -277,3 +277,128 @@ def kmv_distinct_sql(
                END AS BIGINT) AS est_distinct
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (sketch-guided exact top frequencies)
+# ---------------------------------------------------------------------------
+
+# counters kept per partition summary; any token with global frequency
+# > n_tokens / HH_K survives the per-partition sketch union (see proof
+# in heavy_hitters docstring), so the exact rerank sees every true
+# heavy hitter.
+HH_K = 200
+
+
+def heavy_hitters(df: DataFrame, k: int = HH_K,
+                  text_col: str = "text") -> DataFrame:
+    """EXACT tokens with global frequency > n_tokens / k, found
+    without shuffling the full token vocabulary: a per-partition
+    Misra-Gries summary (Misra & Gries 1982; merged per the
+    mergeable-summaries rule of Agarwal et al. 2012) nominates a
+    candidate set, then one broadcast-semi-join pass counts ONLY the
+    candidates exactly.
+
+    Why the union of per-partition sketches suffices: an MG summary
+    with k counters over a partition of n_p tokens undercounts any
+    token by at most n_p/(k+1); a token t it drops entirely has
+    c_p(t) <= n_p/(k+1). If EVERY partition dropped t, then
+    c(t) = sum c_p(t) <= sum n_p/(k+1) = n/(k+1) < n/k — so every
+    global heavy hitter survives in at least one partition summary.
+    False candidates cost only a few exact counts.
+
+    Scale shape (10^12 tokens): pass 1 streams each partition once
+    through a k-entry dict (mapInPandas, batch pre-counted with
+    vectorized value_counts) and ships <= k+1 rows per partition;
+    pass 2 filters the token stream against the broadcast candidate
+    set BEFORE the count shuffle, so the groupBy carries candidate
+    tokens only — never the 10^10-term vocabulary. llogtail analog:
+    per-sink counts track totals, not term frequencies
+    (collector.go:125-174); this is the term-level hot-list a routing
+    layer needs to spot a runaway logger.
+
+    Returns (token, n, freq_bp) for exact n*k > n_tokens; integer bp.
+    """
+    from pyspark.sql import types as T
+
+    tokens = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        WS_CLASS),
+                lambda x: x != "",
+            )
+        ).alias("token")
+    )
+
+    out_schema = T.StructType([
+        T.StructField("token", T.StringType()),   # NULL = partition-total row
+        T.StructField("n", T.LongType()),
+    ])
+
+    def _mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        n_part = 0
+        for pdf in batches:
+            vc = pdf["token"].value_counts()  # vectorized exact batch count
+            n_part += int(vc.sum())
+            for tok, cnt in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > k:
+                # mergeable-summaries prune: subtract the (k+1)-th
+                # largest counter from all, drop the non-positive
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[k]
+                counters = {t: c - sub for t, c in counters.items()
+                            if c - sub > 0}
+        yield pd.DataFrame(
+            {"token": list(counters) + [None], "n": list(counters.values()) + [n_part]}
+        )
+
+    sketch = tokens.mapInPandas(_mg_partition, out_schema)
+    # the sketch output is <= (k+1) rows per partition — tiny. Two
+    # driver-visible scalars come out of it: candidate set + n_tokens.
+    rows = sketch.collect()
+    n_tokens = sum(r["n"] for r in rows if r["token"] is None)
+    cands = sorted({r["token"] for r in rows if r["token"] is not None})
+    if not cands or n_tokens == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "token string, n long, freq_bp long")
+
+    cand_df = F.broadcast(
+        df.sparkSession.createDataFrame([(c,) for c in cands],
+                                        "token string"))
+    exact = (
+        tokens.join(cand_df, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * k > F.lit(n_tokens))
+    )
+    return exact.select(
+        "token", "n",
+        (F.col("n") * 10000 / F.lit(n_tokens)).cast("long").alias("freq_bp"),
+    )
+
+
+def heavy_hitters_sql(k: int = HH_K) -> str:
+    """DuckDB twin: the brute-force exact definition the sketch-guided
+    two-pass must equal — identical tokenization, threshold, and bp
+    arithmetic (floor via CAST of a non-negative quotient)."""
+    from llogtail_spark.operators.dedup import WS_CLASS as ws
+
+    return f"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(coalesce(text, '')), '{ws}'),
+                x -> x <> '')) AS token
+            FROM documents),
+        tot AS (SELECT count(*) AS n_tokens FROM toks)
+        SELECT token, CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(count(*) * 10000.0 / n_tokens) AS BIGINT) AS freq_bp
+        FROM toks, tot
+        GROUP BY token, n_tokens
+        HAVING count(*) * {k} > n_tokens
+    """

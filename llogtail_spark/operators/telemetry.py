@@ -765,3 +765,120 @@ def time_weighted_avg_sql() -> str:
                CAST(num // dur_us AS BIGINT) AS twa_x1000
         FROM agg WHERE dur_us > 0
     """
+
+
+# MAD outlier gate: |v - median| > MAD_FACTOR * MAD flags a reading.
+MAD_FACTOR = 6
+
+
+def mad_outliers(df: DataFrame, group_col: str = "event_type",
+                 val_col: str = "value") -> DataFrame:
+    """Robust per-group outlier census: exact lower median and median
+    absolute deviation (MAD) of the fixed-point value, plus how many
+    readings sit beyond MAD_FACTOR*MAD — the robust alternative to
+    z-scores when the gauge itself misbehaves (a mean/stddev gate
+    moves with the outliers it should flag).
+
+    Everything derives from ONE combinable histogram shuffle:
+    group the data once onto the (group, v_fp) grid (v_fp =
+    floor(value*100), dim-sized: |groups| x |distinct values|);
+    medians come from cumulative-count windows over that histogram,
+    the deviation histogram is a re-keying of the SAME histogram
+    (|v_fp - med| with counts summed — no second data scan), and the
+    outlier census is a filtered sum over it. At 10^12 rows the raw
+    data is touched exactly once; llogtail's analog is the per-sink
+    byte/count rollup (collector.go:125-174) — this is that rollup
+    made robust.
+
+    Lower median = smallest v with cum >= ceil(n/2) — integer-exact
+    and identical in the DuckDB twin (no interpolation semantics to
+    disagree on).
+    """
+    hist = (
+        df.filter(F.col(val_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("g"),
+            F.floor(F.col(val_col) * 100).cast("long").alias("v_fp"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (Window.partitionBy("g").orderBy("v_fp")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wg = Window.partitionBy("g")
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wg))
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("g")
+        .agg(F.min("v_fp").alias("med_fp"), F.first("n").alias("n"))
+    )
+    dev = (
+        hist.join(med, "g")
+        .groupBy("g", F.abs(F.col("v_fp") - F.col("med_fp")).alias("d"))
+        .agg(F.sum("cnt").alias("cnt"),
+             F.first("n").alias("n"), F.first("med_fp").alias("med_fp"))
+    )
+    wdev = (Window.partitionBy("g").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    mad = (
+        dev.withColumn("cum", F.sum("cnt").over(wdev))
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("g")
+        .agg(F.min("d").alias("mad_fp"))
+    )
+    return (
+        dev.join(mad, "g")
+        .groupBy("g")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("med_fp").alias("med_fp"),
+            F.first("mad_fp").alias("mad_fp"),
+            F.sum(
+                F.when(F.col("d") > MAD_FACTOR * F.col("mad_fp"),
+                       F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .select(F.col("g").alias("event_type"), "n", "med_fp", "mad_fp",
+                "n_outliers")
+    )
+
+
+def mad_outliers_sql(factor: int = MAD_FACTOR) -> str:
+    """DuckDB twin: identical histogram decomposition, lower-median
+    rule (cum*2 >= n), deviation re-key, and outlier census."""
+    return f"""
+        WITH hist AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 100) AS BIGINT) AS v_fp,
+                   count(*) AS cnt
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY g, v_fp),
+        med AS (
+            SELECT g, min(v_fp) AS med_fp, any_value(n) AS n FROM (
+                SELECT g, v_fp,
+                       sum(cnt) OVER (PARTITION BY g ORDER BY v_fp) AS cum,
+                       sum(cnt) OVER (PARTITION BY g) AS n
+                FROM hist)
+            WHERE cum * 2 >= n GROUP BY g),
+        dev AS (
+            SELECT h.g, abs(h.v_fp - m.med_fp) AS d, sum(h.cnt) AS cnt,
+                   any_value(m.n) AS n, any_value(m.med_fp) AS med_fp
+            FROM hist h JOIN med m USING (g)
+            GROUP BY h.g, d),
+        mad AS (
+            SELECT g, min(d) AS mad_fp FROM (
+                SELECT g, d, n,
+                       sum(cnt) OVER (PARTITION BY g ORDER BY d) AS cum
+                FROM dev)
+            WHERE cum * 2 >= n GROUP BY g)
+        SELECT dev.g AS event_type,
+               CAST(any_value(dev.n) AS BIGINT) AS n,
+               CAST(any_value(dev.med_fp) AS BIGINT) AS med_fp,
+               CAST(any_value(mad.mad_fp) AS BIGINT) AS mad_fp,
+               CAST(sum(CASE WHEN dev.d > {factor} * mad.mad_fp
+                             THEN dev.cnt ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM dev JOIN mad USING (g)
+        GROUP BY dev.g
+    """

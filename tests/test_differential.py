@@ -614,3 +614,67 @@ def test_time_weighted_avg_matches_duckdb_on_random_events(spark):
     assert got == want, (got[:5], want[:5])
     assert len(got) > 10
     assert all(u != 59 for u, *_ in got)
+
+
+def test_mad_outliers_matches_duckdb_on_random_events(spark):
+    """mad_outliers vs DuckDB on random values with NULLs, ties, a
+    planted heavy-tail type (outliers must be flagged), and a
+    constant-value type (MAD = 0: every deviation > 0 is an
+    outlier)."""
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(SEED + 19)
+    rows = []
+    for i in range(800):
+        t = str(rng.choice(["gauge_a", "gauge_b", "spiky"]))
+        v = round(float(rng.uniform(10, 20)), 2)
+        if t == "spiky" and rng.random() < 0.05:
+            v = round(float(rng.uniform(5000, 9000)), 2)
+        rows.append((i, t, v if rng.random() > 0.05 else None))
+    rows += [(9000 + j, "flat", 42.0) for j in range(20)]
+    rows += [(9100, "flat", 43.5), (9101, None, 1.0)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    from llogtail_spark.operators.telemetry import mad_outliers
+
+    got = sorted(map(tuple, mad_outliers(sdf).collect()))
+    want = sorted(map(tuple, con.execute(
+        entry.oracle_sql()["mad_outliers"]).fetchall()))
+    assert got == want, (got, want)
+    by_type = {r[0]: r for r in got}
+    assert by_type["spiky"][4] > 0          # planted tail flagged
+    assert by_type["flat"][3] == 0          # MAD 0
+    assert by_type["flat"][4] == 1          # the lone 43.5 deviates
+
+
+def test_gram_matrix_matches_numpy_and_is_layout_invariant(spark):
+    """gram_matrix == the numpy brute force (per-row floor), and the
+    result is identical under repartitioning (per-row integerization
+    makes the sum exactly associative); NULL / wrong-length vectors
+    are dropped from both the sums and n."""
+    from llogtail_spark.operators.similarity import gram_matrix
+
+    rng = np.random.default_rng(SEED + 23)
+    d = 8
+    X = rng.normal(0, 1, size=(40, d)).astype(np.float64)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(40)]
+    rows += [(100, None), (101, [1.0] * (d - 1))]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    want_g = np.floor(
+        (X[:, :, None] * X[:, None, :]) * 1_000_000.0
+    ).astype(np.int64).sum(axis=0)
+    ii, jj = np.triu_indices(d)
+    want = sorted(
+        (int(a) + 1, int(b) + 1, int(want_g[a, b]), 40)
+        for a, b in zip(ii, jj)
+    )
+
+    for parts in (1, 7):
+        got = sorted(map(tuple,
+                         gram_matrix(sdf.repartition(parts), dim=d).collect()))
+        assert got == want, parts

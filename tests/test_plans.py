@@ -439,3 +439,35 @@ def test_time_weighted_avg_single_exchange(spark):
     assert tree.count(" Sort (") == 1, tree
     # partial+final pair, both above the single exchange
     assert tree.count(" HashAggregate (") == 2, tree
+
+
+def test_mad_outliers_scans_data_once(spark):
+    """MAD decomposition promise: medians, deviation histogram, and
+    outlier census all derive from ONE histogram of the raw data —
+    the final plan must contain exactly one parquet scan (AQE stage
+    reuse serves the histogram to every consumer); the remaining
+    exchanges are dim-sized."""
+    from llogtail_spark.operators.telemetry import mad_outliers
+
+    df = mad_outliers(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    df.collect()
+    tree = _final_tree(
+        df._jdf.queryExecution().executedPlan().toString())
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_gram_matrix_single_partial_stage(spark):
+    """Gram plan: scan -> ONE MapInPandas (numpy block partials) ->
+    partial agg -> ONE exchange of d^2-sized rows -> final agg. The
+    data never shuffles; the Python stage runs once."""
+    from llogtail_spark.operators.similarity import gram_matrix
+
+    df = gram_matrix(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    df.collect()
+    tree = _final_tree(
+        df._jdf.queryExecution().executedPlan().toString())
+    assert tree.count("MapInPandas") == 1, tree
+    assert tree.count("Exchange hashpartitioning") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree

@@ -123,3 +123,42 @@ def test_countmin_sketch_is_fixed_size(spark):
     plan = countmin_freq(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_heavy_hitters_exercises_mg_prune_small_k(spark):
+    """With k smaller than the distinct-token count the per-partition
+    Misra-Gries prune actually fires; the result must STILL equal the
+    exact brute-force definition (sketch errors can only add false
+    candidates, which the exact rerank removes)."""
+    import duckdb
+
+    from llogtail_spark.operators.sketches import (
+        heavy_hitters,
+        heavy_hitters_sql,
+    )
+
+    rows = []
+    # zipf-ish: token t_i appears ~ 2000/i times; plus a NULL doc
+    for i in range(1, 60):
+        rows += [(len(rows) + j, f"t{i}") for j in range(2000 // i)]
+    docs = [(i, " ".join(t for _, t in rows[i::7])) for i in range(7)]
+    docs.append((7, None))
+    pdf_cols = "doc_id long, text string"
+    sdf = spark.createDataFrame(docs, pdf_cols).repartition(4)
+
+    got = sorted(map(tuple, heavy_hitters(sdf, k=5).collect()))
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(heavy_hitters_sql(k=5)).fetchall()))
+    assert got == want
+    assert 0 < len(got) <= 5
+
+
+def test_heavy_hitters_empty_corpus(spark):
+    from llogtail_spark.operators.sketches import heavy_hitters
+
+    sdf = spark.createDataFrame([(1, ""), (2, None)],
+                                "doc_id long, text string")
+    assert heavy_hitters(sdf).count() == 0
