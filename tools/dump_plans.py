@@ -162,6 +162,25 @@ SHOWCASE = [
      "SCD-2 intervals: change-detect lag and closing lead share ONE "
      "user_id exchange + sort (the filter between them preserves "
      "both); the rollup exchange moves only dim-sized rows."),
+    ("bloom_prune_join",
+     "Bloom runtime filter: ONE ArrowEvalPython (broadcast bitset "
+     "test) prunes the probe in its scan stage BEFORE any shuffle; "
+     "the exact join then sees only ~matching rows."),
+    ("star_join_q3",
+     "TPC-H Q3 star shape: both dims broadcast (no SortMergeJoin — "
+     "the fact side never shuffles for the joins), partial+final agg, "
+     "TakeOrderedAndProject top-10."),
+    ("time_weighted_avg",
+     "TWA: lead window, partial+final agg, and integer division all "
+     "ride ONE user_id exchange."),
+    ("mad_outliers",
+     "Median/MAD/outlier census from ONE histogram of the data (a "
+     "single parquet scan; AQE stage reuse feeds every consumer); all "
+     "later exchanges are dim-sized."),
+    ("gram_matrix",
+     "Distributed Gram matrix: scan -> ONE MapInPandas (numpy block "
+     "partials) -> partial agg -> one d^2-row exchange -> final "
+     "mergeable reduce. The data never shuffles."),
 ]
 
 
