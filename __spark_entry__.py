@@ -1490,6 +1490,61 @@ def _q_gram_matrix(spark, sf):
     return gram_matrix(_t(spark, sf, "embeddings"))
 
 
+def _q_range_frame_sum(spark, sf):
+    """Time-RANGE window frame (not rows): per event, count and
+    fixed-point sum of the same user's values in the trailing hour —
+    rangeBetween over epoch micros, so ties at equal ts share the
+    identical set-defined frame in both engines. ONE user exchange."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (W.partitionBy("user_id").orderBy(us)
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("value").over(w).alias("n_1h"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(w)
+        .alias("sum_1h_fp"),
+    )
+
+
+def _q_locf_impute(spark, sf):
+    """Last-observation-carried-forward gap fill: NULL gauge readings
+    take the user's most recent non-NULL value (last ignoreNulls over
+    an unbounded-preceding frame) — the streaming-state imputation a
+    dashboard needs, as one window pass. was_filled marks imputed
+    rows; leading NULLs (no prior observation) stay NULL."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    v_fp = F.floor(F.col("value") * 100).cast("long")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = F.last(v_fp, ignorenulls=True).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        filled.alias("v_fp_filled"),
+        F.when(F.col("value").isNull() & filled.isNotNull(), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("was_filled"),
+    )
+
+
+def _q_cdc_chunking(spark, sf):
+    """Content-defined chunking stats: boundaries where the token's
+    portable hash ≡ 0 mod 16 — pure per-row Catalyst HOFs, zero
+    shuffle, re-synchronizing chunk frames for shifted near-dups."""
+    from llogtail_spark.operators.corpus import cdc_chunking
+
+    return cdc_chunking(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_fanout": _q_pipeline_route_fanout,
@@ -1596,6 +1651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "mad_outliers": _q_mad_outliers,
         "gram_matrix": _q_gram_matrix,
+        "range_frame_sum": _q_range_frame_sum,
+        "locf_impute": _q_locf_impute,
+        "cdc_chunking": _q_cdc_chunking,
         "event_type_drift": _q_event_type_drift,
         "incremental_mv_merge": _q_incremental_mv_merge,
     }
@@ -2676,6 +2734,32 @@ def oracle_sql() -> dict[str, str]:
             "llogtail_spark.operators.similarity",
             fromlist=["gram_matrix_sql"],
         ).gram_matrix_sql(),
+        "range_frame_sum": """
+            SELECT event_id, user_id,
+                   count(value) OVER w AS n_1h,
+                   sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                       AS sum_1h_fp
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                                   AND CURRENT ROW)
+        """,
+        "locf_impute": """
+            SELECT event_id, user_id,
+                   last_value(CAST(floor(value * 100) AS BIGINT)
+                              IGNORE NULLS) OVER w AS v_fp_filled,
+                   CAST(CASE WHEN value IS NULL AND
+                             last_value(CAST(floor(value * 100) AS BIGINT)
+                                        IGNORE NULLS) OVER w IS NOT NULL
+                             THEN 1 ELSE 0 END AS BIGINT) AS was_filled
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        """,
+        "cdc_chunking": _corpus_mod().cdc_chunking_sql(),
         "star_join_q3": """
             SELECT l.l_orderkey,
                    strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "mad_outliers",
     "gram_matrix",
+    "range_frame_sum",
+    "locf_impute",
+    "cdc_chunking",
 ]
 
 

@@ -1959,3 +1959,111 @@ def corpus_diff_sql() -> str:
                     ELSE 'changed' END AS status
         FROM v_old o FULL OUTER JOIN v_new n USING (doc_id)
     """
+
+
+# content-defined chunking: a token ends a chunk when its portable
+# hash is 0 mod CDC_MOD -> expected chunk length ~ CDC_MOD tokens.
+CDC_MOD = 16
+
+
+def cdc_chunking(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunk statistics per document: chunk
+    boundaries fall where the token's content hash ≡ 0 (mod CDC_MOD),
+    so an insertion early in a document shifts only the chunk it
+    lands in — every later boundary re-synchronizes on the same
+    content. That re-sync property is why CDC (FastCDC/rsync
+    lineage) is the dedup-prep primitive for shifted/edited near-
+    copies where fixed-size chunking would desynchronize the entire
+    tail. (Deliberately no min/max chunk clamp: the clamp is a
+    sequential scan-state refinement; the boundary rule here is pure
+    per-token content, which keeps the operator a stateless
+    projection.)
+
+    Scale shape: everything per-row Catalyst HOFs over the token
+    array (hash, boundary filter, length diffs — whole-stage
+    codegen, zero Python, zero shuffle); the output is doc-keyed.
+    llogtail's framing analog: lines are delimiter-defined chunks of
+    a byte stream (buffer.go:103-104); CDC is delimiter-defined
+    framing where the DATA is the delimiter.
+
+    Returns (doc_id, n_tokens, n_chunks, max_chunk_len,
+    mean_len_x100); empty documents drop.
+    """
+    from llogtail_spark.functions.portable_hash import char_fold_hash
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    hs = F.transform(F.col("ws"), lambda w: char_fold_hash(w))
+    n = F.size("ws")
+    # 1-based boundary positions: token i ends a chunk
+    bp = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(hs, i) % CDC_MOD == 0,
+    )
+    # final token always closes the last chunk (avoid a dup when it
+    # is already a content boundary)
+    # try_element_at: ANSI mode throws on -1 over an empty array
+    bpe = F.when(F.try_element_at(bp, F.lit(-1)) == n, bp).otherwise(
+        F.concat(bp, F.array(n))
+    )
+    with_b = base.select(id_col, n.alias("n_tokens"), bpe.alias("bpe"))
+    lens = F.transform(
+        F.sequence(F.lit(1), F.size("bpe")),
+        lambda i: F.element_at(F.col("bpe"), i)
+        - F.when(i == 1, F.lit(0)).otherwise(
+            F.element_at(F.col("bpe"), i - 1)
+        ),
+    )
+    return with_b.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("bpe").cast("long").alias("n_chunks"),
+        F.array_max(lens).cast("long").alias("max_chunk_len"),
+        F.floor(F.col("n_tokens") * 100 / F.size("bpe"))
+        .cast("long").alias("mean_len_x100"),
+    )
+
+
+def cdc_chunking_sql(mod: int = CDC_MOD) -> str:
+    """DuckDB twin: identical tokenization, hash, boundary rule,
+    final-token close, and length diffs (1-based lists on both
+    engines)."""
+    from llogtail_spark.functions.portable_hash import char_fold_hash_sql
+
+    h = char_fold_hash_sql("ws[i]")
+    return f"""
+        WITH norm AS (
+            SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(coalesce(text, '')),
+                                      '{WS_CLASS}'),
+                x -> x <> '') AS ws
+            FROM documents),
+        based AS (
+            SELECT doc_id, ws, len(ws) AS n FROM norm WHERE len(ws) > 0),
+        bounds AS (
+            SELECT doc_id, n,
+                   list_filter(range(1, n + 1),
+                               i -> ({h}) % {mod} = 0) AS bp
+            FROM based),
+        closed AS (
+            SELECT doc_id, n,
+                   CASE WHEN len(bp) > 0 AND bp[-1] = n THEN bp
+                        ELSE list_append(bp, n) END AS bpe
+            FROM bounds)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(len(bpe) AS BIGINT) AS n_chunks,
+               CAST(list_max(list_transform(
+                   range(1, len(bpe) + 1),
+                   i -> bpe[i] - CASE WHEN i = 1 THEN 0
+                                      ELSE bpe[i - 1] END)) AS BIGINT)
+                   AS max_chunk_len,
+               CAST(floor(n * 100 / len(bpe)) AS BIGINT) AS mean_len_x100
+        FROM closed
+    """

@@ -678,3 +678,93 @@ def test_gram_matrix_matches_numpy_and_is_layout_invariant(spark):
         got = sorted(map(tuple,
                          gram_matrix(sdf.repartition(parts), dim=d).collect()))
         assert got == want, parts
+
+
+def test_range_frame_and_locf_match_duckdb_on_random_events(spark):
+    """range_frame_sum (time-RANGE frame, set-defined ties) and
+    locf_impute (last ignoreNulls carry-forward) vs DuckDB on random
+    events with NULL values (imputation targets), leading NULLs,
+    exact-tie timestamps, and sub-second spacing."""
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(SEED + 29)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(700):
+        rows.append((
+            i,
+            base + dt.timedelta(seconds=float(rng.uniform(0, 3 * 3600)))
+            if rng.random() > 0.04 else None,
+            int(rng.integers(1, 25)) if rng.random() > 0.05 else None,
+            round(float(rng.uniform(0, 400)), 2)
+            if rng.random() > 0.3 else None,   # plenty of NULL gauges
+        ))
+    tie = base + dt.timedelta(seconds=50)
+    rows += [(2000, tie, 4, 1.0), (2001, tie, 4, None), (2002, tie, 4, 3.0)]
+    # user 24: leading NULL readings (no prior observation stays NULL)
+    rows = [r for r in rows if r[2] != 24] + [
+        (3000, base, 24, None), (3001, base + dt.timedelta(1), 24, None),
+        (3002, base + dt.timedelta(2), 24, 5.5)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracles = entry.oracle_sql()
+
+    for name in ("range_frame_sum", "locf_impute"):
+        got = sorted(map(tuple, _run_inline(entry, name, spark, sdf)))
+        want = sorted(map(tuple, con.execute(oracles[name]).fetchall()))
+        assert got == want, (name, got[:5], want[:5])
+    # leading NULLs stayed NULL, later NULL got filled somewhere
+    locf = dict(
+        ((r[0]), (r[2], r[3]))
+        for r in _run_inline(entry, "locf_impute", spark, sdf)
+    )
+    assert locf[3000] == (None, 0) and locf[3001] == (None, 0)
+    assert locf[2001] == (100, 1)  # tie row carries the 1.0 reading
+
+
+def _run_inline(entry, name, spark, sdf):
+    """Run a queries() entry against an in-memory events frame by
+    temporarily pointing the table loader at a temp view."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    sdf.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return entry.queries()[name](spark, d).collect()
+
+
+def test_cdc_chunking_matches_duckdb_on_random_texts(spark):
+    """cdc_chunking vs DuckDB on random token soups, including empty
+    and NULL texts (dropped), single-token docs, and a doc whose
+    final token is itself a content boundary (no duplicate close)."""
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(SEED + 31)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(1, 120))
+        docs.append((i, " ".join(rng.choice(vocab, size=n))))
+    docs += [(500, ""), (501, None), (502, "solo")]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet")
+    got = sorted(map(tuple, entry.queries()["cdc_chunking"](spark, d).collect()))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(map(tuple, con.execute(
+        entry.oracle_sql()["cdc_chunking"]).fetchall()))
+    assert got == want, (got[:5], want[:5])
+    ids = {r[0] for r in got}
+    assert 500 not in ids and 501 not in ids and 502 in ids
+    # chunk-length invariant: sum(mean * n_chunks) reconstructs tokens
+    for doc_id, n_tokens, n_chunks, max_len, mean_x100 in got:
+        assert 1 <= n_chunks <= n_tokens
+        assert max_len <= n_tokens
+        assert mean_x100 == n_tokens * 100 // n_chunks
