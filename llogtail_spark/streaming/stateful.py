@@ -60,3 +60,120 @@ def debounce_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_sec: float = 1800.0,
+    timeout_sec: float | None = None,
+) -> DataFrame:
+    """Streaming session assembly: per key, group events into maximal
+    runs with inter-event gaps <= gap_sec and emit each session AS IT
+    CLOSES — the streaming twin of the batch `sessionize` query (same
+    gap rule), and the canonical custom stateful operator Spark's
+    built-in windows don't express (session length is data-defined,
+    not clock-defined). llogtail analog: a watcher "session" is the
+    burst of writes between idle gaps; the collector only sees bursts
+    (log_watcher.go tail loop).
+
+    A session closes when a LATER event of its key arrives more than
+    gap_sec after the session's last event (event-driven close — exact
+    and deterministic), or, if `timeout_sec` is set, when the key goes
+    quiet for that long in processing time (liveness flush for
+    abandoned keys; timing-dependent by nature, so tests pin only the
+    event-driven path). Open sessions otherwise stay in state — state
+    is 3 numbers per key (start, last, n), co-partitioned by key.
+
+    Per micro-batch the work is vectorized: gaps via diff, intra-batch
+    session splits via cumsum, one pandas groupby — no per-row Python
+    beyond the single state merge.
+
+    Output: key_cols + (session_start, session_end, n_events).
+    """
+    from pyspark.sql import types as T
+
+    key_fields = [events.schema[c] for c in key_cols]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        def emit(rows):
+            # state/arithmetic run in integer MICROseconds (exact in a
+            # double up to year ~2255; float seconds would round-trip
+            # through ns and fail Arrow's lossless us cast)
+            return pd.DataFrame(
+                [
+                    dict(zip([f.name for f in key_fields], key))
+                    | {
+                        "session_start": pd.Timestamp(int(s), unit="us"),
+                        "session_end": pd.Timestamp(int(e), unit="us"),
+                        "n_events": n,
+                    }
+                    for (s, e, n) in rows
+                ]
+            )
+
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield emit([(s, e, int(n))])
+            return
+
+        batch = pd.concat(list(pdfs))
+        batch = batch[batch[ts_col].notna()]
+        if batch.empty:
+            if timeout_sec is not None and state.exists:
+                state.setTimeoutDuration(int(timeout_sec * 1000))
+            return
+        ts = (
+            batch[ts_col].sort_values(kind="stable").astype("int64") // 1000
+        ).to_numpy()
+        gap_us = gap_sec * 1e6
+        breaks = (pd.Series(ts).diff() > gap_us).to_numpy()
+        # intra-batch session groups: [start_idx, end_idx) spans
+        import numpy as np
+
+        starts = np.flatnonzero(np.concatenate([[True], breaks[1:]]))
+        ends = np.concatenate([starts[1:], [len(ts)]])
+        sessions = [
+            (float(ts[a]), float(ts[b - 1]), int(b - a))
+            for a, b in zip(starts, ends)
+        ]
+        closed = []
+        if state.exists:
+            s0, e0, n0 = state.get
+            if ts[0] - e0 <= gap_us:
+                # first batch-session continues the open one
+                fs, fe, fn_ = sessions[0]
+                sessions[0] = (float(s0), fe, int(n0) + fn_)
+            else:
+                closed.append((float(s0), float(e0), int(n0)))
+        closed.extend(sessions[:-1])
+        s, e, n = sessions[-1]
+        state.update((float(s), float(e), int(n)))
+        if timeout_sec is not None:
+            state.setTimeoutDuration(int(timeout_sec * 1000))
+        if closed:
+            yield emit(closed)
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="start double, last double, n long",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_sec is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -534,3 +534,131 @@ def test_boilerplate_ingest_replay_after_commit_is_identical(spark, tmp_path):
     boilerplate_ingest_batch(spark, bdf2, 1, idx, out)
     got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert got[10]["text_clean"] == "nu xi omicron pi"
+
+
+def test_session_stream_closes_across_microbatches(spark, tmp_path):
+    """session_stream: a session spanning two micro-batches stays ONE
+    session (state carries start/last/n across the boundary); a gap
+    beyond gap_sec closes it with exact (start, end, n)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.stateful import session_stream
+
+    base = dt.datetime(2024, 1, 1)
+
+    def row(eid, user, sec):
+        return {"event_id": eid, "user_id": user,
+                "ts": base + dt.timedelta(seconds=sec)}
+
+    d = tmp_path / "stream"
+    os.makedirs(d)
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us"))])
+    # batch 1: user 7 session A opens (0, 100); user 8 opens (0)
+    pq.write_table(pa.Table.from_pylist(
+        [row(1, 7, 0.0), row(2, 7, 100.0), row(10, 8, 0.0)],
+        schema=schema), str(d / "b1.parquet"))
+    # batch 2: 7@200 continues A; 7@5000 closes A (gap 4800 > 1800)
+    # and opens B; 8@100 continues its open session (never closes)
+    pq.write_table(pa.Table.from_pylist(
+        [row(3, 7, 200.0), row(4, 7, 5000.0), row(11, 8, 100.0)],
+        schema=schema), str(d / "b2.parquet"))
+    os.utime(str(d / "b1.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(str(d / "b2.parquet"), (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = session_stream(stream, ["user_id"], ts_col="ts", gap_sec=1800.0)
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "cpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    ]
+    assert got == [(7, base, base + dt.timedelta(seconds=200), 3)], got
+
+
+def test_session_stream_matches_reference_on_random_stream(spark, tmp_path):
+    """Random events split into time-ordered micro-batches: closed
+    sessions must equal a single-pass reference sessionizer over the
+    whole stream (excluding each key's final, still-open session)."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.stateful import session_stream
+
+    rng = np.random.default_rng(41)
+    base = dt.datetime(2024, 1, 1)
+    events = sorted(
+        (
+            int(rng.integers(1, 7)),
+            float(rng.uniform(0, 40000)),
+        )
+        for _ in range(300)
+    )
+    events = sorted(events, key=lambda kv: kv[1])
+    GAP = 1800.0
+
+    # reference: single-pass sessionizer per key over the global order
+    ref_closed = []
+    open_s = {}
+    for u, t in events:
+        if u in open_s:
+            s, e, n = open_s[u]
+            if t - e <= GAP:
+                open_s[u] = (s, t, n + 1)
+                continue
+            ref_closed.append((u, s, e, n))
+        open_s[u] = (t, t, 1)
+
+    d = tmp_path / "stream"
+    os.makedirs(d)
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us"))])
+    chunks = np.array_split(np.arange(len(events)), 5)
+    for bi, idxs in enumerate(chunks):
+        rows = [
+            {"event_id": int(i), "user_id": events[i][0],
+             "ts": base + dt.timedelta(seconds=events[i][1])}
+            for i in idxs
+        ]
+        p = str(d / f"b{bi}.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), p)
+        os.utime(p, (1_700_000_000 + bi * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = session_stream(stream, ["user_id"], ts_col="ts", gap_sec=GAP)
+    q = (
+        out.writeStream.format("memory").queryName("sessions_rand")
+        .option("checkpointLocation", str(tmp_path / "cpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"],
+         round((r["session_start"] - base).total_seconds(), 3),
+         round((r["session_end"] - base).total_seconds(), 3),
+         r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_rand").collect()
+    )
+    want = sorted((u, round(s, 3), round(e, 3), n)
+                  for u, s, e, n in ref_closed)
+    assert got == want, (len(got), len(want))
+    assert len(got) > 5
