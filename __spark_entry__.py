@@ -1545,6 +1545,53 @@ def _q_cdc_chunking(spark, sf):
     return cdc_chunking(_t(spark, sf, "documents"))
 
 
+def _q_global_ordinals(spark, sf):
+    """Global row numbering WITHOUT a single-reducer sort: range
+    repartition -> per-partition sort -> K-entry offset prefix sum ->
+    parallel row_number + offset. The oracle is the naive global
+    ROW_NUMBER the scalable plan must equal exactly."""
+    from llogtail_spark.operators.layout import global_ordinals
+
+    ev = _t(spark, sf, "events").select("event_id", "ts")
+    return global_ordinals(ev, ["ts", "event_id"]).select(
+        "event_id", "ordinal"
+    )
+
+
+def _q_dedup_keep_best(spark, sf):
+    """Exact dedup that KEEPS THE BEST duplicate (not an arbitrary
+    one): group by content fingerprint, rank by quality (longer text
+    wins, doc_id tiebreak), emit the winner + its cluster size. The
+    sf fixture has no exact dups, so deterministic replicas are
+    planted (doc_id % 13 -> a longer '[rev2]' copy that must win) —
+    mirrored verbatim in the oracle."""
+    from pyspark.sql import Window as W
+
+    from llogtail_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+    )
+    # the planted copy normalizes differently ([rev2] suffix) — to be
+    # a true duplicate the FINGERPRINT must ignore the suffix: strip
+    # a trailing ' [rev2]' before normalizing, in both engines
+    base_text = F.regexp_replace(F.col("text"), r" \[rev2\]$", "")
+    u = docs.unionByName(planted).select(
+        "doc_id",
+        F.length("text").cast("long").alias("quality"),
+        F.xxhash64(normalize_text(base_text)).alias("fp"),
+    )
+    w = W.partitionBy("fp").orderBy(F.desc("quality"), "doc_id")
+    return (
+        u.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_dup", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "quality", F.col("n_dup").cast("long").alias("n_dup"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_fanout": _q_pipeline_route_fanout,
@@ -1654,6 +1701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_sum": _q_range_frame_sum,
         "locf_impute": _q_locf_impute,
         "cdc_chunking": _q_cdc_chunking,
+        "global_ordinals": _q_global_ordinals,
+        "dedup_keep_best": _q_dedup_keep_best,
         "event_type_drift": _q_event_type_drift,
         "incremental_mv_merge": _q_incremental_mv_merge,
     }
@@ -1668,6 +1717,11 @@ def _norm_sql() -> str:
 
 
 _NORM_SQL = _norm_sql()
+# dedup_keep_best: normalize AFTER stripping the planted ' [rev2]'
+# suffix, so original and planted copy share a fingerprint
+_NORM_BASE_SQL = _NORM_SQL.replace(
+    "lower(text)", "lower(regexp_replace(text, ' \\[rev2\\]$', ''))"
+)
 
 
 def _minhash_oracle() -> str:
@@ -2760,6 +2814,32 @@ def oracle_sql() -> dict[str, str]:
                                   AND CURRENT ROW)
         """,
         "cdc_chunking": _corpus_mod().cdc_chunking_sql(),
+        "global_ordinals": """
+            SELECT event_id,
+                   row_number() OVER (ORDER BY ts, event_id) AS ordinal
+            FROM events
+            WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        """,
+        "dedup_keep_best": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' [rev2]'
+                FROM documents WHERE doc_id % 13 = 0),
+            k AS (
+                SELECT doc_id, CAST(length(text) AS BIGINT) AS quality,
+                       {_NORM_BASE_SQL} AS fp
+                FROM u),
+            r AS (
+                SELECT doc_id, quality,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY quality DESC, doc_id)
+                           AS rk,
+                       count(*) OVER (PARTITION BY fp) AS n_dup
+                FROM k)
+            SELECT doc_id, quality, CAST(n_dup AS BIGINT) AS n_dup
+            FROM r WHERE rk = 1
+        """,
         "star_join_q3": """
             SELECT l.l_orderkey,
                    strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "range_frame_sum",
     "locf_impute",
     "cdc_chunking",
+    "global_ordinals",
+    "dedup_keep_best",
 ]
 
 

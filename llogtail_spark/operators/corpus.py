@@ -1999,20 +1999,41 @@ def cdc_chunking(df: DataFrame, text_col: str = "text",
     base = df.select(F.col(id_col), toks.alias("ws")).filter(
         F.size("ws") > 0
     )
-    hs = F.transform(F.col("ws"), lambda w: char_fold_hash(w))
-    n = F.size("ws")
-    # 1-based boundary positions: token i ends a chunk
-    bp = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: F.element_at(hs, i) % CDC_MOD == 0,
+    # each intermediate array is MATERIALIZED as its own projection
+    # step before anything indexes into it: an inline HOF expression
+    # referenced inside a per-index lambda is re-evaluated for EVERY
+    # index (element_at(<transform expr>, i) recomputed the whole hash
+    # array per token -> O(n^2 * chars); measured 11 s -> 0.3 s at
+    # sf0.1). CollapseProject keeps a non-cheap expr that is consumed
+    # more than once in its own project, so each step evaluates once.
+    hashed = base.select(
+        id_col,
+        F.size("ws").alias("n_tokens"),
+        # boundary flags directly off the index-aware transform: 1-based
+        # position where the token's hash ends a chunk, else NULL
+        F.transform(
+            F.col("ws"),
+            lambda w, i: F.when(
+                char_fold_hash(w) % CDC_MOD == 0, i + 1
+            ),
+        ).alias("flags"),
+    )
+    bounded = hashed.select(
+        id_col, "n_tokens",
+        F.filter(F.col("flags"), lambda x: x.isNotNull()).alias("bp"),
     )
     # final token always closes the last chunk (avoid a dup when it
     # is already a content boundary)
     # try_element_at: ANSI mode throws on -1 over an empty array
-    bpe = F.when(F.try_element_at(bp, F.lit(-1)) == n, bp).otherwise(
-        F.concat(bp, F.array(n))
+    with_b = bounded.select(
+        id_col, "n_tokens",
+        F.when(
+            F.try_element_at(F.col("bp"), F.lit(-1)) == F.col("n_tokens"),
+            F.col("bp"),
+        ).otherwise(
+            F.concat(F.col("bp"), F.array(F.col("n_tokens")))
+        ).alias("bpe"),
     )
-    with_b = base.select(id_col, n.alias("n_tokens"), bpe.alias("bpe"))
     lens = F.transform(
         F.sequence(F.lit(1), F.size("bpe")),
         lambda i: F.element_at(F.col("bpe"), i)

@@ -122,3 +122,73 @@ def zorder_shards_sql(user_col: str = "user_id", ts_col: str = "ts") -> str:
                CAST(max(by) AS INTEGER) AS hour_hi
         FROM coded GROUP BY zshard
     """
+
+
+# ---------------------------------------------------------------------------
+# Global ordinals without a single-reducer sort
+# ---------------------------------------------------------------------------
+
+# range partitions for the ordinal assignment at test scale; at
+# cluster scale size this to ~the input partition count.
+ORD_PARTS = 32
+
+
+def global_ordinals(df: DataFrame, order_cols: list[str],
+                    n_parts: int = ORD_PARTS) -> DataFrame:
+    """Assign each row its 1-based ordinal in the GLOBAL order of
+    `order_cols` — without ever collapsing the data onto one reducer.
+
+    The naive formulation (row_number over an un-partitioned window)
+    plans a single-partition Exchange: one task sorts 10^12 rows.
+    The scalable classic instead: (1) range-repartition on the order
+    key (sampled boundaries; any split is fine because the final
+    order is data-defined, not boundary-defined), (2) sort within
+    partitions, (3) count rows per partition — a partition-count-sized
+    aggregate — and prefix-sum those counts on the driver into per-
+    partition offsets, (4) per-partition row_number + offset. Every
+    stage is parallel; the only driver work is the K-entry prefix sum
+    (the same shape as llogtail's per-file offset bookkeeping,
+    utils.go:218-228: a tiny ordered ledger over big parallel chunks).
+
+    `order_cols` must be a total order (add a unique tiebreak);
+    NULL order keys are dropped (a global rank over NULL is
+    undefined across engines). Returns the input columns + `ordinal`.
+    """
+    from pyspark.sql import Window
+
+    for c in order_cols:
+        df = df.filter(F.col(c).isNotNull())
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        # pin ONE materialization: the counts job and the ordinal job
+        # must see the identical partition assignment (range boundaries
+        # are sampled; re-execution is deterministic here but pinning
+        # makes that a non-assumption — same discipline as
+        # dedup.resolve_components' localCheckpoint)
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_col = F.element_at(
+        F.create_map(*[
+            F.lit(x) for pid in sorted(offsets)
+            for x in (pid, offsets[pid])
+        ]),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn(
+            "ordinal",
+            (F.row_number().over(w) + off_col).cast("long"),
+        )
+        .drop("_pid")
+    )

@@ -255,3 +255,44 @@ def test_incremental_mv_merge_equals_full_aggregate(spark):
     assert out["a"]["vmax_cents"] == 200
     assert out["b"]["n"] == 1
     assert out["b"]["value_cents"] == 775
+
+
+def test_global_ordinals_exact_and_layout_invariant(spark):
+    """global_ordinals == the naive global row_number, regardless of
+    input partitioning; NULL order keys drop."""
+    import numpy as np
+
+    from llogtail_spark.operators.layout import global_ordinals
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1000, size=500).tolist()
+    rows = [(i, int(v)) for i, v in enumerate(vals)] + [(9000, None)]
+    want = {
+        i: r + 1
+        for r, (i, v) in enumerate(
+            sorted(((i, v) for i, v in rows if v is not None),
+                   key=lambda kv: (kv[1], kv[0]))
+        )
+    }
+    for parts in (1, 13):
+        df = spark.createDataFrame(rows, "id long, v long").repartition(parts)
+        got = {
+            r["id"]: r["ordinal"]
+            for r in global_ordinals(df, ["v", "id"], n_parts=7).collect()
+        }
+        assert got == want, parts
+
+
+def test_global_ordinals_no_single_partition_exchange(spark):
+    """The scalable promise: no SinglePartition exchange anywhere in
+    the executed plan (the naive global window would plan one)."""
+    from llogtail_spark.operators.layout import global_ordinals
+
+    df = global_ordinals(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts"),
+        ["ts", "event_id"],
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
