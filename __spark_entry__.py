@@ -1592,6 +1592,60 @@ def _q_dedup_keep_best(spark, sf):
     )
 
 
+def _q_null_safe_join(spark, sf):
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other — the semantics CDC merge keys need when
+    NULL is a legitimate key value, vs the plain equi-join where NULL
+    never matches. Planted NULL-key rows on both sides must pair up
+    exactly once; the oracle uses IS NOT DISTINCT FROM. Still a hash
+    join (null-safe equality is a valid hash key), not a nested
+    loop."""
+    ev = _t(spark, sf, "events")
+    # left: per-source counts with a planted NULL bucket; right: a
+    # dim of the same keys (also with NULL) carrying labels
+    left = (
+        ev.select(
+            F.when(F.col("event_type") != "view", F.col("event_type"))
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    right = left.select(
+        F.col("k").alias("rk"),
+        F.concat(F.lit("label_"), F.coalesce("k", F.lit("null")))
+        .alias("label"),
+    )
+    return (
+        left.join(right, F.col("k").eqNullSafe(F.col("rk")))
+        .select("k", "n", "label")
+    )
+
+
+def _q_user_type_profile(spark, sf):
+    """Ordered collect aggregation: per user, the deterministic
+    'type:count' profile string (collect -> array_sort -> HOF join) —
+    the map-shaped per-key summary a feature store materializes. One
+    combinable (user, type) rollup, then a user-keyed collect of the
+    dim-sized type list."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.concat_ws(":", "event_type", "n"))
+                ),
+                ",",
+            ).alias("profile"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_fanout": _q_pipeline_route_fanout,
@@ -1703,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunking": _q_cdc_chunking,
         "global_ordinals": _q_global_ordinals,
         "dedup_keep_best": _q_dedup_keep_best,
+        "null_safe_join": _q_null_safe_join,
+        "user_type_profile": _q_user_type_profile,
         "event_type_drift": _q_event_type_drift,
         "incremental_mv_merge": _q_incremental_mv_merge,
     }
@@ -2839,6 +2895,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM k)
             SELECT doc_id, quality, CAST(n_dup AS BIGINT) AS n_dup
             FROM r WHERE rk = 1
+        """,
+        "null_safe_join": """
+            WITH l AS (
+                SELECT CASE WHEN event_type <> 'view' THEN event_type
+                       END AS k,
+                       count(*) AS n
+                FROM events GROUP BY k),
+            r AS (
+                SELECT k, 'label_' || coalesce(k, 'null') AS label FROM l)
+            SELECT l.k, CAST(l.n AS BIGINT) AS n, r.label
+            FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        """,
+        "user_type_profile": """
+            WITH per AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id, event_type)
+            SELECT user_id,
+                   string_agg(event_type || ':' || n, ','
+                              ORDER BY event_type || ':' || n) AS profile,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM per GROUP BY user_id
         """,
         "star_join_q3": """
             SELECT l.l_orderkey,

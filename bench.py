@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "cdc_chunking",
     "global_ordinals",
     "dedup_keep_best",
+    "null_safe_join",
+    "user_type_profile",
 ]
 
 

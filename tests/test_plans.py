@@ -471,3 +471,15 @@ def test_gram_matrix_single_partial_stage(spark):
     assert tree.count("MapInPandas") == 1, tree
     assert tree.count("Exchange hashpartitioning") == 1, tree
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """eqNullSafe must still plan a HASH join (null-safe equality is
+    a valid hash key via coalesce-tagging) — never a nested loop."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["null_safe_join"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

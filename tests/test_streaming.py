@@ -662,3 +662,75 @@ def test_session_stream_matches_reference_on_random_stream(spark, tmp_path):
                   for u, s, e, n in ref_closed)
     assert got == want, (len(got), len(want))
     assert len(got) > 5
+
+
+def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    """Stream-stream interval join over micro-batched random events
+    == the equivalent batch join (same key, same (0, 1h] bound),
+    including pairs whose two sides arrive in DIFFERENT micro-batches
+    (the buffered-state path)."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.tail import stream_interval_join
+
+    rng = np.random.default_rng(43)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        rows.append((
+            i,
+            int(rng.integers(1, 10)),
+            float(rng.uniform(0, 6 * 3600)),
+            str(rng.choice(["purchase", "view", "click"])),
+        ))
+    rows.sort(key=lambda r: r[2])
+
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us")), ("event_type", pa.string())])
+
+    def write_side(name, pred):
+        d = tmp_path / name
+        os.makedirs(d)
+        side = [r for r in rows if pred(r)]
+        chunks = np.array_split(np.arange(len(side)), 3)
+        for bi, idxs in enumerate(chunks):
+            pq.write_table(pa.Table.from_pylist(
+                [{"event_id": side[i][0], "user_id": side[i][1],
+                  "ts": base + dt.timedelta(seconds=side[i][2]),
+                  "event_type": side[i][3]} for i in idxs],
+                schema=schema), str(d / f"b{bi}.parquet"))
+            os.utime(str(d / f"b{bi}.parquet"),
+                     (1_700_000_000 + bi * 100,) * 2)
+        return d
+
+    dp = write_side("purchases", lambda r: r[3] == "purchase")
+    de = write_side("events", lambda r: r[3] != "purchase")
+
+    def rd(d):
+        return (spark.readStream
+                .schema("event_id long, user_id long, ts timestamp,"
+                        " event_type string")
+                .option("maxFilesPerTrigger", "1").parquet(str(d)))
+
+    out = stream_interval_join(rd(dp), rd(de))
+    q = (out.writeStream.format("memory").queryName("sj")
+         .option("checkpointLocation", str(tmp_path / "cpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(
+        (r["purchase_id"], r["event_id"])
+        for r in spark.sql("SELECT * FROM sj").collect()
+    )
+
+    want = sorted(
+        (p[0], e[0])
+        for p in rows if p[3] == "purchase"
+        for e in rows if e[3] != "purchase"
+        if e[1] == p[1] and p[2] < e[2] <= p[2] + 3600
+    )
+    assert got == want, (len(got), len(want))
+    assert len(got) > 20
