@@ -172,9 +172,30 @@ def run_pipeline(
             )
     staging = os.path.join(workdir, "staging")
     shutil.rmtree(staging, ignore_errors=True)
-    routed.filter(pair_pred).write.format(fmt).mode("overwrite").partitionBy(
+    # observe(): global (rows, tok_total, xor-checksum) accumulated BY
+    # the write stage itself — zero extra scan (Spark accumulator
+    # metrics piggyback on the tasks). Job 3's readback must
+    # reproduce these totals from the staged FILES; a mismatch means
+    # rows were lost/corrupted between write and readback (a partial
+    # task file, a vanished part dir) and the run must fail rather
+    # than commit wrong lineage. xor is associative+commutative, so
+    # the global xor equals the xor of job 3's per-(sink, part) xors.
+    from pyspark.sql import Observation
+
+    obs = Observation("staged")
+    routed.filter(pair_pred).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tok_total"),
+        F.coalesce(F.bit_xor("row_hash"), F.lit(0)).alias("checksum"),
+    ).write.format(fmt).mode("overwrite").partitionBy(
         "sink", "part"
     ).options(**fmt_opts).save(staging)
+    observed = obs.get
+    if failpoint:
+        # tests corrupt staged files here to prove the
+        # observe-vs-readback reconciliation refuses to commit
+        failpoint("after_stage", "", "")
 
     # --- job 3 (tiny): per-(sink, part) lineage stats read back from
     # the staged files themselves — column-pruned to (n_tok, row_hash)
@@ -204,8 +225,34 @@ def run_pipeline(
             )
             .collect()
         }
+        # write-stage vs file-readback reconciliation (observe() docs
+        # above): totals must match exactly or lineage would lie
+        rb_rows = sum(int(r["row_count"]) for r in stats.values())
+        rb_tok = sum(int(r["tok_total"]) for r in stats.values())
+        rb_x = 0
+        for r in stats.values():
+            rb_x ^= int(r["checksum"])
+        if (rb_rows, rb_tok, rb_x) != (
+            int(observed["rows"]),
+            int(observed["tok_total"]),
+            int(observed["checksum"]),
+        ):
+            raise RuntimeError(
+                "staged readback disagrees with the write-stage "
+                f"observation: readback (rows={rb_rows}, tok={rb_tok}, "
+                f"xor={rb_x}) vs observed (rows={observed['rows']}, "
+                f"tok={observed['tok_total']}, xor={observed['checksum']})"
+                " — staged files are incomplete or corrupted; refusing"
+                " to commit lineage"
+            )
     else:
         stats = {}
+        if int(observed["rows"]) != 0:
+            raise RuntimeError(
+                f"write stage observed {observed['rows']} rows but no "
+                "sink= directories were staged — staging output is "
+                "missing; refusing to commit lineage"
+            )
 
     # --- ship + checkpoint, per sink in rule order: move the staged
     # partitions to the sink (rename, parallel rename, or one Iceberg

@@ -397,3 +397,30 @@ def test_iceberg_ship_roundtrip(spark, data_dir, tmp_path):
     # idempotent re-run: same snapshot content, all skipped
     res2 = run_pipeline(spark, conf)
     assert res2.processed["all"] == []
+
+
+def test_observe_readback_reconciliation_catches_lost_staged_file(
+    spark, data_dir, tmp_path
+):
+    """The write stage observe() totals must equal job 3's file
+    readback: delete one staged data file between write and readback
+    (simulating a lost/partial task output) and the run must REFUSE
+    to commit lineage instead of committing under-counted manifests."""
+    import glob
+
+    conf = make_conf(data_dir, tmp_path / "wobs")
+
+    def failpoint(s, sink, part):
+        if s == "after_stage":
+            victims = glob.glob(
+                os.path.join(str(tmp_path / "wobs"), "staging",
+                             "sink=firehose", "part=*", "*.parquet")
+            )
+            assert victims
+            os.unlink(victims[0])
+
+    with pytest.raises(RuntimeError, match="readback disagrees"):
+        run_pipeline(spark, conf, failpoint=failpoint)
+    # nothing was committed: a clean rerun processes everything
+    res = run_pipeline(spark, conf)
+    assert all(len(v) > 0 for v in res.processed.values())
