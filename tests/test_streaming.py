@@ -734,3 +734,67 @@ def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
     )
     assert got == want, (len(got), len(want))
     assert len(got) > 20
+
+
+def test_session_stream_state_survives_query_restart(spark, tmp_path):
+    """The streaming state store must survive a full QUERY RESTART
+    from the checkpoint (not just a micro-batch boundary): run batch
+    1, STOP the query, append batch 2, start a NEW query on the same
+    checkpoint — the session opened in the first run must continue
+    and close as ONE session with the pre-restart start/count."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.stateful import session_stream
+
+    base = dt.datetime(2024, 1, 1)
+
+    def row(eid, user, sec):
+        return {"event_id": eid, "user_id": user,
+                "ts": base + dt.timedelta(seconds=sec)}
+
+    d = tmp_path / "stream"
+    os.makedirs(d)
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us"))])
+    pq.write_table(pa.Table.from_pylist(
+        [row(1, 7, 0.0), row(2, 7, 100.0)], schema=schema),
+        str(d / "b1.parquet"))
+    os.utime(str(d / "b1.parquet"), (1_700_000_000, 1_700_000_000))
+
+    outdir = str(tmp_path / "out")
+
+    def start():
+        # file sink (memory sink cannot recover from a checkpoint)
+        stream = (
+            spark.readStream
+            .schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1").parquet(str(d))
+        )
+        out = session_stream(stream, ["user_id"], ts_col="ts",
+                             gap_sec=1800.0)
+        return (out.writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", str(tmp_path / "cpt"))
+                .outputMode("append").trigger(availableNow=True).start())
+
+    q1 = start()
+    q1.awaitTermination(120)
+    assert spark.read.parquet(outdir).count() == 0  # still open
+
+    # append batch 2 AFTER the first query fully stopped: 7@200
+    # continues the pre-restart session; 7@5000 closes it
+    pq.write_table(pa.Table.from_pylist(
+        [row(3, 7, 200.0), row(4, 7, 5000.0)], schema=schema),
+        str(d / "b2.parquet"))
+    os.utime(str(d / "b2.parquet"), (1_700_000_100, 1_700_000_100))
+
+    q2 = start()
+    q2.awaitTermination(120)
+    got = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(outdir).collect()
+    ]
+    assert got == [(7, base, base + dt.timedelta(seconds=200), 3)], got
