@@ -1628,7 +1628,12 @@ def _q_user_type_profile(spark, sf):
     the map-shaped per-key summary a feature store materializes. One
     combinable (user, type) rollup, then a user-keyed collect of the
     dim-sized type list."""
-    ev = _t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    # NULL event_type would diverge: Spark's concat_ws skips the NULL
+    # (bare count in the profile) while the oracle's || is NULL and
+    # string_agg drops the element — filter it in BOTH engines
+    ev = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     per = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2910,7 +2915,8 @@ def oracle_sql() -> dict[str, str]:
         "user_type_profile": """
             WITH per AS (
                 SELECT user_id, event_type, count(*) AS n
-                FROM events WHERE user_id IS NOT NULL
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
                 GROUP BY user_id, event_type)
             SELECT user_id,
                    string_agg(event_type || ':' || n, ','

@@ -293,13 +293,24 @@ def bloom_prune_probe(
     def _might_contain(s):
         import pandas as pd
 
+        # the input is coalesced JVM-side so this series NEVER holds
+        # nulls and arrives as int64. A nullable long batch would
+        # arrive as float64 and round-trip keys >= 2^53 lossily —
+        # hashing the WRONG key and turning bloom false positives
+        # into silent FALSE NEGATIVES (dropped matching rows).
         bits = bc.value
-        vals = s.fillna(0).to_numpy(dtype=np.int64)
+        vals = s.to_numpy(dtype=np.int64)
         p = _bloom_positions(vals, m_bits, n_hashes)
         hit = (
             bits[(p >> np.uint64(6)).astype(np.int64)]
             >> (p & np.uint64(63)) & np.uint64(1)
         ).astype(bool).all(axis=1)
-        return pd.Series(hit & ~s.isna().to_numpy())
+        return pd.Series(hit)
 
-    return probe.filter(_might_contain(F.col(probe_key).cast("long")))
+    key = F.col(probe_key).cast("long")
+    # NULL probe keys are dropped JVM-side (NULL never equi-joins);
+    # the coalesce sentinel only keeps the UDF input non-nullable —
+    # sentinel rows never survive the isNotNull conjunct
+    return probe.filter(
+        key.isNotNull() & _might_contain(F.coalesce(key, F.lit(0)))
+    )

@@ -639,6 +639,14 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
             if not vecs:
                 continue
             X = np.asarray(vecs, dtype=np.float64)
+            # a NULL/NaN ELEMENT arrives as NaN and floor(NaN) casts
+            # to INT64_MIN — one dirty element would poison a whole
+            # row+column of G. Drop non-finite rows entirely (and
+            # count them nowhere), as the contract states.
+            finite = np.isfinite(X).all(axis=1)
+            X = X[finite]
+            if not len(X):
+                continue
             for s in range(0, len(X), GRAM_CHUNK):
                 C = X[s:s + GRAM_CHUNK]
                 P = np.floor(
@@ -669,7 +677,9 @@ def gram_matrix_sql(dim: int = 64, scale: int = GRAM_SCALE) -> str:
             SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
         vecs AS (
             SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) = {dim})
+            WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+              AND len(list_filter(embedding,
+                       x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)
         SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
                CAST(sum(CAST(floor(e[p.i] * e[p.j] * {scale}) AS BIGINT))
                     AS BIGINT) AS gram_fp,

@@ -339,20 +339,29 @@ def heavy_hitters(df: DataFrame, k: int = HH_K,
     def _mg_partition(batches):
         import pandas as pd
 
+        def prune(cs: dict) -> dict:
+            if len(cs) <= k:
+                return cs
+            # mergeable-summaries prune: subtract the (k+1)-th
+            # largest counter from all, drop the non-positive
+            vals = sorted(cs.values(), reverse=True)
+            sub = vals[k]
+            return {t: c - sub for t, c in cs.items() if c - sub > 0}
+
         counters: dict[str, int] = {}
         n_part = 0
         for pdf in batches:
             vc = pdf["token"].value_counts()  # vectorized exact batch count
             n_part += int(vc.sum())
-            for tok, cnt in vc.items():
-                counters[tok] = counters.get(tok, 0) + int(cnt)
-            if len(counters) > k:
-                # mergeable-summaries prune: subtract the (k+1)-th
-                # largest counter from all, drop the non-positive
-                vals = sorted(counters.values(), reverse=True)
-                sub = vals[k]
-                counters = {t: c - sub for t, c in counters.items()
-                            if c - sub > 0}
+            # merge in bounded slices so peak dict size is O(k + slice),
+            # not O(k + batch distinct) — each slice-merge then prune is
+            # itself a mergeable-summaries merge, so the error bound
+            # still telescopes to n_part/(k+1) (r3 review)
+            items = list(vc.items())
+            for off in range(0, len(items), max(8 * k, 1)):
+                for tok, cnt in items[off:off + max(8 * k, 1)]:
+                    counters[tok] = counters.get(tok, 0) + int(cnt)
+                counters = prune(counters)
         yield pd.DataFrame(
             {"token": list(counters) + [None], "n": list(counters.values()) + [n_part]}
         )

@@ -691,8 +691,8 @@ def event_type_drift_sql() -> str:
 
 
 def time_weighted_avg(df: DataFrame, user_col: str = "user_id",
-                      ts_col: str = "ts", val_col: str = "value"
-                      ) -> DataFrame:
+                      ts_col: str = "ts", val_col: str = "value",
+                      tiebreak_col: str = "event_id") -> DataFrame:
     """Per-user time-weighted average of a gauge value: each reading
     holds until the next one, so it weighs by its holding duration
     (microseconds) — the standard telemetry rollup for irregular
@@ -713,8 +713,11 @@ def time_weighted_avg(df: DataFrame, user_col: str = "user_id",
     test_plans.py); output is user-dim-sized.
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # tiebreak_col makes (ts, tiebreak) a total order; ties at equal
+    # ts carry dt=0 weight, so the tiebreak never changes the sums —
+    # it only pins WHICH row is "last" (dropped) deterministically
     w = (Window.partitionBy(user_col)
-         .orderBy(F.col(ts_col), F.col("event_id")))
+         .orderBy(F.col(ts_col), F.col(tiebreak_col)))
     gaps = (
         df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
                   & F.col(val_col).isNotNull())

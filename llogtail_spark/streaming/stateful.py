@@ -80,11 +80,17 @@ def session_stream(
 
     A session closes when a LATER event of its key arrives more than
     gap_sec after the session's last event (event-driven close — exact
-    and deterministic), or, if `timeout_sec` is set, when the key goes
-    quiet for that long in processing time (liveness flush for
-    abandoned keys; timing-dependent by nature, so tests pin only the
-    event-driven path). Open sessions otherwise stay in state — state
-    is 3 numbers per key (start, last, n), co-partitioned by key.
+    and deterministic under per-key in-order arrival), or, if
+    `timeout_sec` is set, when the key goes quiet for that long in
+    processing time (liveness flush for abandoned keys;
+    timing-dependent by nature, so tests pin only the event-driven
+    path). Late data (an event older than the open session's end —
+    there is no watermark) merges CONSERVATIVELY into the open
+    session via min(start)/max(end): the session can absorb an event
+    that "should" have split it, but session_end never regresses and
+    later gap decisions stay consistent. Open sessions otherwise stay
+    in state — state is 3 numbers per key (start, last, n),
+    co-partitioned by key.
 
     Per micro-batch the work is vectorized: gaps via diff, intra-batch
     session splits via cumsum, one pandas groupby — no per-row Python
@@ -135,29 +141,46 @@ def session_stream(
             if timeout_sec is not None and state.exists:
                 state.setTimeoutDuration(int(timeout_sec * 1000))
             return
+        import numpy as np
+
         ts = (
             batch[ts_col].sort_values(kind="stable").astype("int64") // 1000
         ).to_numpy()
         gap_us = gap_sec * 1e6
-        breaks = (pd.Series(ts).diff() > gap_us).to_numpy()
-        # intra-batch session groups: [start_idx, end_idx) spans
-        import numpy as np
-
-        starts = np.flatnonzero(np.concatenate([[True], breaks[1:]]))
-        ends = np.concatenate([starts[1:], [len(ts)]])
-        sessions = [
-            (float(ts[a]), float(ts[b - 1]), int(b - a))
-            for a, b in zip(starts, ends)
-        ]
         closed = []
+        # the open session's END participates in the gap chain as a
+        # zero-count VIRTUAL element at its sorted position — this is
+        # what makes LATE data (ts < e0; no watermark here) safe: the
+        # chain is computed over max-so-far order, so session_end can
+        # never regress and an in-gap event after a late straggler
+        # still continues the same session (r3 review). With in-order
+        # arrival the virtual element is a plain prefix and the close
+        # rule is exact.
+        vpos = -1
         if state.exists:
             s0, e0, n0 = state.get
             if ts[0] - e0 <= gap_us:
-                # first batch-session continues the open one
-                fs, fe, fn_ = sessions[0]
-                sessions[0] = (float(s0), fe, int(n0) + fn_)
+                vpos = int(np.searchsorted(ts, e0))
+                ts = np.insert(ts, vpos, e0)
             else:
                 closed.append((float(s0), float(e0), int(n0)))
+        cnt = np.ones(len(ts), dtype=np.int64)
+        if vpos >= 0:
+            cnt[vpos] = 0
+        breaks = (pd.Series(ts).diff() > gap_us).to_numpy()
+        # session groups: [start_idx, end_idx) spans over the chain
+        starts = np.flatnonzero(np.concatenate([[True], breaks[1:]]))
+        ends = np.concatenate([starts[1:], [len(ts)]])
+        sessions = [
+            (float(ts[a]), float(ts[b - 1]), int(cnt[a:b].sum()))
+            for a, b in zip(starts, ends)
+        ]
+        if vpos >= 0:
+            # merge the open session into the span holding the virtual
+            # element (min start; its end is already chained in)
+            vsess = int(np.searchsorted(starts, vpos, side="right")) - 1
+            vs, ve, vn = sessions[vsess]
+            sessions[vsess] = (min(float(s0), vs), ve, vn + int(n0))
         closed.extend(sessions[:-1])
         s, e, n = sessions[-1]
         state.update((float(s), float(e), int(n)))

@@ -768,3 +768,26 @@ def test_cdc_chunking_matches_duckdb_on_random_texts(spark):
         assert 1 <= n_chunks <= n_tokens
         assert max_len <= n_tokens
         assert mean_x100 == n_tokens * 100 // n_chunks
+
+
+def test_gram_matrix_drops_nan_element_rows(spark):
+    """Regression (r3 review): a NULL/NaN ELEMENT inside a vector
+    reaches numpy as NaN and floor(NaN)->INT64_MIN would poison a
+    whole row+column of G. Such rows must be dropped entirely (and
+    excluded from n) — matching the oracle's finite-only filter."""
+    from llogtail_spark.operators.similarity import gram_matrix
+
+    d = 4
+    clean = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [0.5, 0.5, 0.5, 0.5])]
+    dirty = [(3, [1.0, None, 2.0, 3.0]), (4, [float("nan"), 1.0, 1.0, 1.0])]
+    sdf = spark.createDataFrame(clean + dirty,
+                                "vec_id long, embedding array<double>")
+    got = {(r["i"], r["j"]): (r["gram_fp"], r["n"])
+           for r in gram_matrix(sdf, dim=d).collect()}
+    import numpy as np
+
+    X = np.array([v for _, v in clean], dtype=np.float64)
+    G = np.floor((X[:, :, None] * X[:, None, :]) * 1e6).astype(np.int64).sum(0)
+    for (i, j), (g, n) in got.items():
+        assert n == 2
+        assert g == G[i - 1, j - 1], (i, j)

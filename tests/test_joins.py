@@ -327,3 +327,23 @@ def test_bloom_prune_single_arrow_eval_in_scan_stage(spark):
     n_eval = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
     assert n_eval == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_bloom_prune_no_false_negatives_big_keys_with_nulls(spark):
+    """Regression (r3 review): a probe batch mixing NULLs with keys
+    >= 2^53 must NOT lose matches — a nullable long series reaches
+    the pandas UDF as float64, silently rounding huge keys before
+    hashing. The key is now coalesced JVM-side so the UDF input
+    stays int64."""
+    from llogtail_spark.operators.joins import bloom_prune_probe
+
+    big = 2**60 + 1  # not representable in float64 (rounds to 2^60)
+    probe = spark.createDataFrame(
+        [(big,), (None,), (2**60 + 3,), (5,)], "k long"
+    )
+    build = spark.createDataFrame([(big,), (2**60 + 3,)], "bk long")
+    kept = sorted(
+        r["k"] for r in bloom_prune_probe(probe, build, "k", "bk").collect()
+    )
+    assert big in kept and (2**60 + 3) in kept
+    assert None not in kept

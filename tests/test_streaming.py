@@ -798,3 +798,52 @@ def test_session_stream_state_survives_query_restart(spark, tmp_path):
         for r in spark.read.parquet(outdir).collect()
     ]
     assert got == [(7, base, base + dt.timedelta(seconds=200), 3)], got
+
+
+def test_session_stream_late_event_never_regresses_session_end(spark, tmp_path):
+    """Regression (r3 review): a late event (older than the open
+    session's end) must merge via min/max — session_end must NOT move
+    backwards, so a subsequent in-gap event still continues the same
+    session instead of falsely splitting it."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.stateful import session_stream
+
+    base = dt.datetime(2024, 1, 1)
+
+    def row(eid, sec):
+        return {"event_id": eid, "user_id": 7,
+                "ts": base + dt.timedelta(seconds=sec)}
+
+    d = tmp_path / "stream"
+    os.makedirs(d)
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us"))])
+    # batch 1: session (1000, 2000) n=2
+    pq.write_table(pa.Table.from_pylist(
+        [row(1, 1000.0), row(2, 2000.0)], schema=schema),
+        str(d / "b1.parquet"))
+    # batch 2: LATE event at 1500 (merges, end stays 2000), then 3400
+    # (gap from 2000 = 1400 <= 1800 -> SAME session), then 9000 closes
+    pq.write_table(pa.Table.from_pylist(
+        [row(3, 1500.0), row(4, 3400.0), row(5, 9000.0)], schema=schema),
+        str(d / "b2.parquet"))
+    os.utime(str(d / "b1.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(str(d / "b2.parquet"), (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(str(d))
+    )
+    out = session_stream(stream, ["user_id"], ts_col="ts", gap_sec=1800.0)
+    q = (out.writeStream.format("memory").queryName("late_sess")
+         .option("checkpointLocation", str(tmp_path / "cpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = [(r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.sql("SELECT * FROM late_sess").collect()]
+    assert got == [(base + dt.timedelta(seconds=1000),
+                    base + dt.timedelta(seconds=3400), 4)], got
