@@ -200,3 +200,69 @@ def session_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def running_totals_stream(
+    events: DataFrame,
+    key_col: str = "sink",
+    n_col: str = "n_tok",
+):
+    """Live per-key running totals (row count + token sum) via Spark
+    4's transformWithStateInPandas — the arbitrary-state API that
+    replaces applyInPandasWithState (typed state handles, RocksDB
+    state store, update-mode emission). This is llogtail's per-sink
+    counters (collector.go:125-174) as a LIVE stream: every
+    micro-batch emits each touched key's new cumulative totals.
+
+    State per key is one (rows, toks) ValueState pair; only keys
+    present in the micro-batch are touched or emitted. Requires the
+    RocksDB state store provider (set in the writeStream conf or
+    session; the test pins it) AND the google.protobuf package (the
+    transformWithState state-server protocol): this container lacks
+    protobuf, so the test is importorskip-gated the same way the
+    iceberg round-trip is jar-gated. applyInPandasWithState
+    (session_stream/debounce_stream above) remains the
+    container-runnable stateful path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        f"{key_col} string, row_count long, tok_total long"
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "row_count long, tok_total long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            add_rows = 0
+            add_toks = 0
+            for pdf in rows:
+                add_rows += len(pdf)
+                add_toks += int(pdf[n_col].fillna(0).sum())
+            prev = self._totals.get()
+            if prev is not None:
+                add_rows += int(prev[0])
+                add_toks += int(prev[1])
+            self._totals.update((add_rows, add_toks))
+            yield pd.DataFrame({
+                key_col: [key[0]],
+                "row_count": [add_rows],
+                "tok_total": [add_toks],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
