@@ -47,6 +47,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Catalyst's runtime bloom filter: prune the big side of a
+        # shuffle join by the filtered build side's keys before the
+        # shuffle — the engine-native form of
+        # operators/joins.bloom_prune_probe, off by default upstream.
+        # Thresholds rarely trigger at test scale; at 10^12 rows this
+        # is the difference between shuffling the fact table and
+        # shuffling the ~matching rows. NOTE: the companion
+        # runtimeFilter.semiJoinReduction rewrite is deliberately NOT
+        # enabled — with it on, the pipeline test suite hangs (>9x
+        # its 1-minute runtime before the harness killed it; the
+        # injected in-subquery duplicates heavy subtrees under the
+        # dynamic-partition write). Bloom-only measured neutral.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Arrow batches are the analog of the 4 MB BlockingBuffer fetch
         # (buffer.go:31-36): bounded vectorized hand-off to pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
