@@ -1651,6 +1651,50 @@ def _q_user_type_profile(spark, sf):
     )
 
 
+def _q_conversion_latency(spark, sf):
+    """Signup -> first-purchase latency percentiles, EXACT via the
+    histogram decomposition (same discipline as mad_outliers /
+    interarrival p95: the raw deltas are never sorted; one combinable
+    (delta_sec) histogram, then rank windows over the dim-sized
+    histogram). Lower-percentile rule cum*100 >= n*P in both
+    engines. Output: one row (n_users, median_sec, p90_sec)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(
+            F.col("ts").cast("timestamp").cast("long")
+            - F.col("t0").cast("timestamp").cast("long")
+        ).alias("delta_sec"))
+    )
+    hist = pu.groupBy("delta_sec").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (W.orderBy("delta_sec")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = hist.select(
+        "delta_sec",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return ranked.agg(
+        F.first("n").alias("n_users"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 50,
+                     F.col("delta_sec"))).alias("median_sec"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 90,
+                     F.col("delta_sec"))).alias("p90_sec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_fanout": _q_pipeline_route_fanout,
@@ -1764,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "null_safe_join": _q_null_safe_join,
         "user_type_profile": _q_user_type_profile,
+        "conversion_latency": _q_conversion_latency,
         "event_type_drift": _q_event_type_drift,
         "incremental_mv_merge": _q_incremental_mv_merge,
     }
@@ -2911,6 +2956,40 @@ def oracle_sql() -> dict[str, str]:
                 SELECT k, 'label_' || coalesce(k, 'null') AS label FROM l)
             SELECT l.k, CAST(l.n AS BIGINT) AS n, r.label
             FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        """,
+        "conversion_latency": """
+            WITH su AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'signup'
+                  AND ts IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY user_id),
+            pu AS (
+                SELECT e.user_id,
+                       -- floor each epoch BEFORE subtracting: Spark's
+                       -- timestamp->long cast truncates per value
+                       min(CAST(floor(epoch(e.ts)) AS BIGINT)
+                           - CAST(floor(epoch(s.t0)) AS BIGINT))
+                           AS delta_sec
+                FROM events e JOIN su s USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s.t0
+                  AND e.ts IS NOT NULL
+                GROUP BY e.user_id),
+            hist AS (
+                SELECT delta_sec, count(*) AS cnt FROM pu
+                GROUP BY delta_sec),
+            ranked AS (
+                SELECT delta_sec,
+                       sum(cnt) OVER (ORDER BY delta_sec) AS cum,
+                       sum(cnt) OVER () AS n
+                FROM hist)
+            SELECT CAST(any_value(n) AS BIGINT) AS n_users,
+                   CAST(min(CASE WHEN cum * 100 >= n * 50
+                                 THEN delta_sec END) AS BIGINT)
+                       AS median_sec,
+                   CAST(min(CASE WHEN cum * 100 >= n * 90
+                                 THEN delta_sec END) AS BIGINT)
+                       AS p90_sec
+            FROM ranked
         """,
         "user_type_profile": """
             WITH per AS (

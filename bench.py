@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "null_safe_join",
     "user_type_profile",
+    "conversion_latency",
 ]
 
 

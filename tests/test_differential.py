@@ -791,3 +791,38 @@ def test_gram_matrix_drops_nan_element_rows(spark):
     for (i, j), (g, n) in got.items():
         assert n == 2
         assert g == G[i - 1, j - 1], (i, j)
+
+
+def test_conversion_latency_matches_duckdb_on_random_events(spark):
+    """conversion_latency vs DuckDB on random signup/purchase streams
+    with sub-second fractions (the truncate-then-subtract rule must
+    match exactly), purchases before signup (excluded), users with no
+    purchase, and NULL ts/user."""
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(SEED + 37)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(900):
+        rows.append((
+            i,
+            base + dt.timedelta(seconds=float(rng.uniform(0, 10 * 86400)))
+            if rng.random() > 0.03 else None,
+            int(rng.integers(1, 80)) if rng.random() > 0.04 else None,
+            str(rng.choice(["signup", "purchase", "view"])),
+        ))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/events.parquet")
+    got = [tuple(r) for r in
+           entry.queries()["conversion_latency"](spark, d).collect()]
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = [tuple(r) for r in con.execute(
+        entry.oracle_sql()["conversion_latency"]).fetchall()]
+    assert got == want, (got, want)
+    assert got[0][0] > 10  # enough converting users to mean something
