@@ -181,6 +181,13 @@ SHOWCASE = [
      "Distributed Gram matrix: scan -> ONE MapInPandas (numpy block "
      "partials) -> partial agg -> one d^2-row exchange -> final "
      "mergeable reduce. The data never shuffles."),
+    ("conversion_latency",
+     "Exact latency percentiles without sorting deltas: combinable "
+     "histogram, rank windows over the dim-sized histogram, one-row "
+     "output."),
+    ("global_ordinals",
+     "Global row numbering with NO SinglePartition exchange: range "
+     "repartition + per-partition sort + map-literal offsets."),
 ]
 
 
