@@ -57,26 +57,49 @@ def inverted_index(df: DataFrame, text_col: str = "text",
 
     The distinct runs on the exploded (doc, term) pairs BEFORE the
     term aggregation — partial distinct + partial count both combine
-    map-side. sort_array + slice bound the per-term state."""
+    map-side. Aggregation STATE is bounded too (ADVICE r03: a
+    collect_list-then-slice buffers the full posting list in the agg
+    buffer, so a stop word at 10^12 docs would blow one reducer):
+    df comes from a combinable count over ALL pairs, while postings
+    are built only from the rank<=cap pairs — the rank filter sits
+    directly above a row_number window, which Catalyst rewrites to
+    WindowGroupLimit (a bounded top-cap heap inserted both below and
+    above the term exchange), so no operator ever materializes more
+    than `cap` docs per term."""
+    from pyspark.sql import Window
+
     pairs = (
         df.select(F.col(id_col).alias("doc"),
                   F.explode(_tokens(F.col(text_col))).alias("term"))
         .distinct()
     )
-    agg = pairs.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.array_join(
-            F.transform(
-                F.slice(F.sort_array(F.collect_list("doc")), 1, cap),
-                lambda x: x.cast("string"),
-            ),
-            ","
-        ).alias("postings"),
-    )
-    return (
-        agg.orderBy(F.desc("df"), F.asc("term"))
+    counts = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    top = (
+        counts.orderBy(F.desc("df"), F.asc("term"))
         .limit(top_terms)
-        .select("term", F.col("df").cast("long").alias("df"), "postings")
+        .select("term", F.col("df").cast("long").alias("df"))
+    )
+    capped = (
+        pairs.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy(F.asc("doc"))
+            ),
+        )
+        .filter(F.col("rk") <= cap)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc")),
+                            lambda x: x.cast("string")),
+                ","
+            ).alias("postings")
+        )
+    )
+    # top is top_terms rows — broadcast it so only the capped posting
+    # rows of the winning terms survive the join
+    return F.broadcast(top).join(capped, "term", "inner").select(
+        "term", "df", "postings"
     )
 
 

@@ -220,7 +220,10 @@ def run_pipeline(
             )
             .agg(
                 F.count("*").alias("row_count"),
-                F.sum("n_tok").alias("tok_total"),
+                # mirror the observe() side's coalesce: an all-NULL
+                # n_tok group must reconcile as 0, not raise TypeError
+                # on int(None) below (ADVICE r03)
+                F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tok_total"),
                 F.coalesce(F.bit_xor("row_hash"), F.lit(0)).alias("checksum"),
             )
             .collect()

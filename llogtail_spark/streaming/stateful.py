@@ -85,12 +85,20 @@ def session_stream(
     processing time (liveness flush for abandoned keys;
     timing-dependent by nature, so tests pin only the event-driven
     path). Late data (an event older than the open session's end —
-    there is no watermark) merges CONSERVATIVELY into the open
-    session via min(start)/max(end): the session can absorb an event
-    that "should" have split it, but session_end never regresses and
-    later gap decisions stay consistent. Open sessions otherwise stay
-    in state — state is 3 numbers per key (start, last, n),
-    co-partitioned by key.
+    there is no watermark) folds UNCONDITIONALLY into the open
+    session: any event with ts <= the open session's end joins it via
+    min(start) + count, no matter how far inside the session's span
+    it lands (ADVICE r03 — the earlier virtual-chain variant could
+    close a far-late event as its own 1-event session nested inside
+    the open session's eventual span, producing overlapping sessions
+    for one key). The session can therefore absorb an event that
+    "should" have split it — conservative by design — and session_end
+    never regresses, so later gap decisions stay consistent. The only
+    remaining overlap source is an event arriving after its session
+    already CLOSED (append mode cannot retract; documented
+    no-watermark limitation). Open sessions otherwise stay in state —
+    state is 3 numbers per key (start, last, n), co-partitioned by
+    key.
 
     Per micro-batch the work is vectorized: gaps via diff, intra-batch
     session splits via cumsum, one pandas groupby — no per-row Python
@@ -148,20 +156,28 @@ def session_stream(
         ).to_numpy()
         gap_us = gap_sec * 1e6
         closed = []
-        # the open session's END participates in the gap chain as a
-        # zero-count VIRTUAL element at its sorted position — this is
-        # what makes LATE data (ts < e0; no watermark here) safe: the
-        # chain is computed over max-so-far order, so session_end can
-        # never regress and an in-gap event after a late straggler
-        # still continues the same session (r3 review). With in-order
-        # arrival the virtual element is a plain prefix and the close
-        # rule is exact.
+        # Late-data rule (docstring): every event with ts <= the open
+        # session's end folds straight into the open session (min
+        # start + count; end unchanged since they're all <= e0). The
+        # remaining FRESH events are a strictly-after-e0 suffix, so
+        # the open session's end participates in the gap chain as a
+        # plain zero-count prefix element and the close rule is exact.
         vpos = -1
         if state.exists:
             s0, e0, n0 = state.get
+            n_late = int(np.searchsorted(ts, e0, side="right"))
+            if n_late:
+                s0 = min(float(s0), float(ts[0]))  # ts sorted asc
+                n0 = int(n0) + n_late
+                ts = ts[n_late:]
+            if len(ts) == 0:
+                state.update((float(s0), float(e0), int(n0)))
+                if timeout_sec is not None:
+                    state.setTimeoutDuration(int(timeout_sec * 1000))
+                return
             if ts[0] - e0 <= gap_us:
-                vpos = int(np.searchsorted(ts, e0))
-                ts = np.insert(ts, vpos, e0)
+                vpos = 0
+                ts = np.insert(ts, 0, e0)
             else:
                 closed.append((float(s0), float(e0), int(n0)))
         cnt = np.ones(len(ts), dtype=np.int64)
@@ -176,11 +192,10 @@ def session_stream(
             for a, b in zip(starts, ends)
         ]
         if vpos >= 0:
-            # merge the open session into the span holding the virtual
-            # element (min start; its end is already chained in)
-            vsess = int(np.searchsorted(starts, vpos, side="right")) - 1
-            vs, ve, vn = sessions[vsess]
-            sessions[vsess] = (min(float(s0), vs), ve, vn + int(n0))
+            # merge the open session into the first span (it holds
+            # the zero-count prefix element; min start folds s0 in)
+            vs, ve, vn = sessions[0]
+            sessions[0] = (min(float(s0), vs), ve, vn + int(n0))
         closed.extend(sessions[:-1])
         s, e, n = sessions[-1]
         state.update((float(s), float(e), int(n)))

@@ -269,6 +269,25 @@ def test_salted_join_rejects_outer(skewed):
 # ---------------------------------------------------------------------------
 
 
+def test_bloom_prune_broadcast_lifetime_release(spark):
+    """ADVICE r03: each bloom_prune_probe construction registers its
+    bitset broadcast; release_bloom_broadcasts() destroys and clears
+    them all, so rebuild loops (bench reps) don't accumulate dead
+    executor-side bitsets."""
+    from llogtail_spark.operators import joins as J
+
+    J.release_bloom_broadcasts()  # clean slate from earlier tests
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+    build = spark.createDataFrame([(1,)], "bk long")
+    df = J.bloom_prune_probe(probe, build, "k", "bk")
+    assert len(J._LIVE_BLOOM_BROADCASTS) == 1
+    assert df.count() >= 1  # usable while live
+    J.bloom_prune_probe(probe, build, "k", "bk")
+    assert len(J._LIVE_BLOOM_BROADCASTS) == 2
+    assert J.release_bloom_broadcasts() == 2
+    assert J._LIVE_BLOOM_BROADCASTS == []
+
+
 def test_bloom_prune_no_false_negatives_random_keys(spark):
     """Property: every probe row whose key IS in the build set
     survives pruning (bloom guarantees no false negatives), across

@@ -379,17 +379,27 @@ def test_pagerank_adjacency_checkpoint_cuts_rescans(spark):
 
 def test_inverted_index_takeordered_no_global_sort(spark):
     """Top-df terms must plan TakeOrderedAndProject (distributed
-    top-k), never a global Sort of the vocabulary."""
-    import re
-
+    top-k), never a global Sort of the vocabulary; posting lists must
+    be capped by WindowGroupLimit (bounded top-cap heaps on BOTH
+    sides of the term exchange — ADVICE r03: aggregation state, not
+    just output, is bounded), and the top-terms side must broadcast
+    into the postings join."""
     from llogtail_spark.operators.indexing import inverted_index
 
     df = inverted_index(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     df.collect()
-    tree = _final_tree(_formatted(df))
+    full = _formatted(df)
+    tree = _final_tree(full)
     assert "TakeOrderedAndProject" in tree
-    # no Sort node other than inside TakeOrdered (which isn't one)
-    assert tree.count(" Sort (") == 0, tree
+    # the only Sort nodes are the partition-local (global=false) ones
+    # under the row_number WindowGroupLimit — never a global sort
+    assert "WindowGroupLimit" in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    import re
+
+    for m in re.finditer(r"\(\d+\) Sort\b.*?Arguments: \[[^\]]*\], (\w+),",
+                         full, re.S):
+        assert m.group(1) == "false", full
     assert "EvalPython" not in tree
 
 

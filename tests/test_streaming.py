@@ -849,6 +849,55 @@ def test_session_stream_late_event_never_regresses_session_end(spark, tmp_path):
                     base + dt.timedelta(seconds=3400), 4)], got
 
 
+def test_session_stream_far_late_event_folds_into_open_session(spark, tmp_path):
+    """ADVICE r03: an event arriving more than gap_sec BEFORE the open
+    session's end but inside its historical span must fold into the
+    open session (min start + count) — NOT close as its own 1-event
+    session nested inside the open session's eventual span. One key
+    never emits overlapping sessions from the open-session path."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.streaming.stateful import session_stream
+
+    base = dt.datetime(2024, 1, 1)
+
+    def row(eid, sec):
+        return {"event_id": eid, "user_id": 3,
+                "ts": base + dt.timedelta(seconds=sec)}
+
+    d = tmp_path / "stream"
+    os.makedirs(d)
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us"))])
+    # batch 1: open session spanning (0 .. 3000) via in-gap steps
+    pq.write_table(pa.Table.from_pylist(
+        [row(1, 0.0), row(2, 1500.0), row(3, 3000.0)], schema=schema),
+        str(d / "b1.parquet"))
+    # batch 2: FAR-late event at 700 — 2300s before the open end, well
+    # over gap=1800 — must fold in; then 99999 closes the session
+    pq.write_table(pa.Table.from_pylist(
+        [row(4, 700.0), row(5, 99999.0)], schema=schema),
+        str(d / "b2.parquet"))
+    os.utime(str(d / "b1.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(str(d / "b2.parquet"), (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(str(d))
+    )
+    out = session_stream(stream, ["user_id"], ts_col="ts", gap_sec=1800.0)
+    q = (out.writeStream.format("memory").queryName("farlate_sess")
+         .option("checkpointLocation", str(tmp_path / "cpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = [(r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.sql("SELECT * FROM farlate_sess").collect()]
+    assert got == [(base, base + dt.timedelta(seconds=3000), 4)], got
+
+
 def test_session_stream_invariants_property(spark, tmp_path):
     """Property-based check (hypothesis-seeded examples are expensive
     under a Spark session, so this drives a FIXED set of adversarial
