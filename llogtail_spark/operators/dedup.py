@@ -469,13 +469,15 @@ def resolve_components(
     Output: (id_col, rep, keep) — keep=1 iff the row is its component's
     minimum id (the deterministic survivor).
     """
+    from llogtail_spark.operators.ckpt import checkpoint
+
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    # LAZY localCheckpoint: materialized by the first action that
+    # LAZY checkpoint: materialized by the first action that
     # reads it (the gate count), so candidate generation costs zero
     # extra driver jobs
-    edges = edges.localCheckpoint(eager=False)
+    edges = checkpoint(edges, eager=False)
     n_edges = edges.count()  # materializes the checkpoint either way
     if n_edges <= 2 * driver_edge_threshold:  # edges carry both directions
         return _resolve_components_driver(edges, nodes, id_col)
@@ -493,7 +495,8 @@ def resolve_components(
     # tasks; the checkpoint keeps AQE's coalesced layout (measured 3x
     # faster per round). The pre-round label rides along as a tagged
     # union member (min(when(_old)) recovers it), so convergence needs
-    # no compare-join. At cluster scale swap for reliable
+    # no compare-join. At cluster scale set sc.setCheckpointDir and
+    # ckpt.checkpoint upgrades every cut here to reliable
     # checkpointing; the per-round plan (join + partial agg, shuffle
     # keyed on id) is unchanged.
     for _ in range(max_iter):
@@ -510,8 +513,8 @@ def resolve_components(
                 F.min("rep").alias("rep"),
                 F.min(F.when(F.col("_old"), F.col("rep"))).alias("_old_rep"),
             )
-            .localCheckpoint(eager=False)
         )
+        new_labels = checkpoint(new_labels, eager=False)
         changed = new_labels.filter(F.col("rep") != F.col("_old_rep")).count()
         labels = new_labels.select("id", "rep")
         if changed == 0:

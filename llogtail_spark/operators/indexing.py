@@ -156,15 +156,18 @@ def pagerank(orders: DataFrame, lineitem: DataFrame,
     # Materialize the adjacency (edges + out-degree) ONCE: it feeds
     # every round, and without the cut each iteration re-derives the
     # whole orders x lineitem subtree (measured: 61 parquet scans in
-    # the 3-round executed plan; 2 after the checkpoint). LAZY
-    # localCheckpoint — materialized by the final action, zero extra
-    # driver jobs; at cluster scale use reliable checkpointing (same
-    # trade as resolve_components, operators/dedup.py).
-    edges = _pr_edges(orders, lineitem).localCheckpoint(eager=False)
+    # the 3-round executed plan; 2 after the checkpoint). LAZY cut —
+    # materialized by the final action, zero extra driver jobs.
+    # ckpt.checkpoint upgrades to reliable checkpointing when
+    # sc.setCheckpointDir is set (cluster deployments), else
+    # localCheckpoint (local/test default).
+    from llogtail_spark.operators.ckpt import checkpoint
+
+    edges = checkpoint(_pr_edges(orders, lineitem), eager=False)
     deg = edges.groupBy("a").agg(F.count("*").alias("outdeg"))
     # shuffle join on 'a' (deg is node-sized — NOT broadcastable at
     # 10^9 nodes); both sides partition on the same key.
-    adj = edges.join(deg, "a").localCheckpoint(eager=False)
+    adj = checkpoint(edges.join(deg, "a"), eager=False)
     ranks = deg.select(F.col("a").alias("node"),
                        F.lit(PR_INIT).cast("long").alias("rank"))
     for _ in range(iters):

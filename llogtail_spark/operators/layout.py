@@ -156,17 +156,20 @@ def global_ordinals(df: DataFrame, order_cols: list[str],
     """
     from pyspark.sql import Window
 
+    from llogtail_spark.operators.ckpt import checkpoint
+
     for c in order_cols:
         df = df.filter(F.col(c).isNotNull())
-    ranged = (
+    ranged = checkpoint(
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pid", F.spark_partition_id()),
         # pin ONE materialization: the counts job and the ordinal job
         # must see the identical partition assignment (range boundaries
         # are sampled; re-execution is deterministic here but pinning
         # makes that a non-assumption — same discipline as
-        # dedup.resolve_components' localCheckpoint)
-        .localCheckpoint(eager=True)
+        # dedup.resolve_components). Reliable when sc.setCheckpointDir
+        # is configured, localCheckpoint otherwise.
+        eager=True,
     )
     counts = {
         r["_pid"]: r["cnt"]

@@ -165,6 +165,49 @@ def test_resolve_components_long_chain_converges(spark, thresh):
     assert sum(r["keep"] for r in rows) == 1
 
 
+def test_resolve_components_gate_boundary(spark, monkeypatch):
+    """VERDICT r03 #8: drive the driver/distributed gate AT its
+    boundary on one graph. The gate compares the doubled edge count
+    against 2*driver_edge_threshold, so with 25 undirected pairs
+    (50 directed edges): threshold=25 -> driver union-find path,
+    threshold=24 -> distributed min-label path. Both paths must
+    produce byte-identical (doc_id, rep, keep) output, and the path
+    taken is asserted, not assumed."""
+    import random
+
+    from llogtail_spark.operators import dedup as D
+
+    calls = []
+    orig = D._resolve_components_driver
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(D, "_resolve_components_driver", spy)
+
+    rng = random.Random(7)
+    pairs_rows = sorted({(rng.randrange(30), rng.randrange(30))
+                         for _ in range(40)})[:25]
+    pairs = spark.createDataFrame(pairs_rows, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+
+    at_gate = sorted(map(tuple, D.resolve_components(
+        pairs, nodes, driver_edge_threshold=25).collect()))
+    assert calls == [1], "threshold=25 (50 <= 2*25) must take the driver path"
+
+    above_gate = sorted(map(tuple, D.resolve_components(
+        pairs, nodes, driver_edge_threshold=24).collect()))
+    assert calls == [1], "threshold=24 (50 > 2*24) must take the distributed path"
+
+    assert at_gate == above_gate
+    # sanity: singletons kept, every component keeps exactly one
+    reps = {}
+    for doc, rep, keep in above_gate:
+        reps.setdefault(rep, []).append(keep)
+    assert all(sum(v) == 1 for v in reps.values())
+
+
 def test_dedup_pipeline_end_to_end(spark, corpus):
     """pairs -> components -> keep-list over the planted corpus:
     docs 1,2,3 are copies (and 4 a near-dup); 5 is unrelated — the

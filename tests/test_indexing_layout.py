@@ -139,6 +139,39 @@ def test_pagerank_star_graph(spark):
     assert out["s1"] > out["s2"]
 
 
+def test_pagerank_reliable_checkpoint_knob(spark, tmp_path):
+    """VERDICT r03 #6: with sc.setCheckpointDir configured, the
+    iterative operators switch their lineage cuts from localCheckpoint
+    (executor blocks — lost on executor failure) to reliable
+    checkpoint() files under the dir, and results are unchanged.
+    Covers pagerank end-to-end and the ckpt helper's dispatch."""
+    from llogtail_spark.operators.ckpt import checkpoint_is_reliable
+    from llogtail_spark.operators.indexing import pagerank
+
+    orders = spark.createDataFrame(
+        [(100, 0), (101, 9)], "o_orderkey long, o_custkey long")
+    line = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3), (101, 1)],
+        "l_orderkey long, l_suppkey long")
+    base = sorted(map(tuple, pagerank(orders, line, iters=3).collect()))
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    assert not checkpoint_is_reliable(orders)
+    ckdir = tmp_path / "reliable-ckpt"
+    sc.setCheckpointDir(str(ckdir))
+    try:
+        assert checkpoint_is_reliable(orders)
+        got = sorted(map(tuple, pagerank(orders, line, iters=3).collect()))
+        assert got == base
+        # the adjacency cuts materialized as reliable checkpoint FILES
+        rdd_files = [p for p in ckdir.rglob("*") if p.is_file()]
+        assert rdd_files, "no reliable checkpoint files were written"
+    finally:
+        sc.setCheckpointDir(None)  # don't leak the knob to other tests
+    assert sc.getCheckpointDir() is None
+
+
 # ------------------------------------------------------------- SCD-2
 
 def test_scd2_change_compression(spark):
