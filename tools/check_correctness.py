@@ -4,10 +4,19 @@ same sf dir; compare row count, schema (column names), and sorted
 values exactly.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --json OUT.json [sf_dir] [query ...]
+
+--json writes a driver-format artifact (one object per query with
+rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err) so the full 114-query surface has a recorded correctness
+artifact every round, not just the ~50 entries the driver's own gate
+windows (VERDICT r03 next-round #1). Queries with no SQL oracle are
+recorded as rows-only (hash_match null), same as the driver.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -45,27 +54,64 @@ def main() -> int:
     import __spark_entry__ as entry
     from llogtail_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("check-correctness")
     con = duck_con(sf_dir)
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        got = fn(spark, sf_dir).toPandas()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures += 1
+            print(f"  [FAIL] {name}: Spark raised {e}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(e)[:500],
+            }
+            continue
         sql = oracles.get(name)
         if sql is None:
             print(f"  [rows-only] {name}: {len(got)} rows ({time.time()-t0:.1f}s)")
+            report[name] = {
+                "rows_match": True, "schema_match": True,
+                "hash_match": None, "spark_rows": len(got),
+                "oracle_rows": None, "err": None,
+                "note": "rows-only (no SQL oracle)",
+            }
             continue
-        want = con.execute(sql).df()
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            failures += 1
+            print(f"  [FAIL] {name}: oracle raised {e}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(got),
+                "oracle_rows": None, "err": f"oracle: {e}"[:500],
+            }
+            continue
         g, w = canon(got), canon(want)
         ok_schema = list(g.columns) == list(w.columns)
         ok_rows = len(g) == len(w)
         ok_vals = ok_schema and ok_rows and g.equals(w)
+        report[name] = {
+            "rows_match": ok_rows, "schema_match": ok_schema,
+            "hash_match": bool(ok_vals), "spark_rows": len(g),
+            "oracle_rows": len(w), "err": None,
+        }
         status = "OK" if (ok_schema and ok_rows and ok_vals) else "FAIL"
         if status == "FAIL":
             failures += 1
@@ -81,6 +127,11 @@ def main() -> int:
         else:
             print(f"  [OK] {name}: {len(g)} rows ({time.time()-t0:.1f}s)")
     print("FAILURES:", failures)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+                       "failures": failures, "results": report}, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
