@@ -202,7 +202,13 @@ def bench_pipeline(spark, tmp: str, rows: int, reps: int) -> dict:
     from llogtail_spark.pipeline import run_pipeline
 
     data_dir = os.path.join(tmp, "data")
-    n_files = max(CPUS * 2, 8)
+    # file count scales with rows past the default (~25k rows/file at
+    # the 1.6M default, 128 files at 10M — production parquet files
+    # are roughly constant-sized, so a bigger corpus means more files,
+    # not bigger ones; this also keeps per-file row groups small
+    # enough that the exploded 3-sink staged write doesn't pile row
+    # group buffers past the fixed 8g heap at 6x data)
+    n_files = max(CPUS * 2, 8, rows // 78_125)
     t0 = time.time()
     write_fixture(data_dir, rows, seed=42, n_files=n_files)
     log(f"fixture: {rows} rows / {n_files} files in {time.time()-t0:.1f}s")

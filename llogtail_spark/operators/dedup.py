@@ -463,8 +463,9 @@ def resolve_components(
       the bucket's first representative), so the diameter is ~2 and
       this converges in 2-3 rounds; a pathological chain still
       terminates (max_iter guard). Each round costs ONE driver action
-      (the convergence count materializes the round's lazy
-      localCheckpoint).
+      (the convergence count materializes the round's lazy lineage
+      cut — localCheckpoint, or reliable checkpoint when
+      sc.setCheckpointDir is configured; see operators/ckpt.py).
 
     Output: (id_col, rep, keep) — keep=1 iff the row is its component's
     minimum id (the deterministic survivor).
