@@ -146,6 +146,35 @@ BENCH_QUERIES = [
     "null_safe_join",
     "user_type_profile",
     "conversion_latency",
+    # classical-surface remainder — sub-second each; included so the
+    # per-query timing map covers the full queries() surface
+    "above_mean_events",
+    "anti_join_resume",
+    "asof_join_last_purchase",
+    "dedup_debounce",
+    "fuzzy_source_pairs",
+    "global_topk_orders",
+    "grouping_sets_counts",
+    "kmeans_assign",
+    "leakage_safe_split",
+    "length_buckets",
+    "median_value_by_type",
+    "mixture_by_lang",
+    "ntile_quartiles",
+    "parse_grok_documents",
+    "pipeline_route_overlap",
+    "pivot_event_counts",
+    "range_join_purchase_window",
+    "rollup_counts",
+    "schema_evolution_union",
+    "semi_join_active",
+    "set_ops_nations",
+    "skew_join_salted",
+    "text_lang_id",
+    "text_normalize",
+    "text_quality",
+    "window_moving_avg",
+    "window_tumbling_counts",
 ]
 
 

@@ -27,6 +27,18 @@ def test_bench_queries_exist():
     assert not missing, missing
 
 
+def test_bench_queries_cover_full_surface():
+    """The per-query timing map must cover every queries() entry —
+    a new operator without a bench row is invisible to the
+    per-round BENCH artifact."""
+    import bench
+
+    q = set(entry.queries().keys())
+    unbenched = sorted(q - set(bench.BENCH_QUERIES))
+    assert not unbenched, unbenched
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+
+
 def test_all_queries_plan_with_unique_columns(spark):
     if not os.path.isdir(SF):
         pytest.skip("driver testdata not present")
