@@ -29,13 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, data: str, scratch: str, reps: int, tag: str) -> list[float]:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench/scaling_worker.py"),
-         "--cores", str(cores), "--data", data, "--scratch", scratch,
-         "--reps", str(reps), "--tag", tag],
-        capture_output=True, text=True, check=True, cwd=REPO,
-    )
+def run_level(cores: int, data: str, scratch: str, reps: int, tag: str,
+              warm_data: str | None = None) -> list[float]:
+    cmd = [sys.executable, os.path.join(REPO, "bench/scaling_worker.py"),
+           "--cores", str(cores), "--data", data, "--scratch", scratch,
+           "--reps", str(reps), "--tag", tag]
+    if warm_data:
+        cmd += ["--warm-data", warm_data]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
     last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(last)["times"]
 
@@ -53,6 +54,14 @@ def main() -> None:
                     help="overwrite BENCH/BASELINE.md with this run "
                          "(default: print JSON only, keep the recorded "
                          "canonical evidence)")
+    ap.add_argument("--data-dir", default=None,
+                    help="reuse a pre-generated fixture dir (as laid out "
+                         "by a prior --keep run: <dir>/data[, <dir>/warm]) "
+                         "instead of generating+deleting one — lets large "
+                         "fixtures amortize over several invocations")
+    ap.add_argument("--keep", action="store_true",
+                    help="don't delete the generated fixture (prints its "
+                         "path for --data-dir reuse)")
     args = ap.parse_args()
 
     from llogtail_spark.generate import write_fixture
@@ -60,19 +69,34 @@ def main() -> None:
     # input on tmpfs (read-mostly, stable); sink scratch on disk where
     # the page cache absorbs writes asynchronously
     in_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    data_tmp = tempfile.mkdtemp(prefix="llogtail-scaling-in-", dir=in_base)
     scratch = tempfile.mkdtemp(prefix="llogtail-scaling-")
-    data = os.path.join(data_tmp, "data")
     n_files = args.n * 4 * 4  # >=4 waves of splits at the big level
-    write_fixture(data, args.rows, seed=42, n_files=n_files)
+    if args.data_dir:
+        data_tmp = args.data_dir
+        data = os.path.join(data_tmp, "data")
+        if not os.path.isdir(data):
+            raise SystemExit(f"--data-dir has no data/ subdir: {data}")
+    else:
+        data_tmp = tempfile.mkdtemp(prefix="llogtail-scaling-in-", dir=in_base)
+        data = os.path.join(data_tmp, "data")
+        write_fixture(data, args.rows, seed=42, n_files=n_files)
+
+    # above ~2M rows, full-input warmup passes dominate wall clock
+    # without warming anything the small fixture doesn't (identical
+    # plans, tmpfs input): warm on a 400k side fixture instead
+    warm_data = None
+    if args.rows > 2_000_000:
+        warm_data = os.path.join(data_tmp, "warm")
+        if not os.path.isdir(warm_data):
+            write_fixture(warm_data, 400_000, seed=7, n_files=n_files)
 
     small, big = args.n, args.n * 4
     t_small: list[float] = []
     t_big: list[float] = []
     effs: list[float] = []
     for i in range(args.pairs):
-        ts = run_level(small, data, scratch, 1, f"s{i}")[0]
-        tb = run_level(big, data, scratch, 1, f"b{i}")[0]
+        ts = run_level(small, data, scratch, 1, f"s{i}", warm_data)[0]
+        tb = run_level(big, data, scratch, 1, f"b{i}", warm_data)[0]
         t_small.append(ts)
         t_big.append(tb)
         effs.append((ts / tb) / (big / small))
@@ -98,7 +122,10 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    shutil.rmtree(data_tmp, ignore_errors=True)  # tmpfs fixture = RAM
+    if args.data_dir or args.keep:
+        print(f"fixture kept at {data_tmp}", file=sys.stderr)
+    else:
+        shutil.rmtree(data_tmp, ignore_errors=True)  # tmpfs fixture = RAM
     shutil.rmtree(scratch, ignore_errors=True)
     if not args.write:
         return

@@ -22,6 +22,11 @@ def main() -> None:
     ap.add_argument("--scratch", required=True)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--tag", default="x")
+    ap.add_argument("--warm-data", default=None,
+                    help="small side fixture to warm on (same schema -> "
+                         "identical plans/codegen/Arrow paths) so warmup "
+                         "cost stays bounded at large --rows; default "
+                         "warms on the measured input itself")
     args = ap.parse_args()
 
     from llogtail_spark.config import PipelineConf
@@ -34,11 +39,11 @@ def main() -> None:
         shuffle_partitions=max(2 * args.cores, 16),
     )
 
-    def make_conf(tag: str) -> PipelineConf:
+    def make_conf(tag: str, base: str = args.data) -> PipelineConf:
         wd = os.path.join(args.scratch, f"work-{args.cores}-{args.tag}-{tag}")
         return PipelineConf(
-            input_path=os.path.join(args.data, "sequences"),
-            lookup_path=os.path.join(args.data, "lookup_sources.parquet"),
+            input_path=os.path.join(base, "sequences"),
+            lookup_path=os.path.join(base, "lookup_sources.parquet"),
             workdir=wd,
             sinks=[
                 SinkRule("errors", "level_num >= 40", os.path.join(wd, "out/errors")),
@@ -49,14 +54,20 @@ def main() -> None:
         )
 
     # thorough warm-up: python workers, JIT, Arrow init need several
-    # passes before steady state (measured: first UDF stage pays ~10x)
+    # passes before steady state (measured: first UDF stage pays ~10x).
+    # With --warm-data, warmups run on the small side fixture: the
+    # plans are identical (same schema, same DAG), so codegen/JIT/
+    # Arrow/write-committer paths warm the same, and warmup cost no
+    # longer scales with the measured input (the input itself sits on
+    # tmpfs, so there is no page cache to pre-fill).
     from llogtail_spark.operators.parse import parse_stage
 
-    warm_df = parse_stage(spark.read.parquet(os.path.join(args.data, "sequences")))
+    warm_base = args.warm_data or args.data
+    warm_df = parse_stage(spark.read.parquet(os.path.join(warm_base, "sequences")))
     for _ in range(3):
         warm_df.write.format("noop").mode("overwrite").save()
-    for w in ("warmup0", "warmup1"):  # first full run still pays page-cache fill
-        conf_w = make_conf(w)
+    for w in ("warmup0", "warmup1"):  # warm the full write/ship/commit path
+        conf_w = make_conf(w, base=warm_base)
         run_pipeline(spark, conf_w)
         shutil.rmtree(conf_w.workdir, ignore_errors=True)
 

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
+import time
 from dataclasses import dataclass
 from typing import Callable
 
@@ -50,6 +52,23 @@ from llogtail_spark.sources import reader
 # failpoint(stage, sink, part) — tests inject crashes between the sink
 # write and the manifest commit to prove effectively-once resume.
 Failpoint = Callable[[str, str, str], None]
+
+# LLOGTAIL_STAGE_TIMING=1 prints per-stage wall seconds to stderr —
+# used to attribute the run's fixed (row-independent) cost when tuning
+# the scaling floor; free when unset.
+_TIMING = os.environ.get("LLOGTAIL_STAGE_TIMING") == "1"
+
+
+class _stage_timer:
+    def __init__(self) -> None:
+        self.t = time.time()
+
+    def lap(self, label: str) -> None:
+        if _TIMING:
+            now = time.time()
+            print(f"[stage-timing] {label}: {now - self.t:.3f}s",
+                  file=sys.stderr, flush=True)
+            self.t = now
 
 
 @dataclass
@@ -103,6 +122,7 @@ def run_pipeline(
     # the literal 'file:/...' string found nothing — staged_any=False
     # and the ship loop would rmtree real sink data, the exact failure
     # this guard exists to prevent (ADVICE r02).
+    tm = _stage_timer()
     workdir = reader.local_path(conf.workdir)
     if workdir is None:
         raise NotImplementedError(
@@ -143,14 +163,17 @@ def run_pipeline(
         )
     fmt, fmt_opts = conf.sinks[0].format, conf.sinks[0].options
 
+    tm.lap("plan:list+resume-prune")
     files = [parts[p] for p in union_parts]
     df = _prepare(spark, conf, files)
+    tm.lap("plan:prepare-dag")
 
     # --- input-partition identity from parquet FOOTER metadata only
     # (driver-side parallel footer reads, no scan, no Spark job) —
     # the validateCpt analog (utils.go:128-133). At cluster scale
     # these stats come from the Iceberg manifest.
     in_stats = reader.files_identity({p: parts[p] for p in union_parts})
+    tm.lap("job1:input-identity-footers")
 
     # --- job 2 (the ONE heavy pass): parse -> enrich -> route-explode
     # -> staged write partitioned by (sink, part). parse runs exactly
@@ -191,6 +214,7 @@ def run_pipeline(
     ).write.format(fmt).mode("overwrite").partitionBy(
         "sink", "part"
     ).options(**fmt_opts).save(staging)
+    tm.lap("job2:heavy-pass-staged-write")
     observed = obs.get
     if failpoint:
         # tests corrupt staged files here to prove the
@@ -256,6 +280,7 @@ def run_pipeline(
                 "sink= directories were staged — staging output is "
                 "missing; refusing to commit lineage"
             )
+    tm.lap("job3:readback-stats")
 
     # --- ship + checkpoint, per sink in rule order: move the staged
     # partitions to the sink (rename, parallel rename, or one Iceberg
@@ -312,8 +337,10 @@ def run_pipeline(
                 failpoint("after_commit", rule.name, p)
         processed[rule.name] = committed
     shutil.rmtree(staging, ignore_errors=True)
+    tm.lap("ship:rename+manifest-commit")
 
     metrics = _metrics_from_manifest(spark, conf, live_parts=set(parts))
+    tm.lap("metrics:manifest-rollup")
     return RunResult(processed=processed, skipped=skipped, metrics=metrics)
 
 
