@@ -94,7 +94,26 @@ def main() -> None:
     t_small: list[float] = []
     t_big: list[float] = []
     effs: list[float] = []
+    probes: list[float] = []
     for i in range(args.pairs):
+        # 1-thread membw probe (fresh subprocess) tags each pair with
+        # the host window it ran in: this host shows multi-minute
+        # hypervisor steal windows that inflate reps 1.2-2.5x on
+        # identical code/input, and the probe is how a pair's
+        # efficiency gets adjudicated as engine vs window
+        probe = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench/membw.py"),
+             "--threads", "1"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        try:
+            gbs = json.loads(probe.stdout.splitlines()[-1])[
+                "triad_aggregate_GBps"]["1"]
+        except Exception:
+            gbs = -1.0
+        probes.append(gbs)
+        print(f"pair {i} pre-probe: membw_1t={gbs} GB/s",
+              file=sys.stderr, flush=True)
         ts = run_level(small, data, scratch, 1, f"s{i}", warm_data)[0]
         tb = run_level(big, data, scratch, 1, f"b{i}", warm_data)[0]
         t_small.append(ts)
@@ -117,6 +136,7 @@ def main() -> None:
         "cores_small": small, "times_small": t_small, "seq_per_sec_small": round(thr_s, 1),
         "cores_big": big, "times_big": t_big, "seq_per_sec_big": round(thr_b, 1),
         "pair_efficiencies": [round(e, 3) for e in effs],
+        "pair_pre_probes_membw_1t_gbs": probes,
         "scaling_efficiency_median": round(statistics.median(effs), 3),
         "scaling_efficiency": round(eff, 3),
     }
