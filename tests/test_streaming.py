@@ -383,6 +383,84 @@ def test_inplace_rotation_stream_limit_batch_detects(spark, tmp_path):
     assert fire2.filter(F.col("part") == "part-00001").count() == 150
 
 
+def test_rescan_rewritten_reships_only_changed_part(spark, tmp_path, monkeypatch):
+    """llogtail's in-place rotation branch (log_watcher.go:228-261) in
+    the STREAMING twin: rescan_rewritten detects a file rewritten in
+    place after the stream shipped it and re-ships exactly that
+    partition; its footer reads are stat-gated (a warm ledger does
+    ZERO footer reads when nothing changed)."""
+    import pyarrow.parquet as pq
+
+    from llogtail_spark.pipeline import validate_manifest
+    from llogtail_spark.sources import reader as rd
+    from llogtail_spark.streaming.tail import rescan_rewritten
+
+    data = str(tmp_path / "data")
+    write_fixture(data, 300, seed=43, n_files=3)
+    conf = _conf(data, tmp_path / "w")
+    q = stream_pipeline(spark, conf)
+    q.awaitTermination(120)
+    assert spark.read.parquet(conf.sinks[1].path).count() == 300
+
+    rotated = os.path.join(data, "sequences", "part-00001.parquet")
+    pq.write_table(generate_sequences(150, seed=88), rotated)
+
+    footer_reads: list[str] = []
+    real_identity = rd.file_identity
+    monkeypatch.setattr(
+        rd, "file_identity",
+        lambda p: (footer_reads.append(p), real_identity(p))[1],
+    )
+
+    # cold ledger: one metadata-only sweep over the 3 committed parts,
+    # exactly ONE part flagged and re-shipped
+    ledger: dict = {}
+    assert rescan_rewritten(spark, conf, ledger) == ["part-00001"]
+    assert len(footer_reads) == 3
+    fire = spark.read.parquet(conf.sinks[1].path)
+    assert fire.count() == 350  # 100 + 150 rewritten + 100 untouched
+    assert fire.filter(F.col("part") == "part-00001").count() == 150
+    # manifest recommitted with the new identity: batch validate is clean
+    assert validate_manifest(spark, conf) == []
+
+    # warm ledger + unchanged stats: no footer reads at all, no re-ship
+    footer_reads.clear()
+    assert rescan_rewritten(spark, conf, ledger) == []
+    assert footer_reads == []
+
+
+def test_stream_rescan_reships_rewritten_during_stream(spark, tmp_path):
+    """stream_pipeline(rescan=True): a micro-batch that discovers a NEW
+    file also re-ships a file rewritten in place since the last batch —
+    the stream covers rotation without waiting for a batch run."""
+    import pyarrow.parquet as pq
+
+    data = str(tmp_path / "data")
+    write_fixture(data, 300, seed=44, n_files=3)
+    conf = _conf(data, tmp_path / "w")
+    q = stream_pipeline(spark, conf, rescan=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(conf.sinks[1].path).count() == 300
+
+    # one file is rewritten in place AND one new file lands
+    rotated = os.path.join(data, "sequences", "part-00001.parquet")
+    pq.write_table(generate_sequences(150, seed=89), rotated)
+    pq.write_table(
+        generate_sequences(50, seed=90),
+        os.path.join(data, "sequences", "part-99999.parquet"),
+    )
+
+    q2 = stream_pipeline(spark, conf, rescan=True)
+    q2.awaitTermination(120)
+    fire = spark.read.parquet(conf.sinks[1].path)
+    # 100 + 150 (rewritten, re-shipped by the rescan) + 100 + 50 (new)
+    assert fire.count() == 400
+    assert fire.filter(F.col("part") == "part-00001").count() == 150
+    assert fire.filter(F.col("part") == "part-99999").count() == 50
+    # every shipped row is committed and consistent
+    assert len(mf.committed_parts(conf.manifest_dir, "firehose")) == 4
+
+
 def _docs_table(rows):
     import pyarrow as pa
 
