@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     "text_quality",
     "window_moving_avg",
     "window_tumbling_counts",
+    "pareto_front_orders",
+    "triangle_counts",
+    "priority_sample_docs",
 ]
 
 

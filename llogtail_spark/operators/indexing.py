@@ -222,3 +222,120 @@ def pagerank_sql(iters: int = PR_ITERS, top_k: int = 20) -> str:
         SELECT node, rank FROM {prev}
         ORDER BY rank DESC, node LIMIT {top_k}
     """
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected co-purchase edge set over parts: (u, v), u < v, iff
+    some order contains both parts. One distinct on (order, part)
+    (map-side combinable), then ONE self-equi-join co-partitioned on
+    the order key — per-order fanout is C(basket, 2), bounded by
+    basket size, never by table size — then a distinct on the pair.
+    The graph-construction twin of the routing-table build
+    (collector.go:125-174): structure derived FROM the data."""
+    items = (
+        lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .filter(F.col("o").isNotNull() & F.col("p").isNotNull())
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame,
+                    broadcast_edges: bool = True) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    set (u < v, deduplicated) — the graph-motif census used to score
+    community structure (e.g. how clustered a co-purchase catalog or
+    a citation corpus is) before sampling from it.
+
+    Scale shape — the published MapReduce pattern (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): orient every edge from the lower-(degree, id)
+    endpoint to the higher one. Out-degree is then O(sqrt(2m)) for
+    EVERY node — a celebrity hub with 10^8 neighbors emits wedges
+    only toward higher-degree nodes, of which there are at most
+    O(sqrt m) — so the wedge join is bounded O(m^1.5) total and no
+    single reducer melts. Enumeration: wedges (x->y, x->z) with
+    okey(y) < okey(z), probed against the oriented edge (y->z); each
+    triangle surfaces exactly once. The final per-node count is a
+    combinable agg over an exploded 3-array.
+
+    broadcast_edges=True ships the closing-edge set (and the node-dim
+    degree table) to every executor so the WEDGES — the m^1.5-sized
+    intermediate, 41M rows for the sf0.1 co-purchase graph — never
+    shuffle: the probe is a map-side hash join right where the wedge
+    is produced (measured 2.6x on the tri stage). Right whenever the
+    edge set is dim-sized — a support-filtered co-purchase / citation
+    graph is O(catalog), two BIGINTs per edge. For web-scale graphs
+    whose edges dwarf executor memory set False: every join becomes a
+    key-partitioned shuffle and the only big exchange is the wedge
+    set itself, still bounded O(m^1.5) with no hot reducer.
+
+    Output: (node, n_tri) for every node in at least one triangle.
+    """
+    from llogtail_spark.operators.ckpt import checkpoint
+
+    # cut lineage ONCE: the edge set feeds three consumers (degree
+    # agg, wedge self-join, closing probe) — without the cut the whole
+    # upstream construction (e.g. the co-purchase self-join+distinct)
+    # re-executes per consumer. Same discipline as pagerank's
+    # adjacency pin; reliable when sc.setCheckpointDir is configured.
+    edges = checkpoint(edges, eager=True)
+    maybe_bc = F.broadcast if broadcast_edges else (lambda d: d)
+    deg = maybe_bc(
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    # okey: total order by (degree, id) packed into one BIGINT —
+    # degree <= n < 2^31 and ids are < 2^31 in this corpus, so the
+    # pack is collision-free; at a scale where ids exceed 2^31 use a
+    # struct comparison instead
+    e = (
+        edges.join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+        .withColumn("ku", F.col("du") * F.lit(2**31) + F.col("u"))
+        .withColumn("kv", F.col("dv") * F.lit(2**31) + F.col("v"))
+    )
+    oriented = checkpoint(
+        e.select(
+            F.when(F.col("ku") < F.col("kv"), F.struct("u", "v", "ku", "kv"))
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("u"), F.col("u").alias("v"),
+                    F.col("kv").alias("ku"), F.col("ku").alias("kv"),
+                )
+            ).alias("s")
+        ).select(
+            F.col("s.u").alias("x"), F.col("s.v").alias("y"),
+            F.col("s.kv").alias("ky"),
+        ),
+        # the oriented set also feeds three consumers (both wedge
+        # aliases + the closing probe) — pin it too
+        eager=True,
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.x") == F.col("w2.x")) & (F.col("w1.ky") < F.col("w2.ky")),
+    ).select(
+        F.col("w1.x").alias("a"),
+        F.col("w1.y").alias("b"),
+        F.col("w2.y").alias("c"),
+    )
+    closing = maybe_bc(
+        oriented.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    )
+    tri = wedges.join(closing, ["b", "c"], "inner")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )

@@ -195,3 +195,83 @@ def global_ordinals(df: DataFrame, order_cols: list[str],
         )
         .drop("_pid")
     )
+
+
+def pareto_front(df: DataFrame, min_col: str, max_col: str,
+                 n_parts: int = ORD_PARTS) -> DataFrame:
+    """2-D skyline (pareto frontier): the (min_col, max_col) points
+    not dominated by any other row — dominated = another row has
+    min_col <= x AND max_col >= y with at least one strict. The
+    corpus-curation use: "cheapest order per recency level" /
+    "shortest doc per quality level" efficient-frontier reports.
+
+    Scale shape (10^12 rows): the naive formulation is a running max
+    over `ORDER BY min_col` with no PARTITION BY — Spark plans that as
+    a SINGLE-partition Exchange (one task sorts everything), the same
+    trap global_ordinals avoids. Instead:
+    (1) collapse to one candidate per distinct min_col value
+        (max(max_col) — a map-side-combinable agg; a frontier never
+        holds two points with equal min_col),
+    (2) range-repartition by min_col, in-partition cumulative max
+        (window PARTITIONED by _pid — parallel),
+    (3) per-partition maxima -> K-entry driver prefix-max (the same
+        tiny-ordered-ledger shape as llogtail's per-file offset
+        bookkeeping, utils.go:218-228),
+    (4) keep rows strictly above the running max of everything with a
+        smaller min_col.
+    Every stage is parallel; driver work is K entries. NULLs in either
+    column are dropped (dominance against NULL is undefined).
+
+    Returns (min_col, max_col) — the frontier, one row per surviving
+    min_col value.
+    """
+    from pyspark.sql import Window
+
+    from llogtail_spark.operators.ckpt import checkpoint
+
+    cand = (
+        df.filter(F.col(min_col).isNotNull() & F.col(max_col).isNotNull())
+        .groupBy(min_col)
+        .agg(F.max(max_col).alias("_best"))
+    )
+    ranged = checkpoint(
+        # pin ONE materialization: the maxima job and the filter job
+        # must see the identical (sampled) range boundaries
+        cand.repartitionByRange(n_parts, F.col(min_col))
+        .withColumn("_pid", F.spark_partition_id()),
+        eager=True,
+    )
+    maxima = {
+        r["_pid"]: r["m"]
+        for r in ranged.groupBy("_pid").agg(F.max("_best").alias("m")).collect()
+    }
+    prefix, best = {}, None
+    for pid in sorted(maxima):
+        if best is not None:
+            prefix[pid] = best  # max(_best) over ALL prior partitions
+        best = maxima[pid] if best is None or maxima[pid] > best else best
+    # rows in the first non-empty partition have no prior-partition max:
+    # element_at on a key absent from the map yields NULL, which the
+    # greatest() below ignores — exactly "nothing smaller exists yet"
+    off_col = (
+        F.element_at(
+            F.create_map(*[
+                F.lit(x) for pid in sorted(prefix)
+                for x in (pid, prefix[pid])
+            ]),
+            F.col("_pid"),
+        )
+        if prefix
+        else F.lit(None).cast(ranged.schema["_best"].dataType)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(min_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = F.greatest(F.max("_best").over(w), off_col)
+    return (
+        ranged.withColumn("_run", run)
+        .filter(F.col("_run").isNull() | (F.col("_best") > F.col("_run")))
+        .select(F.col(min_col), F.col("_best").alias(max_col))
+    )

@@ -348,3 +348,63 @@ def temperature_mixture_sql() -> str:
                CAST(floor(wv * 10000 / w_all) AS BIGINT) AS temp_bp
         FROM w CROSS JOIN tot
     """
+
+
+def priority_sample(df: DataFrame, key_col: str, weight_col: str,
+                    k: int) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: priority
+    sampling (Duffield, Lund & Thorup, "Priority sampling for
+    estimation of arbitrary subset sums", JACM'07). Each row gets
+    priority = weight / u with u ~ U(0,1] keyed on its stable id; the
+    k highest-priority rows form the sample — heavier rows more
+    likely, no row twice, and (unlike weighted df.sample) the SAME
+    rows survive re-runs, repartitioning and speculative retries,
+    because u is a pure function of the key.
+
+    Scale shape: priority is a scan-local projection; top-k plans as
+    TakeOrderedAndProject — per-partition k-heaps merged on the
+    driver, never a global sort (the same shape as global_topk).
+
+    Integer arithmetic end-to-end: u_int = Knuth-multiplicative hash
+    in [1, 2^32], priority = w * 2^32 div u_int — bit-identical in
+    the DuckDB twin (pow()/ln() of the textbook exponential-key
+    formulation differ in the last ulp across libm implementations,
+    which flips rows at the k boundary; integer div cannot).
+
+    Returns (key_col, weight_col, priority), ties broken by key.
+    """
+    out = (
+        df.filter(F.col(key_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(
+            "_u",
+            F.pmod(
+                F.col(key_col).cast("long") * F.lit(2654435761),
+                F.lit(4294967296),
+            )
+            + 1,
+        )
+        .withColumn(
+            "priority",
+            F.expr(f"(cast({weight_col} as bigint) * 4294967296L) div _u"),
+        )
+    )
+    return (
+        out.orderBy(F.desc("priority"), F.col(key_col))
+        .select(key_col, weight_col, "priority")
+        .limit(k)
+    )
+
+
+def priority_sample_sql(key_col: str, weight_col: str, k: int,
+                        table: str) -> str:
+    """DuckDB twin of priority_sample — identical integer arithmetic."""
+    return f"""
+        SELECT {key_col}, {weight_col},
+               (CAST({weight_col} AS BIGINT) * 4294967296)
+                 // ((({key_col} * 2654435761) % 4294967296) + 1)
+                 AS priority
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {weight_col} > 0
+        ORDER BY priority DESC, {key_col}
+        LIMIT {k}
+    """

@@ -329,3 +329,113 @@ def test_global_ordinals_no_single_partition_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pareto_front_matches_bruteforce_and_is_layout_invariant(spark):
+    """Skyline semantics vs an O(n^2) dominance check, and the result
+    must not depend on input partitioning (the range-partition +
+    driver-prefix-max path has no layout-sensitive step)."""
+    import random
+
+    from llogtail_spark.operators.layout import pareto_front
+
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 300) / 4.0, rng.randint(0, 800)) for _ in range(2500)]
+    best = {}
+    for p, s in rows:
+        best[p] = max(best.get(p, -1), s)
+    exp = {
+        (p, s)
+        for p, s in best.items()
+        if not any(
+            p2 <= p and s2 >= s and (p2 < p or s2 > s)
+            for p2, s2 in best.items()
+        )
+    }
+    df = spark.createDataFrame(rows, "price double, score long")
+    got = {(r["price"], r["score"]) for r in pareto_front(df, "price", "score").collect()}
+    assert got == exp
+    got2 = {
+        (r["price"], r["score"])
+        for r in pareto_front(df.repartition(17), "price", "score").collect()
+    }
+    assert got2 == exp
+
+
+def test_pareto_front_no_single_partition_exchange(spark):
+    """The scalable promise (same as global_ordinals): the naive
+    running-max window over ORDER BY with no PARTITION BY plans an
+    Exchange SinglePartition; the two-phase prefix-max must not."""
+    from llogtail_spark.operators.layout import pareto_front
+
+    df = pareto_front(
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_triangle_counts_hand_graph_and_random(spark):
+    """K4 (+ a pendant edge): every K4 node sits in 3 triangles, the
+    pendant in none. Then a random graph vs brute-force enumeration,
+    with the broadcast probe ON and OFF (identical counts — the knob
+    changes the physical join, never the result)."""
+    import itertools
+    import random
+
+    from llogtail_spark.operators.indexing import triangle_counts
+
+    k4 = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)] + [(4, 9)]
+    got = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(spark.createDataFrame(k4, "u long, v long")).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    rng = random.Random(5)
+    n = 45
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(260))
+            if a != b
+        }
+    )
+    es = set(edges)
+    exp: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for x in (a, b, c):
+                exp[x] = exp.get(x, 0) + 1
+    edf = spark.createDataFrame(edges, "u long, v long")
+    for bc in (True, False):
+        got = {
+            r["node"]: r["n_tri"]
+            for r in triangle_counts(edf, broadcast_edges=bc).collect()
+        }
+        assert got == exp, f"broadcast_edges={bc}"
+
+
+def test_triangle_counts_broadcast_knob_changes_plan(spark):
+    """broadcast_edges=True must probe the closing edge via a
+    BroadcastHashJoin (the wedge set never shuffles); False must not
+    broadcast the edge set (web-scale fallback) — and neither path may
+    plan a cartesian/nested-loop."""
+    from llogtail_spark.operators.indexing import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    on = triangle_counts(edges, broadcast_edges=True)
+    on.collect()
+    p_on = on._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p_on
+    off = triangle_counts(edges, broadcast_edges=False)
+    off.collect()
+    p_off = off._jdf.queryExecution().executedPlan().toString()
+    for plan in (p_on, p_off):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -218,3 +218,50 @@ def test_temperature_mixture_flattens_shares(spark):
     out2 = {r["source"]: r.asDict()
             for r in temperature_mixture(df.repartition(7)).collect()}
     assert out == out2
+
+
+def test_priority_sample_exact_topk_and_layout_invariant(spark):
+    """Priority sampling (Duffield-Lund-Thorup) selection must equal
+    the brute-force integer-arithmetic top-k exactly, survive
+    repartitioning unchanged (u is a pure function of the key), and
+    favor heavy rows (weight-coverage sanity)."""
+    import random
+
+    from llogtail_spark.operators.sampling import priority_sample
+
+    rng = random.Random(9)
+    docs = [(i, rng.randint(1, 400)) for i in range(1, 4001)]
+    df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    exp = sorted(
+        ((w * 2**32) // ((i * 2654435761) % 2**32 + 1), -i, i, w)
+        for i, w in docs
+    )[::-1][:150]
+    exp_rows = [(i, w, p) for p, _, i, w in exp]
+    got = [
+        (r["doc_id"], r["n_chars"], r["priority"])
+        for r in priority_sample(df, "doc_id", "n_chars", 150).collect()
+    ]
+    assert got == exp_rows
+    got2 = [
+        (r["doc_id"], r["n_chars"], r["priority"])
+        for r in priority_sample(df.repartition(13), "doc_id", "n_chars", 150).collect()
+    ]
+    assert sorted(got2) == sorted(exp_rows)
+    # heavier rows overrepresented: the sample's mean weight must beat
+    # the population's (weighted-without-replacement property)
+    pop_mean = sum(w for _, w in docs) / len(docs)
+    samp_mean = sum(w for _, w, _ in got) / len(got)
+    assert samp_mean > pop_mean
+
+
+def test_priority_sample_plans_take_ordered(spark):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heaps),
+    never a global range-partition sort."""
+    from llogtail_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame([(i, i % 7 + 1) for i in range(1, 500)],
+                               "doc_id long, n_chars long")
+    out = priority_sample(df, "doc_id", "n_chars", 25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
