@@ -188,6 +188,20 @@ SHOWCASE = [
     ("global_ordinals",
      "Global row numbering with NO SinglePartition exchange: range "
      "repartition + per-partition sort + map-literal offsets."),
+    ("pareto_front_orders",
+     "2-D skyline with NO SinglePartition exchange: one combinable "
+     "agg per distinct min-key, range repartition, per-partition "
+     "cummax window (partitioned by _pid), map-literal prefix-max."),
+    ("triangle_counts",
+     "Triangle census: degree-ordered orientation (out-degree "
+     "O(sqrt 2m) for every node), wedge self-join on the oriented "
+     "source, closing edge probed via BroadcastHashJoin so the "
+     "m^1.5-sized wedge set never shuffles."),
+    ("priority_sample_docs",
+     "Weighted sampling without replacement: integer-only priority "
+     "projection in the scan stage, TakeOrderedAndProject top-k — "
+     "per-partition heaps, no global sort, no SinglePartition "
+     "exchange."),
 ]
 
 
