@@ -1738,8 +1738,42 @@ def _q_priority_sample_docs(spark, sf):
     )
 
 
+def _q_seq_packing_docs(spark, sf):
+    """Concat-and-chunk training-sequence packing over documents:
+    deterministic shard + order from the portable md5 hash, exact
+    shard-local token offsets via ONE per-shard cumsum window, and
+    the sequence-boundary-straddle (attention contamination) flag.
+    No global sort, no SinglePartition exchange."""
+    from llogtail_spark.operators.corpus import seq_packing
+
+    d = _t(spark, sf, "documents")
+    return seq_packing(d)
+
+
+def _q_hll_distinct_tokens(spark, sf):
+    """Per-source HyperLogLog distinct-token estimate on the portable
+    hash family — 64-register mergeable summary, integer-only
+    arithmetic (rho from bin() length, literal linear-counting
+    table), so DuckDB reproduces every output bit."""
+    from llogtail_spark.operators.sketches import hll_distinct
+
+    d = _t(spark, sf, "documents")
+    return hll_distinct(d)
+
+
+def _q_dup_token_spans(spark, sf):
+    """ExactSubstr-style duplicated-span report: every repeated
+    8-token window (double rolling fingerprint) except its globally
+    first occurrence, merged into maximal per-document intervals —
+    the byte ranges a Lee-et-al ExactSubstr pass would cut."""
+    from llogtail_spark.operators.corpus import dup_token_spans
+
+    d = _t(spark, sf, "documents")
+    return dup_token_spans(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 117 oracle-paired queries. ORDER IS DELIBERATE (round 4):
+    """All 120 oracle-paired queries. ORDER IS DELIBERATE (round 4):
     the driver's correctness gate checks the first ~50 entries, so the
     50 queries with no driver-green row in CORRECTNESS_r01-r03 come
     first; positions 51-55 are the five the judge already re-verified
@@ -1867,6 +1901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front_orders": _q_pareto_front_orders,
         "triangle_counts": _q_triangle_counts,
         "priority_sample_docs": _q_priority_sample_docs,
+        "seq_packing_docs": _q_seq_packing_docs,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "dup_token_spans": _q_dup_token_spans,
     }
 
 
@@ -3126,4 +3163,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY priority DESC, doc_id
             LIMIT 500
         """,
+        "seq_packing_docs": __import__(
+            "llogtail_spark.operators.corpus", fromlist=["seq_packing_sql"]
+        ).seq_packing_sql(),
+        "hll_distinct_tokens": __import__(
+            "llogtail_spark.operators.sketches", fromlist=["hll_distinct_sql"]
+        ).hll_distinct_sql(),
+        "dup_token_spans": __import__(
+            "llogtail_spark.operators.corpus", fromlist=["dup_token_spans_sql"]
+        ).dup_token_spans_sql(),
     }

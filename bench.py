@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "pareto_front_orders",
     "triangle_counts",
     "priority_sample_docs",
+    "seq_packing_docs",
+    "hll_distinct_tokens",
+    "dup_token_spans",
 ]
 
 

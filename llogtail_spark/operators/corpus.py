@@ -2088,3 +2088,319 @@ def cdc_chunking_sql(mod: int = CDC_MOD) -> str:
                CAST(floor(n * 100 / len(bpe)) AS BIGINT) AS mean_len_x100
         FROM closed
     """
+
+
+SEQ_LEN = 128  # packed training-sequence length (tokens) at test scale
+
+
+def seq_packing(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", seq_len: int = SEQ_LEN,
+                nshards: int = N_SHARDS) -> DataFrame:
+    """Concat-and-chunk training-sequence packing — the standard GPT
+    pretraining layout: each shard's document stream is concatenated
+    in a deterministic order and sliced into fixed `seq_len` windows
+    ("bins"); every document maps to an exact token offset and the
+    range of training sequences it occupies.
+
+    Output, one row per non-empty document:
+      (shard:int, doc_id, n_tok:long, tok_start:long,
+       bin_first:long, bin_last:long, crosses:int)
+    where tok_start is the document's first-token offset in its
+    shard's concatenated stream, bin_first/bin_last the training
+    sequences it lands in, and crosses=1 iff it straddles a sequence
+    boundary — the cross-document attention-contamination signal a
+    packing audit wants per source.
+
+    Determinism: shard + order come from the portable md5 hash of the
+    id (the corpus_shuffle_shards convention — identical in DuckDB),
+    so re-running on the same corpus reproduces the exact training
+    order, offsets included.
+
+    Scale shape (10^12 tokens): tokenize/count in the scan stage; ONE
+    nshards-way shuffle; the running offset is a per-shard window
+    cumsum. A shard is exactly the unit a training-data writer emits
+    as one packed file, so nshards scales with the writer fleet (100k
+    on a real corpus) and no shard outgrows a partition by
+    construction — no global sort, no SinglePartition exchange.
+    Reference anchor: the router assigns every work item its sink
+    partition before the write (log_watcher.go route fan-out); here
+    the sink is the packed shard and the assignment carries the exact
+    token offset with it.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        WS_CLASS),
+                lambda x: x != "",
+            )
+        ).cast("long").alias("n_tok"),
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long").alias("h"),
+    ).where(F.col("n_tok") > 0)
+    sharded = toks.withColumn(
+        "shard", F.pmod(F.col("h"), F.lit(nshards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sharded.withColumn(
+        "tok_start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    )
+    return placed.select(
+        "shard", id_col, "n_tok", "tok_start",
+        F.floor(F.col("tok_start") / seq_len).cast("long").alias("bin_first"),
+        F.floor((F.col("tok_start") + F.col("n_tok") - 1) / seq_len)
+        .cast("long").alias("bin_last"),
+    ).withColumn(
+        "crosses",
+        F.when(F.col("bin_last") > F.col("bin_first"), 1).otherwise(0)
+        .cast("int"),
+    )
+
+
+def seq_packing_sql(seq_len: int = SEQ_LEN, nshards: int = N_SHARDS) -> str:
+    """DuckDB twin of seq_packing: identical tokenize-count, md5
+    shard hash, per-shard cumsum window."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '{WS_CLASS}'),
+                       x -> x <> '')) AS BIGINT) AS n_tok,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM documents),
+        placed AS (
+            SELECT CAST(h % {nshards} AS INTEGER) AS shard,
+                   doc_id, n_tok,
+                   CAST(coalesce(sum(n_tok) OVER (
+                       PARTITION BY h % {nshards} ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tok_start
+            FROM toks WHERE n_tok > 0)
+        SELECT shard, doc_id, n_tok, tok_start,
+               CAST(floor(tok_start / {seq_len}) AS BIGINT) AS bin_first,
+               CAST(floor((tok_start + n_tok - 1) / {seq_len}) AS BIGINT)
+                   AS bin_last,
+               CAST(CASE WHEN floor((tok_start + n_tok - 1) / {seq_len})
+                              > floor(tok_start / {seq_len})
+                         THEN 1 ELSE 0 END AS INTEGER) AS crosses
+        FROM placed
+    """
+
+
+DUP_WIN = 8  # duplicated-substring window length (tokens)
+
+
+def dup_token_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = DUP_WIN) -> DataFrame:
+    """Token-granular duplicated-span detection — the distributed
+    shape of ExactSubstr dedup (Lee et al. 2022 §4.1: remove every
+    repeated substring of >= k tokens, keeping the first occurrence).
+
+    Every k-token window gets a double rolling fingerprint (two
+    independent fold hashes over the per-token portable hashes — the
+    pair collides at ~1/MOD^2, and the oracle replays any collision
+    identically); a window occurrence is removable iff its
+    fingerprint occurs more than once corpus-wide AND it is not the
+    globally first occurrence (min struct(doc, off) — map-side
+    combinable, the span_dedup discipline). Removable windows merge
+    into maximal per-document intervals (gaps-and-islands over the
+    window offsets), i.e. exactly the byte ranges an ExactSubstr pass
+    would cut.
+
+    Output, one row per document owning >= 1 removable window:
+      (doc_id, n_tok:long, n_dup_windows:long, n_intervals:long,
+       dup_tok:long, dup_bp:long = floor(10000 * dup_tok / n_tok))
+
+    Scale shape (10^12 tokens): fingerprints are scan-stage Catalyst
+    HOFs (O(n*k) per doc, k constant, no Python); the first-occurrence
+    side is a map-side-combinable count+min-struct aggregation (the
+    universal boilerplate window combines inside each task — a
+    row_number window over the fingerprint would sort every copy of
+    the hottest span on one reducer, rejected exactly as in
+    span_dedup); the join back is equi-join (broadcast when the dup
+    fingerprint set is dim-sized, AQE-skew-eligible SMJ otherwise);
+    island merging is a per-document window — bounded by document
+    length, never by corpus size. No global sort, no SinglePartition
+    exchange. Accepted trade: the self-derived join re-computes the
+    scan+fingerprint subtree on the aggregate side (2x a cheap
+    embarrassingly-parallel stage) rather than paying a
+    materialization barrier (localCheckpoint) or the hot-reducer
+    window — same decision as span_dedup. Reference anchor: the
+    debounce filter ships each repeated work item once
+    (log_watcher.go:97-126); here the item is a k-token span.
+    """
+    from llogtail_spark.functions.portable_hash import (
+        BAND_MULT, MOD, MULT, char_fold_hash, seed_mults,
+    )
+
+    a2, b2 = seed_mults(3)
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    WS_CLASS),
+            lambda x: x != "",
+        ).alias("t"),
+    ).where(F.size("t") >= k)
+    # named columns between steps: indexing into an unnamed HOF
+    # re-evaluates it per element (the cdc_chunking O(n^2) lesson)
+    th = toks.select(
+        id_col,
+        F.size("t").cast("long").alias("n_tok"),
+        F.transform(F.col("t"), lambda x: char_fold_hash(x)).alias("th"),
+    ).select(
+        id_col, "n_tok", "th",
+        F.transform(
+            F.col("th"), lambda x: (x * a2 + b2) % MOD
+        ).alias("th2"),
+    )
+    win = th.select(
+        id_col, "n_tok",
+        F.transform(
+            F.sequence(F.lit(0), F.size("th") - k),
+            lambda i: F.aggregate(
+                F.slice(F.col("th"), i + 1, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * BAND_MULT + x) % MOD,
+            ),
+        ).alias("wh1"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("th2") - k),
+            lambda i: F.aggregate(
+                F.slice(F.col("th2"), i + 1, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * MULT + x) % MOD,
+            ),
+        ).alias("wh2"),
+    )
+    occ = win.select(
+        id_col, "n_tok",
+        F.posexplode(F.arrays_zip("wh1", "wh2")).alias("off", "z"),
+    ).select(
+        id_col, "n_tok", F.col("off").cast("long").alias("off"),
+        F.col("z.wh1").alias("wh1"), F.col("z.wh2").alias("wh2"),
+    )
+    firsts = occ.groupBy("wh1", "wh2").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("off").alias("p"))).alias("_first"),
+    )
+    rm = occ.join(firsts, ["wh1", "wh2"]).where(
+        (F.col("cnt") > 1)
+        & ~((F.col(id_col) == F.col("_first.i"))
+            & (F.col("off") == F.col("_first.p")))
+    ).select(id_col, "n_tok", "off", (F.col("off") + k).alias("end"))
+    w_prev = (
+        Window.partitionBy(id_col).orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col).orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = rm.withColumn("prev_end", F.max("end").over(w_prev)).withColumn(
+        "new_isl",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("off") > F.col("prev_end")), 1
+        ).otherwise(0),
+    ).withColumn("isl", F.sum("new_isl").over(w_run))
+    islands = flagged.groupBy(id_col, "isl").agg(
+        F.first("n_tok").alias("n_tok"),
+        F.min("off").alias("s"),
+        F.max("end").alias("e"),
+        F.count(F.lit(1)).alias("n_win"),
+    )
+    return islands.groupBy(id_col).agg(
+        F.first("n_tok").cast("long").alias("n_tok"),
+        F.sum("n_win").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tok"),
+    ).withColumn(
+        "dup_bp",
+        F.floor(F.col("dup_tok") * 10000 / F.col("n_tok")).cast("long"),
+    )
+
+
+def dup_token_spans_sql(k: int = DUP_WIN) -> str:
+    """DuckDB twin of dup_token_spans: identical double fingerprint,
+    first-occurrence exclusion, gaps-and-islands merge."""
+    from llogtail_spark.functions.portable_hash import (
+        BAND_MULT, MOD, MULT, char_fold_hash_sql, seed_mults,
+    )
+
+    a2, b2 = seed_mults(3)
+    cf = char_fold_hash_sql("x")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        th AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+                   list_transform(t, x -> {cf}) AS th
+            FROM toks WHERE len(t) >= {k}),
+        th2 AS (
+            SELECT doc_id, n_tok, th,
+                   list_transform(th, x -> (x * {a2} + {b2}) % {MOD}) AS th2
+            FROM th),
+        occ AS (
+            SELECT doc_id, n_tok,
+                   CAST(i AS BIGINT) AS off,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                            th[(i+1):(i+{k})]),
+                               (a, x) -> (a * {BAND_MULT} + x) % {MOD}) AS wh1,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                            th2[(i+1):(i+{k})]),
+                               (a, x) -> (a * {MULT} + x) % {MOD}) AS wh2
+            FROM th2, LATERAL (SELECT unnest(range(0, len(th) - {k} + 1)) AS i)),
+        ranked AS (
+            SELECT doc_id, n_tok, off,
+                   count(*) OVER (PARTITION BY wh1, wh2) AS cnt,
+                   row_number() OVER (PARTITION BY wh1, wh2
+                                      ORDER BY doc_id, off) AS rn
+            FROM occ),
+        rm AS (
+            SELECT doc_id, n_tok, off, off + {k} AS e
+            FROM ranked WHERE cnt > 1 AND rn > 1),
+        flagged AS (
+            SELECT doc_id, n_tok, off, e,
+                   CASE WHEN max(e) OVER (
+                            PARTITION BY doc_id ORDER BY off
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR off > max(e) OVER (
+                            PARTITION BY doc_id ORDER BY off
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM rm),
+        isl AS (
+            SELECT doc_id, n_tok, off, e,
+                   sum(new_isl) OVER (
+                       PARTITION BY doc_id ORDER BY off
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS isl
+            FROM flagged),
+        islands AS (
+            SELECT doc_id, any_value(n_tok) AS n_tok,
+                   min(off) AS s, max(e) AS e, count(*) AS n_win
+            FROM isl GROUP BY doc_id, isl)
+        SELECT doc_id,
+               CAST(any_value(n_tok) AS BIGINT) AS n_tok,
+               CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(e - s) AS BIGINT) AS dup_tok,
+               CAST(floor(sum(e - s) * 10000 / any_value(n_tok)) AS BIGINT)
+                   AS dup_bp
+        FROM islands GROUP BY doc_id
+    """

@@ -411,3 +411,148 @@ def heavy_hitters_sql(k: int = HH_K) -> str:
         GROUP BY token, n_tokens
         HAVING count(*) * {k} > n_tokens
     """
+
+
+HLL_P = 6                    # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_W = 24                   # bucket-stripped hash width: MOD / 2^p < 2^24
+HLL_RMAX = HLL_W + 1         # rho(0) — all-zero remainder
+HLL_SEED = 9                 # order_hash family member
+HLL_ALPHA_X1M = 709341       # alpha_64 = 0.7213 / (1 + 1.079/64), x 1e6
+# raw-estimate numerator alpha * m^2 * 2^RMAX, kept integral so the
+# estimate is a BIGINT-exact integer division in BOTH engines
+HLL_NUMER = HLL_ALPHA_X1M * HLL_M * HLL_M * (1 << HLL_RMAX)
+# linear-counting lookup: LC[V] = round(m * ln(m / V)) for V = 1..m
+# empty registers — precomputed literal, so neither engine evaluates
+# a float ln at query time
+HLL_LC = [
+    int(__import__("math").floor(
+        HLL_M * __import__("math").log(HLL_M / v) + 0.5))
+    for v in range(1, HLL_M + 1)
+]
+
+
+def hll_distinct(df: DataFrame, text_col: str = "text",
+                 group_col: str = "source") -> DataFrame:
+    """Per-group HyperLogLog distinct-token estimate (Flajolet et al.
+    2007) on the portable hash family — the register file is the
+    classic mergeable fixed-size summary (64 x 5-bit here), the
+    companion to KMV with O(1) merge instead of O(K log K).
+
+    Output: (group_col, n_seen:long registers hit, harmonic_scaled:
+    long = sum_b 2^(RMAX - M_b) over ALL m registers with M_b = 0 for
+    unseen, est_raw:long = floor(alpha*m^2*2^RMAX / 10^6 /
+    harmonic_scaled), est_distinct:long = the paper's small-range
+    correction — linear counting m*ln(m/V) when est_raw <= 5/2*m and
+    V = m - n_seen > 0, else est_raw).
+
+    Everything is integer: rho comes from length(bin(w)) (both
+    engines print unpadded binary), the harmonic sum is scaled by
+    2^RMAX into a BIGINT, the raw estimate is an integer DIV, and the
+    linear-counting ln lives in a LITERAL m-entry lookup table
+    (V has only m possible values; the table is precomputed in Python
+    at import and embedded identically in the Spark plan and the SQL
+    twin) — so the DuckDB oracle reproduces every output bit with no
+    cross-engine libm in sight. The high-range correction is moot at
+    MOD ~ 2^30. Production swaps in approx_count_distinct (Spark's
+    native HLL++) when cross-engine verification isn't needed.
+
+    Scale shape (10^12 rows): ONE wide shuffle groupBy(grp, bucket)
+    max(rho) — map-side combinable, at most m rows per group survive
+    each task — then an m-bounded per-group rollup. The register
+    table is m rows per group forever, the mergeable summary that
+    replaces an exact distinct at any scale.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        WS_CLASS),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    hv = order_hash(char_fold_hash(F.col("tok")), HLL_SEED)
+    hashed = toks.select(
+        "grp",
+        F.pmod(hv, F.lit(HLL_M)).cast("int").alias("bucket"),
+        F.floor(hv / HLL_M).cast("long").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(HLL_RMAX))
+        .otherwise(F.lit(HLL_RMAX) - F.length(F.bin(F.col("w"))))
+        .cast("int")
+    )
+    regs = hashed.select("grp", "bucket", rho.alias("rho")).groupBy(
+        "grp", "bucket"
+    ).agg(F.max("rho").alias("m_b"))
+    rolled = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(HLL_RMAX) - F.col("m_b")).cast("long")
+        ).alias("s_seen"),
+    )
+    lc = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in HLL_LC]),
+        (F.lit(HLL_M) - F.col("n_seen")).cast("int"),
+    )
+    return rolled.select(
+        F.col("grp").alias(group_col),
+        "n_seen",
+        (
+            F.col("s_seen")
+            + (F.lit(HLL_M) - F.col("n_seen")) * F.lit(1 << HLL_RMAX)
+        ).cast("long").alias("harmonic_scaled"),
+    ).withColumn(
+        "est_raw",
+        F.expr(
+            f"CAST({HLL_NUMER} DIV (1000000 * harmonic_scaled) AS BIGINT)"
+        ),
+    ).withColumn(
+        "est_distinct",
+        F.when(
+            (F.col("n_seen") < HLL_M)
+            & (F.col("est_raw") <= F.lit(5 * HLL_M // 2)),
+            lc,
+        ).otherwise(F.col("est_raw")).cast("long"),
+    )
+
+
+def hll_distinct_sql(group_col: str = "source") -> str:
+    """DuckDB twin of hll_distinct: identical hash, register max,
+    scaled harmonic sum, integer-DIV estimate."""
+    h = order_hash_sql(char_fold_hash_sql("tok"), HLL_SEED)
+    return f"""
+        WITH toks AS (
+            SELECT {group_col} AS grp, unnest(list_filter(
+                string_split_regex(lower(coalesce(text, '')), '{WS_CLASS}'),
+                x -> x <> '')) AS tok
+            FROM documents),
+        hashed AS (
+            SELECT grp,
+                   CAST(({h}) % {HLL_M} AS INTEGER) AS bucket,
+                   CAST(floor(({h}) / {HLL_M}) AS BIGINT) AS w
+            FROM toks),
+        regs AS (
+            SELECT grp, bucket,
+                   max(CASE WHEN w = 0 THEN {HLL_RMAX}
+                            ELSE {HLL_RMAX} - len(bin(w)) END) AS m_b
+            FROM hashed GROUP BY grp, bucket),
+        rolled AS (
+            SELECT grp,
+                   CAST(count(*) AS BIGINT) AS n_seen,
+                   CAST(sum(CAST(power(2, {HLL_RMAX} - m_b) AS BIGINT))
+                        + ({HLL_M} - count(*)) * {1 << HLL_RMAX} AS BIGINT)
+                       AS harmonic_scaled
+            FROM regs GROUP BY grp),
+        raw AS (
+            SELECT grp, n_seen, harmonic_scaled,
+                   {HLL_NUMER} // (1000000 * harmonic_scaled) AS est_raw
+            FROM rolled)
+        SELECT grp AS {group_col}, n_seen, harmonic_scaled, est_raw,
+               CAST(CASE WHEN n_seen < {HLL_M} AND est_raw <= {5 * HLL_M // 2}
+                         THEN {HLL_LC}[CAST({HLL_M} - n_seen AS INTEGER)]
+                         ELSE est_raw END AS BIGINT) AS est_distinct
+        FROM raw
+    """

@@ -841,3 +841,182 @@ def test_log_templates_majority_and_ties(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     r = log_templates(df).collect()[0]
     assert r["template"] == "status ok <*>"
+
+
+# ------------------------------------------------------ seq_packing
+
+
+def _py_packing(rows, seq_len, nshards):
+    """Pure-Python replication of concat-and-chunk packing."""
+    import hashlib
+
+    placed = []
+    for doc_id, _, text in rows:
+        n_tok = len([t for t in (text or "").lower().split() if t])
+        if n_tok == 0:
+            continue
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        placed.append((h % nshards, h, doc_id, n_tok))
+    out = {}
+    for shard in sorted({p[0] for p in placed}):
+        off = 0
+        for _, h, doc_id, n_tok in sorted(
+            [p for p in placed if p[0] == shard], key=lambda p: (p[1], p[2])
+        ):
+            bf, bl = off // seq_len, (off + n_tok - 1) // seq_len
+            out[doc_id] = (shard, n_tok, off, bf, bl, int(bl > bf))
+            off += n_tok
+    return out
+
+
+def test_seq_packing_matches_python_reference(spark):
+    from llogtail_spark.operators.corpus import seq_packing
+
+    rows = [(i, "s", " ".join(f"w{j}" for j in range(5 + 7 * (i % 9))))
+            for i in range(40)] + [(99, "s", "")]  # empty doc drops
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tok"], r["tok_start"],
+                      r["bin_first"], r["bin_last"], r["crosses"])
+        for r in seq_packing(_src_docs(spark, rows),
+                             seq_len=16, nshards=4).collect()
+    }
+    assert got == _py_packing(rows, 16, 4)
+    assert 99 not in got
+
+
+def test_seq_packing_offsets_are_contiguous(spark):
+    # within every shard the token stream has no gaps or overlaps -
+    # the exact property a packed-file writer needs.
+    from llogtail_spark.operators.corpus import seq_packing
+
+    rows = [(i, "s", " ".join(["x"] * (1 + i % 30))) for i in range(200)]
+    out = seq_packing(_src_docs(spark, rows), seq_len=32).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for docs in by_shard.values():
+        docs.sort(key=lambda r: r["tok_start"])
+        off = 0
+        for r in docs:
+            assert r["tok_start"] == off
+            assert r["bin_first"] == off // 32
+            assert r["bin_last"] == (off + r["n_tok"] - 1) // 32
+            assert r["crosses"] == int(r["bin_last"] > r["bin_first"])
+            off += r["n_tok"]
+
+
+def test_seq_packing_layout_invariance_and_plan(spark):
+    from llogtail_spark.operators.corpus import seq_packing
+
+    rows = [(i, "s", " ".join(["x"] * (1 + i % 30))) for i in range(120)]
+    df = _src_docs(spark, rows)
+    a = sorted(map(tuple, seq_packing(df.repartition(1)).collect()))
+    b = sorted(map(tuple, seq_packing(df.repartition(16, "text")).collect()))
+    assert a == b
+    plan = seq_packing(df)._jdf.queryExecution().executedPlan().toString()
+    # per-shard cumsum window, never a global one
+    assert "Exchange SinglePartition" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# -------------------------------------------------- dup_token_spans
+
+
+def _py_dup_spans(rows, k):
+    """Semantic reference for ExactSubstr spans: REAL token-tuple
+    windows (no hashing), first occurrence by (doc_id, off), merged
+    removable intervals."""
+    toks = {d: [t for t in (tx or "").lower().split() if t]
+            for d, _, tx in rows}
+    occ = []
+    for d in sorted(toks):
+        t = toks[d]
+        for off in range(len(t) - k + 1):
+            occ.append((tuple(t[off:off + k]), d, off))
+    from collections import Counter
+    cnt = Counter(w for w, _, _ in occ)
+    first = {}
+    for w, d, off in sorted(occ, key=lambda o: (o[1], o[2])):
+        first.setdefault(w, (d, off))
+    out = {}
+    for d in sorted(toks):
+        ivs = [(off, off + k) for w, dd, off in occ
+               if dd == d and cnt[w] > 1 and first[w] != (d, off)]
+        if not ivs:
+            continue
+        ivs.sort()
+        merged = [list(ivs[0])]
+        for s, e in ivs[1:]:
+            if s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        out[d] = (len(toks[d]), len(ivs), len(merged),
+                  sum(e - s for s, e in merged),
+                  sum(e - s for s, e in merged) * 10000 // len(toks[d]))
+    return out
+
+
+def test_dup_token_spans_matches_semantic_reference(spark):
+    from llogtail_spark.operators.corpus import dup_token_spans
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "s", base + " unique tail one two three"),
+        (2, "s", "prefix words here " + base),          # shares a long span
+        (3, "s", "completely different tokens q w e r t y u i o p"),
+        (4, "s", base),                                  # full duplicate
+        (5, "s", "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),  # self-rep
+        (6, "s", "short doc"),                           # < k tokens: skipped
+    ]
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_dup_windows"], r["n_intervals"],
+                      r["dup_tok"], r["dup_bp"])
+        for r in dup_token_spans(_src_docs(spark, rows), k=8).collect()
+    }
+    assert got == _py_dup_spans(rows, 8)
+    assert 1 not in got          # doc 1 owns every first occurrence
+    assert 4 in got and got[4][3] == got[4][0]  # fully covered
+
+
+def test_dup_token_spans_interval_merge_overlap(spark):
+    # two removable windows overlapping by k-1 tokens must merge into
+    # ONE interval covering their union.
+    from llogtail_spark.operators.corpus import dup_token_spans
+
+    span = "a b c d e f g h i"           # 9 tokens -> two 8-windows
+    rows = [(1, "s", span + " z1 z2"), (2, "s", "y1 y2 " + span)]
+    got = {r["doc_id"]: r for r in
+           dup_token_spans(_src_docs(spark, rows), k=8).collect()}
+    assert list(got) == [2]
+    assert got[2]["n_dup_windows"] == 2
+    assert got[2]["n_intervals"] == 1
+    assert got[2]["dup_tok"] == 9
+
+
+def test_dup_token_spans_clean_corpus_and_layout(spark):
+    from llogtail_spark.operators.corpus import dup_token_spans
+
+    clean = [(i, "s", " ".join(f"d{i}_{j}" for j in range(12)))
+             for i in range(20)]
+    df = _src_docs(spark, clean)
+    assert dup_token_spans(df, k=8).count() == 0
+    dup = clean + [(100, "s", clean[0][2] + " extra tokens here")]
+    df2 = _src_docs(spark, dup)
+    a = sorted(map(tuple, dup_token_spans(df2.repartition(1), k=8).collect()))
+    b = sorted(map(tuple,
+                   dup_token_spans(df2.repartition(16, "text"), k=8).collect()))
+    assert a == b and len(a) == 1
+
+
+def test_dup_token_spans_plan_shape(spark):
+    # fingerprints in the scan stage (no Python), combinable firsts
+    # agg (partial_count + partial_min visible), per-doc windows only.
+    from llogtail_spark.operators.corpus import dup_token_spans
+
+    rows = [(i, "s", " ".join(f"w{j}" for j in range(20))) for i in range(10)]
+    plan = dup_token_spans(_src_docs(spark, rows))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

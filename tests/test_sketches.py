@@ -162,3 +162,112 @@ def test_heavy_hitters_empty_corpus(spark):
     sdf = spark.createDataFrame([(1, ""), (2, None)],
                                 "doc_id long, text string")
     assert heavy_hitters(sdf).count() == 0
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def _py_hll(groups):
+    """Pure-Python replication of hll_distinct's register file and
+    estimator — independent of both Spark and DuckDB."""
+    from llogtail_spark.functions.portable_hash import MOD, MULT, order_mults
+    from llogtail_spark.operators.sketches import (
+        HLL_LC, HLL_M, HLL_NUMER, HLL_RMAX,
+    )
+
+    a, b = order_mults(9)
+    out = {}
+    for grp, texts in groups.items():
+        regs = {}
+        for text in texts:
+            for tok in text.lower().split():
+                h = 0
+                for c in tok:
+                    h = (h * MULT + ord(c)) % MOD
+                hv = (h * a + b) % MOD
+                bkt, w = hv % HLL_M, hv // HLL_M
+                rho = HLL_RMAX if w == 0 else HLL_RMAX - w.bit_length()
+                regs[bkt] = max(regs.get(bkt, 0), rho)
+        n_seen = len(regs)
+        s = sum(1 << (HLL_RMAX - m) for m in regs.values())
+        s += (HLL_M - n_seen) * (1 << HLL_RMAX)
+        raw = HLL_NUMER // (1000000 * s)
+        est = (
+            HLL_LC[HLL_M - n_seen - 1]
+            if n_seen < HLL_M and raw <= 5 * HLL_M // 2
+            else raw
+        )
+        out[grp] = (n_seen, s, raw, est)
+    return out
+
+
+def test_hll_matches_python_reference(spark):
+    from llogtail_spark.operators.sketches import hll_distinct
+
+    rows = [
+        (1, "a", "alpha beta gamma delta epsilon zeta"),
+        (2, "a", "beta gamma eta theta iota"),
+        (3, "b", " ".join(f"tok{i}" for i in range(300))),
+    ]
+    expect = _py_hll({
+        "a": [rows[0][2], rows[1][2]], "b": [rows[2][2]],
+    })
+    got = {
+        r["source"]: (r["n_seen"], r["harmonic_scaled"],
+                      r["est_raw"], r["est_distinct"])
+        for r in hll_distinct(_docs(spark, rows)).collect()
+    }
+    assert got == expect
+
+
+def test_hll_linear_counting_regime(spark):
+    # tiny cardinality: raw HLL is biased ~2x high; the literal-table
+    # linear-counting branch must bring it within a few counts.
+    from llogtail_spark.operators.sketches import hll_distinct
+
+    text = " ".join(f"w{i}" for i in range(20))
+    out = hll_distinct(_docs(spark, [(1, "s", text)])).collect()[0]
+    assert out["est_raw"] > 25          # documents the raw bias
+    assert abs(out["est_distinct"] - 20) <= 5
+
+
+def test_hll_estimate_accuracy_large(spark):
+    from llogtail_spark.operators.sketches import HLL_M, hll_distinct
+
+    n_true = 5000
+    text = " ".join(f"tok{i}" for i in range(n_true))
+    out = hll_distinct(_docs(spark, [(1, "big", text)])).collect()[0]
+    rel_err = abs(out["est_distinct"] - n_true) / n_true
+    assert rel_err < 4 * 1.04 / math.sqrt(HLL_M), out["est_distinct"]
+
+
+def test_hll_layout_and_duplication_invariance(spark):
+    # registers are max-merge: repartitioning cannot move them, and
+    # mass duplication of one token cannot inflate them.
+    from llogtail_spark.operators.sketches import hll_distinct
+
+    rows = [(i, f"s{i % 3}", " ".join(f"w{i}_{j}" for j in range(40)))
+            for i in range(60)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, hll_distinct(df.repartition(1)).collect()))
+    b = sorted(map(tuple, hll_distinct(df.repartition(16, "doc_id")).collect()))
+    assert a == b
+    spam = _docs(spark, rows + [(999, "s0", " ".join(["w0_0"] * 5000))])
+    c = sorted(map(tuple, hll_distinct(spam).collect()))
+    assert a == c
+
+
+def test_hll_register_table_is_fixed_size(spark):
+    # the shuffled register relation is <= m rows per group no matter
+    # the input size - the mergeable-summary property.
+    from llogtail_spark.operators.sketches import HLL_M, hll_distinct
+
+    text = " ".join(f"tok{i}" for i in range(3000))
+    out = hll_distinct(_docs(spark, [(1, "s", text)])).collect()[0]
+    assert out["n_seen"] <= HLL_M
+    plan = (
+        hll_distinct(_docs(spark, [(1, "s", text)]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # pure Catalyst: no Python eval anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -202,6 +202,19 @@ SHOWCASE = [
      "projection in the scan stage, TakeOrderedAndProject top-k — "
      "per-partition heaps, no global sort, no SinglePartition "
      "exchange."),
+    ("seq_packing_docs",
+     "Concat-and-chunk training-sequence packing: tokenize-count in "
+     "the scan stage, ONE nshards-way exchange, per-shard cumsum "
+     "window — no global sort, no SinglePartition exchange."),
+    ("hll_distinct_tokens",
+     "HyperLogLog registers: explode in the scan stage, ONE "
+     "map-side-combinable (grp,bucket) max shuffle, m-bounded "
+     "per-group rollup — fixed-size mergeable summary, no Python."),
+    ("dup_token_spans",
+     "ExactSubstr spans: double rolling fingerprints as scan-stage "
+     "HOFs, ONE combinable count+min-struct shuffle on the "
+     "fingerprint, equi-join back, per-doc islands window — no "
+     "cartesian, no SinglePartition exchange."),
 ]
 
 
