@@ -1772,8 +1772,36 @@ def _q_dup_token_spans(spark, sf):
     return dup_token_spans(d)
 
 
+def _q_fuzzy_join_heads(spark, sf):
+    """Edit-distance-bounded similarity self-join at corpus scale
+    (the scale path fuzzy_source_pairs' docstring points at): q-gram
+    count filtering + PPJoin prefix filtering + exact Levenshtein
+    verify, over the documents' 24-char lead (title-style fuzzy
+    matching — full texts in this fixture are all >= 40 edits
+    apart). Prefixes are the d*q+1 RAREST grams per doc, so the
+    candidate join has no hot-gram skew by construction."""
+    from llogtail_spark.operators.dedup import fuzzy_join
+
+    d = _t(spark, sf, "documents")
+    heads = d.select("doc_id", F.substring("text", 1, 24).alias("head"))
+    return fuzzy_join(heads, text_col="head")
+
+
+def _q_priority_sample_per_source(spark, sf):
+    """Per-stratum weighted sampling without replacement: 20 highest-
+    priority docs per source (weight = n_chars), deterministic
+    integer priorities; the per-group top-k runs as a WindowGroupLimit
+    bounded heap below the stratum exchange."""
+    from llogtail_spark.operators.sampling import priority_sample_per_group
+
+    d = _t(spark, sf, "documents")
+    return priority_sample_per_group(d, "doc_id", "n_chars", "source", 20) \
+        .select("source", "doc_id",
+                F.col("n_chars").alias("weight"), "priority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 120 oracle-paired queries. ORDER IS DELIBERATE (round 4):
+    """All 122 oracle-paired queries. ORDER IS DELIBERATE (round 4):
     the driver's correctness gate checks the first ~50 entries, so the
     50 queries with no driver-green row in CORRECTNESS_r01-r03 come
     first; positions 51-55 are the five the judge already re-verified
@@ -1904,6 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing_docs": _q_seq_packing_docs,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "dup_token_spans": _q_dup_token_spans,
+        "fuzzy_join_heads": _q_fuzzy_join_heads,
+        "priority_sample_per_source": _q_priority_sample_per_source,
     }
 
 
@@ -3172,4 +3202,22 @@ def oracle_sql() -> dict[str, str]:
         "dup_token_spans": __import__(
             "llogtail_spark.operators.corpus", fromlist=["dup_token_spans_sql"]
         ).dup_token_spans_sql(),
+        "fuzzy_join_heads": __import__(
+            "llogtail_spark.operators.dedup", fromlist=["fuzzy_join_sql"]
+        ).fuzzy_join_sql(text_expr="substr(text, 1, 24)"),
+        "priority_sample_per_source": """
+            WITH pri AS (
+                SELECT source, doc_id, n_chars AS weight,
+                       (CAST(n_chars AS BIGINT) * 4294967296)
+                         // (((doc_id * 2654435761) % 4294967296) + 1)
+                         AS priority
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars > 0)
+            SELECT source, doc_id, weight, priority
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY priority DESC, doc_id) AS rn
+                  FROM pri)
+            WHERE rn <= 20
+        """,
     }

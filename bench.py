@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "seq_packing_docs",
     "hll_distinct_tokens",
     "dup_token_spans",
+    "fuzzy_join_heads",
+    "priority_sample_per_source",
 ]
 
 

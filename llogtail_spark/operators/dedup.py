@@ -851,3 +851,146 @@ def dup_cluster_histogram_sql() -> str:
                CAST(csize * count(*) AS BIGINT) AS n_docs
         FROM sizes GROUP BY csize
     """
+
+
+FJ_Q = 3          # q-gram width for the edit-distance join
+FJ_MAXDIST = 2    # edit-distance threshold
+
+
+def fuzzy_join(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", q: int = FJ_Q,
+               max_dist: int = FJ_MAXDIST) -> DataFrame:
+    """Edit-distance-bounded similarity self-join at corpus scale —
+    the scale path the dim-sized fuzzy_source_pairs sweep points at:
+    Gravano et al. (VLDB'01) q-gram count filtering + PPJoin-style
+    prefix filtering (Xiao et al. WWW'08), then exact Levenshtein
+    verification on the surviving candidates only.
+
+    Returns (doc_a, doc_b, dist:long) for every unordered pair of
+    documents whose NORMALIZED texts (lower + collapsed whitespace)
+    are within `max_dist` edits, doc_a < doc_b. Documents shorter
+    than q characters are out of scope (no q-grams; at web scale
+    short strings go through the exact-dedup hash path instead).
+
+    Why no false negatives: one edit changes at most q distinct
+    q-grams, so ed(a,b) <= d implies |G(a) \\ G(b)| <= d*q; under any
+    global total order on grams (here: ascending document frequency,
+    then gram — rarest first), two sets with overlap >= |G| - d*q
+    must collide within their (d*q + 1)-prefixes (the PPJoin prefix
+    lemma). Candidates are pairs sharing >= 1 prefix gram; everything
+    else is provably > max_dist away.
+
+    Scale shape (10^12 docs): gram frequency is ONE combinable
+    count shuffle; prefix selection is a per-doc bounded sort (gram
+    count per doc, never corpus-sized); the candidate join is
+    equi-join on PREFIX grams only — prefixes are the d*q + 1 RAREST
+    grams of each doc, so the hot-gram skew of a naive gram join is
+    bounded by construction (a stop-gram never enters a prefix unless
+    a doc has nothing rarer). Pair dedup happens on narrow (id, id)
+    rows; texts rejoin by id for the Levenshtein verify, which runs
+    only on candidates. No cartesian anywhere; every join is
+    equi-keyed and AQE-skew-eligible. Mass-duplicate caveat: k exact
+    copies legitimately produce k*(k-1)/2 output pairs — run
+    exact_dedup first at scale, as the docstring contract.
+
+    Reference anchor: identity comparison tolerating small drift —
+    the rotation detector compares (dev, inode, first-1KB MD5)
+    identities rather than full paths (utils.go:36-46); here the
+    identity is the q-gram profile and "small drift" is bounded edit
+    distance.
+    """
+    from pyspark.sql import Window as W
+
+    p = max_dist * q + 1
+    docs = df.select(
+        F.col(id_col).alias("_id"), normalize_text(text_col).alias("_s")
+    ).where(F.length("_s") >= q)
+    grams = docs.select(
+        "_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_s") - q + 1),
+                    lambda i: F.col("_s").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        grams.join(freq, "gram")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("_id").orderBy("df", "gram")
+            ),
+        )
+        .where(F.col("rn") <= p)
+        .select("_id", "gram")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "gram")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("ida"), F.col("b._id").alias("idb")
+        )
+        .distinct()
+    )
+    ta = docs.select(F.col("_id").alias("ida"), F.col("_s").alias("sa"))
+    tb = docs.select(F.col("_id").alias("idb"), F.col("_s").alias("sb"))
+    return (
+        cand.join(ta, "ida")
+        .join(tb, "idb")
+        .where(
+            F.abs(F.length("sa") - F.length("sb")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("sa", "sb").cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select(
+            F.col("ida").alias("doc_a"), F.col("idb").alias("doc_b"), "dist"
+        )
+    )
+
+
+def fuzzy_join_sql(q: int = FJ_Q, max_dist: int = FJ_MAXDIST,
+                   text_expr: str = "text") -> str:
+    """DuckDB twin of fuzzy_join: identical normalization, q-grams,
+    frequency-ordered prefixes, candidate join, Levenshtein verify.
+    `text_expr` is the SQL expression fed to the normalizer (the
+    Spark side passes the same pre-projected column)."""
+    p = max_dist * q + 1
+    return f"""
+        WITH docs AS (
+            SELECT doc_id AS id,
+                   trim(regexp_replace(lower({text_expr}), '{WS_CLASS}',
+                                       ' ', 'g')) AS s
+            FROM documents WHERE ({text_expr}) IS NOT NULL),
+        long_docs AS (
+            SELECT id, s FROM docs WHERE len(s) >= {q}),
+        grams AS (
+            SELECT id, unnest(list_distinct(list_transform(
+                       range(1, len(s) - {q} + 2),
+                       i -> s[i:i+{q - 1}]))) AS gram
+            FROM long_docs),
+        freq AS (
+            SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+        ranked AS (
+            SELECT id, gram,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY df, gram) AS rn
+            FROM grams JOIN freq USING (gram)),
+        pref AS (
+            SELECT id, gram FROM ranked WHERE rn <= {p}),
+        cand AS (
+            SELECT DISTINCT a.id AS ida, b.id AS idb
+            FROM pref a JOIN pref b USING (gram)
+            WHERE a.id < b.id)
+        SELECT ida AS doc_a, idb AS doc_b,
+               CAST(levenshtein(ta.s, tb.s) AS BIGINT) AS dist
+        FROM cand
+        JOIN long_docs ta ON ta.id = ida
+        JOIN long_docs tb ON tb.id = idb
+        WHERE abs(len(ta.s) - len(tb.s)) <= {max_dist}
+          AND levenshtein(ta.s, tb.s) <= {max_dist}
+    """

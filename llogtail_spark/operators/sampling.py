@@ -408,3 +408,69 @@ def priority_sample_sql(key_col: str, weight_col: str, k: int,
         ORDER BY priority DESC, {key_col}
         LIMIT {k}
     """
+
+
+def priority_sample_per_group(df: DataFrame, key_col: str,
+                              weight_col: str, group_col: str,
+                              k: int) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the
+    priority_sample estimator applied independently inside every
+    group — k highest-priority rows per group, deterministic (u is a
+    pure function of the key, so re-runs, repartitioning and
+    speculative retries keep the same rows). The per-source variant
+    of a training-mix builder: "give me the k heaviest-ish docs per
+    source, weight-proportionally, reproducibly".
+
+    Scale shape: priority is a scan-local projection; the per-group
+    top-k plans as a rank filter under WindowGroupLimit — Spark keeps
+    a bounded k-heap per group BELOW the stratum exchange, so a
+    billion-row group ships at most k rows per map task (the
+    stratified_sample_events discipline; pinned in test_sampling).
+
+    Returns (group_col, key_col, weight_col, priority), ties broken
+    by key.
+    """
+    from pyspark.sql import Window as W
+
+    out = (
+        df.filter(F.col(key_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(
+            "_u",
+            F.pmod(
+                F.col(key_col).cast("long") * F.lit(2654435761),
+                F.lit(4294967296),
+            )
+            + 1,
+        )
+        .withColumn(
+            "priority",
+            F.expr(f"(cast({weight_col} as bigint) * 4294967296L) div _u"),
+        )
+    )
+    w = W.partitionBy(group_col).orderBy(F.desc("priority"), F.col(key_col))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(group_col, key_col, weight_col, "priority")
+    )
+
+
+def priority_sample_per_group_sql(key_col: str, weight_col: str,
+                                  group_col: str, k: int,
+                                  table: str) -> str:
+    """DuckDB twin of priority_sample_per_group."""
+    return f"""
+        WITH pri AS (
+            SELECT {group_col}, {key_col}, {weight_col},
+                   (CAST({weight_col} AS BIGINT) * 4294967296)
+                     // ((({key_col} * 2654435761) % 4294967296) + 1)
+                     AS priority
+            FROM {table}
+            WHERE {key_col} IS NOT NULL AND {weight_col} > 0)
+        SELECT {group_col}, {key_col}, {weight_col}, priority
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY {group_col}
+                  ORDER BY priority DESC, {key_col}) AS rn
+              FROM pri)
+        WHERE rn <= {k}
+    """

@@ -511,3 +511,102 @@ def test_containment_catches_subset_jaccard_misses(spark):
     j = ngram_jaccard(pairs, "_ta", "_tb").collect()[0]
     assert c["containment_x10000"] == 10000
     assert j["jaccard_x10000"] < 7000
+
+
+# ------------------------------------------------------- fuzzy_join
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _norm(s):
+    import re
+    return re.sub(r"[ \t\n\r\f\x0b]+", " ", s.lower()).strip()
+
+
+def _bf_pairs(rows, max_dist, q=3):
+    out = {}
+    norm = {d: _norm(t) for d, t in rows if t is not None}
+    ids = sorted(d for d in norm if len(norm[d]) >= q)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            dd = _lev(norm[a], norm[b])
+            if dd <= max_dist:
+                out[(a, b)] = dd
+    return out
+
+
+def test_fuzzy_join_matches_bruteforce_planted(spark):
+    from llogtail_spark.operators.dedup import fuzzy_join
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "quback")),         # ed 2 (sub + ins)
+        (3, base + "!"),                              # ed 1
+        (4, "The  Quick brown fox jumps over the lazy dog"),  # ed 0 normed
+        (5, base.replace("brown fox", "green cat")),  # ed > 2
+        (6, "completely unrelated string here"),
+        (7, None),                                    # NULL drops
+        (8, "ab"),                                    # < q chars drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["dist"]
+           for r in fuzzy_join(df).collect()}
+    assert got == _bf_pairs(rows, 2)
+    assert got[(1, 3)] == 1 and got[(1, 4)] == 0 and got[(1, 2)] == 2
+    assert (1, 5) not in got
+
+
+def test_fuzzy_join_randomized_no_false_negatives(spark):
+    # deterministic pseudo-random corpus with planted edits at the
+    # threshold boundary: the prefix filter must lose NOTHING.
+    import random
+
+    from llogtail_spark.operators.dedup import fuzzy_join
+
+    rng = random.Random(42)
+    alpha = "abcdefgh "
+    rows = []
+    did = 0
+    for _ in range(30):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(10, 30)))
+        rows.append((did, s)); did += 1
+        if rng.random() < 0.6:  # plant a <=2-edit neighbor
+            t = list(s)
+            for _ in range(rng.randint(1, 2)):
+                op = rng.choice("sid")
+                pos = rng.randrange(len(t))
+                if op == "s":
+                    t[pos] = rng.choice(alpha)
+                elif op == "i":
+                    t.insert(pos, rng.choice(alpha))
+                elif len(t) > 4:
+                    del t[pos]
+            rows.append((did, "".join(t))); did += 1
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["dist"]
+           for r in fuzzy_join(df).collect()}
+    assert got == _bf_pairs(rows, 2)
+
+
+def test_fuzzy_join_plan_no_cartesian_no_python(spark):
+    from llogtail_spark.operators.dedup import fuzzy_join
+
+    rows = [(i, f"string number {i} with shared structure")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    plan = fuzzy_join(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

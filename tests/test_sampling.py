@@ -265,3 +265,38 @@ def test_priority_sample_plans_take_ordered(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_priority_sample_per_group_exact_and_plan(spark):
+    # pure-Python replication per group + WindowGroupLimit pin.
+    from llogtail_spark.operators.sampling import priority_sample_per_group
+
+    rows = [(i, f"g{i % 3}", 1 + (i * 7) % 50) for i in range(1, 91)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    k = 5
+    got = sorted(
+        (r["source"], r["doc_id"], r["w"], r["priority"])
+        for r in priority_sample_per_group(df, "doc_id", "w", "source", k)
+        .collect()
+    )
+    expect = []
+    by_g = {}
+    for i, g, w in rows:
+        u = (i * 2654435761) % 4294967296 + 1
+        by_g.setdefault(g, []).append((w * 4294967296 // u, i, w))
+    for g, lst in by_g.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        expect += [(g, i, w, p) for p, i, w in lst[:k]]
+    assert got == sorted(expect)
+    # layout invariance
+    again = sorted(
+        (r["source"], r["doc_id"], r["w"], r["priority"])
+        for r in priority_sample_per_group(
+            df.repartition(16, "w"), "doc_id", "w", "source", k
+        ).collect()
+    )
+    assert again == got
+    plan = priority_sample_per_group(df, "doc_id", "w", "source", k) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Exchange SinglePartition" not in plan

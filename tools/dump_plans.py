@@ -215,6 +215,11 @@ SHOWCASE = [
      "HOFs, ONE combinable count+min-struct shuffle on the "
      "fingerprint, equi-join back, per-doc islands window — no "
      "cartesian, no SinglePartition exchange."),
+    ("fuzzy_join_heads",
+     "Edit-distance similarity join: q-gram explode, combinable "
+     "frequency count, per-doc bounded prefix window, equi-join on "
+     "rarest prefix grams only, Levenshtein verify on candidates — "
+     "no cartesian, no hot-gram skew."),
 ]
 
 
