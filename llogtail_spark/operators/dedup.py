@@ -856,6 +856,24 @@ def dup_cluster_histogram_sql() -> str:
 FJ_Q = 3          # q-gram width for the edit-distance join
 FJ_MAXDIST = 2    # edit-distance threshold
 
+# prefix relations cached by fuzzy_join (see its docstring); callers
+# that build many fuzzy joins (bench loops) release them when done —
+# the release_bloom_broadcasts() discipline from operators/joins.py
+_FUZZY_CACHES: list = []
+
+
+def release_fuzzy_caches() -> int:
+    """Unpersist every prefix relation cached by fuzzy_join so far;
+    returns how many were released."""
+    n = 0
+    while _FUZZY_CACHES:
+        try:
+            _FUZZY_CACHES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def fuzzy_join(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", q: int = FJ_Q,
@@ -889,9 +907,15 @@ def fuzzy_join(df: DataFrame, text_col: str = "text",
     a doc has nothing rarer). Pair dedup happens on narrow (id, id)
     rows; texts rejoin by id for the Levenshtein verify, which runs
     only on candidates. No cartesian anywhere; every join is
-    equi-keyed and AQE-skew-eligible. Mass-duplicate caveat: k exact
-    copies legitimately produce k*(k-1)/2 output pairs — run
-    exact_dedup first at scale, as the docstring contract.
+    equi-keyed and AQE-skew-eligible. The prefix relation is
+    persisted (MEMORY_AND_DISK, lazy — no job at construction): the
+    self-join consumes it twice and re-deriving it (scan + explode +
+    frequency join + window) on both branches measured 5x slower
+    end-to-end at sf0.1; it is registered for release via
+    release_fuzzy_caches() (the release_bloom_broadcasts discipline).
+    Mass-duplicate caveat: k exact copies legitimately produce
+    k*(k-1)/2 output pairs — run exact_dedup first at scale, as the
+    docstring contract.
 
     Reference anchor: identity comparison tolerating small drift —
     the rotation detector compares (dev, inode, first-1KB MD5)
@@ -917,6 +941,8 @@ def fuzzy_join(df: DataFrame, text_col: str = "text",
         ).alias("gram"),
     )
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.storagelevel import StorageLevel
+
     ranked = (
         grams.join(freq, "gram")
         .withColumn(
@@ -927,7 +953,9 @@ def fuzzy_join(df: DataFrame, text_col: str = "text",
         )
         .where(F.col("rn") <= p)
         .select("_id", "gram")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _FUZZY_CACHES.append(ranked)
     cand = (
         ranked.alias("a")
         .join(ranked.alias("b"), "gram")
