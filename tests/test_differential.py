@@ -826,3 +826,64 @@ def test_conversion_latency_matches_duckdb_on_random_events(spark):
         entry.oracle_sql()["conversion_latency"]).fetchall()]
     assert got == want, (got, want)
     assert got[0][0] > 10  # enough converting users to mean something
+
+
+def test_round4_ops_match_duckdb_on_random_texts(spark):
+    """seq_packing / hll_distinct / dup_token_spans / fuzzy_join vs
+    their DuckDB oracles on adversarial random texts (mixed
+    whitespace runs, repeated phrases, near-identical strings, empty
+    and NULL docs) — the same cross-engine drift net the older corpus
+    ops run under."""
+    import __spark_entry__ as entry  # noqa: F401  (oracle parity style)
+    from llogtail_spark.operators.corpus import (
+        dup_token_spans, dup_token_spans_sql, seq_packing, seq_packing_sql,
+    )
+    from llogtail_spark.operators.dedup import (
+        fuzzy_join, fuzzy_join_sql, release_fuzzy_caches,
+    )
+    from llogtail_spark.operators.sketches import (
+        hll_distinct, hll_distinct_sql,
+    )
+
+    rng = np.random.default_rng(SEED)
+    vocab = ["foo", "BAR", "baz,", "q-x", "the", "a!", "zz9", "..", "&"]
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(0, 40))
+        ws = rng.choice([" ", "  ", "\t", " \n"], size=max(n, 1))
+        words = rng.choice(vocab, size=n)
+        docs.append((i, f"s{i % 4}",
+                     "".join(w + s for w, s in zip(words, ws))))
+    # repeated phrase -> dup_token_spans work; near-identical strings
+    # -> fuzzy_join work
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs += [(300 + j, "s0", f"lead {j} {phrase} tail {j}")
+             for j in range(4)]
+    docs += [(400, "s1", "nearly identical string value one"),
+             (401, "s1", "nearly identicaX string value one"),
+             (402, "s1", "nearly identical string value one!"),
+             (900, "s2", ""), (901, "s2", "   \t "), (902, "s3", None)]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "source", "text"])
+
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    for name, df, sql in [
+        ("seq_packing", seq_packing(sdf), seq_packing_sql()),
+        ("hll_distinct", hll_distinct(sdf), hll_distinct_sql()),
+        ("dup_token_spans", dup_token_spans(sdf), dup_token_spans_sql()),
+        ("fuzzy_join", fuzzy_join(sdf), fuzzy_join_sql()),
+    ]:
+        got = sorted(map(tuple, df.collect()))
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want, name
+    release_fuzzy_caches()
+
+    # the planted structures must actually be found
+    spans = {r["doc_id"] for r in dup_token_spans(sdf).collect()}
+    assert {301, 302, 303} <= spans  # later copies of the phrase
+    fz = {(r["doc_a"], r["doc_b"]): r["dist"]
+          for r in fuzzy_join(sdf).collect()}
+    release_fuzzy_caches()
+    assert fz[(400, 401)] == 1 and fz[(400, 402)] == 1
