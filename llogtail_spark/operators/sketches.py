@@ -463,6 +463,17 @@ def hll_distinct(df: DataFrame, text_col: str = "text",
     table is m rows per group forever, the mergeable summary that
     replaces an exact distinct at any scale.
     """
+    return hll_finalize(hll_registers(df, text_col, group_col), group_col)
+
+
+def hll_registers(df: DataFrame, text_col: str = "text",
+                  group_col: str = "source") -> DataFrame:
+    """The register file of hll_distinct: (grp, bucket, m_b) — the
+    mergeable fixed-size summary itself. Merging two corpora's
+    register files is max(m_b) per (grp, bucket): idempotent and
+    commutative, which is what makes the streaming ingest twin
+    replay-exact (re-committing a batch's registers is a no-op under
+    max)."""
     toks = df.select(
         F.col(group_col).alias("grp"),
         F.explode(
@@ -484,9 +495,14 @@ def hll_distinct(df: DataFrame, text_col: str = "text",
         .otherwise(F.lit(HLL_RMAX) - F.length(F.bin(F.col("w"))))
         .cast("int")
     )
-    regs = hashed.select("grp", "bucket", rho.alias("rho")).groupBy(
+    return hashed.select("grp", "bucket", rho.alias("rho")).groupBy(
         "grp", "bucket"
-    ).agg(F.max("rho").alias("m_b"))
+    ).agg(F.max("rho").cast("int").alias("m_b"))
+
+
+def hll_finalize(regs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Roll a register file (grp, bucket, m_b) into the hll_distinct
+    output columns."""
     rolled = regs.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("n_seen"),
         F.sum(

@@ -228,3 +228,85 @@ def stream_boilerplate_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hll_ingest_batch(
+    spark: SparkSession,
+    bdf,
+    batch_id: int,
+    index_path: str,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> None:
+    """Incremental HyperLogLog over ONE micro-batch: the batch's
+    register file (grp, bucket, m_b) overwrites its own
+    `tag=h<batch_id>/` directory. No read-modify-write of global
+    state — the snapshot merge (hll_snapshot) is max per register
+    across tags, and max is idempotent + commutative, so a crash
+    replay that recommits the same tag converges byte-identically:
+    the strongest form of the replay-exactness the dedup/boilerplate
+    ingests get from tag exclusion, available here for free because
+    the summary is a semilattice (the property that makes HLL the
+    sketch of choice for streaming distinct counts at 10^12 rows —
+    register files are a few KB per group regardless of input)."""
+    from llogtail_spark.operators.sketches import hll_registers
+
+    regs = hll_registers(bdf, text_col, group_col)
+    regs.write.mode("overwrite").parquet(
+        os.path.join(index_path, f"tag=h{batch_id}")
+    )
+
+
+def hll_snapshot(spark: SparkSession, index_path: str,
+                 group_col: str = "source"):
+    """Merge every committed tag's register file and finalize: the
+    result equals batch hll_distinct over the union of all ingested
+    micro-batches EXACTLY (register max-merge loses nothing), which
+    tests/test_streaming pins against a randomized multi-file
+    stream."""
+    from llogtail_spark.operators.sketches import hll_finalize
+
+    tags = _history_tags(index_path, own_tag="")
+    regs = (
+        spark.read.parquet(*tags)
+        .groupBy("grp", "bucket")
+        .agg(F.max("m_b").cast("int").alias("m_b"))
+    )
+    return hll_finalize(regs, group_col)
+
+
+def stream_hll_ingest(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    text_col: str = "text",
+    group_col: str = "source",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming HLL ingest. Returns the StreamingQuery."""
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField(group_col, T.StringType()),
+                T.StructField(text_col, T.StringType()),
+            ]
+        )
+    opts = {}
+    if max_files_per_trigger:
+        opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    stream = (
+        spark.readStream.schema(schema).options(**opts).parquet(input_path)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda bdf, bid: hll_ingest_batch(
+            spark, bdf, bid, index_path,
+            text_col=text_col, group_col=group_col,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

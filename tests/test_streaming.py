@@ -1124,3 +1124,50 @@ def test_running_totals_transform_with_state(spark, tmp_path):
                   for r in rows)
     assert hist == [("errors", 2, 15), ("errors", 3, 18),
                     ("firehose", 1, 7)], hist
+
+
+def test_hll_stream_snapshot_equals_batch_sketch(spark, tmp_path):
+    """Streaming HLL ingest: a randomized corpus split across 5
+    micro-batches, merged via register max — the snapshot must equal
+    batch hll_distinct over the whole corpus EXACTLY (the mergeable-
+    summary property in anger), and re-committing a batch's registers
+    (crash replay) must change nothing (max is idempotent)."""
+    import random
+
+    from llogtail_spark.operators.sketches import hll_distinct
+    from llogtail_spark.streaming.ingest import (
+        hll_ingest_batch, hll_snapshot, stream_hll_ingest,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (i, f"s{i % 3}",
+         " ".join(f"tok{rng.randrange(400)}" for _ in range(30)))
+        for i in range(200)
+    ]
+    src = str(tmp_path / "in")
+    for f in range(5):
+        spark.createDataFrame(
+            rows[f * 40:(f + 1) * 40], "doc_id long, source string, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    idx = str(tmp_path / "hidx")
+    q = stream_hll_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    snap = sorted(map(tuple, hll_snapshot(spark, idx).collect()))
+    full = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    want = sorted(map(tuple, hll_distinct(full).collect()))
+    assert snap == want
+
+    # crash replay: recommit batch 0's registers from its own data
+    bdf = spark.createDataFrame(
+        rows[:40], "doc_id long, source string, text string"
+    )
+    hll_ingest_batch(spark, bdf, 0, idx)
+    again = sorted(map(tuple, hll_snapshot(spark, idx).collect()))
+    assert again == snap
