@@ -1800,8 +1800,20 @@ def _q_priority_sample_per_source(spark, sf):
                 F.col("n_chars").alias("weight"), "priority")
 
 
+def _q_bfs_levels_parts(spark, sf):
+    """Single-source BFS hop counts over the co-purchase graph
+    (Pregel-lite frontier loop, checkpointed visited set, loud-fail
+    diameter bound); oracle is a DuckDB RECURSIVE CTE with the same
+    bound — the data-dependent-termination twin of pagerank's
+    fixed-iteration loop."""
+    from llogtail_spark.operators.indexing import bfs_levels, copurchase_edges
+
+    li = _t(spark, sf, "lineitem")
+    return bfs_levels(copurchase_edges(li))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 122 oracle-paired queries. ORDER IS DELIBERATE (round 4):
+    """All 123 oracle-paired queries. ORDER IS DELIBERATE (round 4):
     the driver's correctness gate checks the first ~50 entries, so the
     50 queries with no driver-green row in CORRECTNESS_r01-r03 come
     first; positions 51-55 are the five the judge already re-verified
@@ -1934,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_token_spans": _q_dup_token_spans,
         "fuzzy_join_heads": _q_fuzzy_join_heads,
         "priority_sample_per_source": _q_priority_sample_per_source,
+        "bfs_levels_parts": _q_bfs_levels_parts,
     }
 
 
@@ -3220,4 +3233,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM pri)
             WHERE rn <= 20
         """,
+        "bfs_levels_parts": __import__(
+            "llogtail_spark.operators.indexing", fromlist=["bfs_levels_sql"]
+        ).bfs_levels_sql(),
     }

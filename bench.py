@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "dup_token_spans",
     "fuzzy_join_heads",
     "priority_sample_per_source",
+    "bfs_levels_parts",
 ]
 
 

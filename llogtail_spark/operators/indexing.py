@@ -339,3 +339,103 @@ def triangle_counts(edges: DataFrame,
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
+
+
+BFS_MAX_ITER = 20
+
+
+def bfs_levels(edges: DataFrame, src=None,
+               max_iter: int = BFS_MAX_ITER) -> DataFrame:
+    """Single-source shortest hop counts (BFS) over an undirected
+    (u, v) edge list — frontier expansion, the Pregel-lite loop that
+    complements pagerank's fixed-iteration shape with a
+    data-dependent-termination one. Returns (node, dist:int) for
+    every node reachable from `src` (default: the minimum node id —
+    deterministic; in a u<v edge list the global minimum always
+    appears in the u column).
+
+    Scale shape (10^9 nodes): the bidirectional adjacency is
+    checkpointed ONCE (reliable when sc.setCheckpointDir is set, the
+    pagerank/ckpt.py discipline) and every round is one equi-join
+    frontier x adjacency + one left-anti against the visited set —
+    all key-partitioned, no broadcast of node-sized state, no driver
+    data. The visited set re-checkpoints every round, so lineage
+    stays O(1) deep no matter the diameter. Each round costs one
+    isEmpty() action (a driver boolean, not data).
+
+    Loud-fail contract: if the frontier is still non-empty after
+    max_iter rounds the result would be silently incomplete — raise
+    instead (the oracle's recursion carries the same bound, so the
+    two engines agree exactly whenever the operator returns at all).
+
+    Reference anchor: recovery walks the pending-rotation queue
+    transitively until no new work appears (log_watcher.go:163-200)
+    — the same converge-until-empty-frontier loop, here over a
+    graph.
+    """
+    from llogtail_spark.operators.ckpt import checkpoint
+
+    spark = edges.sparkSession
+    bidir = checkpoint(
+        edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        eager=False,
+    )
+    if src is None:
+        src = edges.agg(F.min("u")).collect()[0][0]  # driver scalar
+    schema = edges.select(F.col("u").alias("node")).schema \
+        .add("dist", "integer")
+    levels = spark.createDataFrame([(src, 0)], schema)
+    frontier = levels
+    for d in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(bidir, frontier.node == bidir.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(levels, "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("integer"))
+        )
+        nxt = checkpoint(nxt, eager=True)
+        if nxt.isEmpty():
+            return levels
+        levels = checkpoint(levels.union(nxt), eager=False)
+        frontier = nxt
+    if not frontier.join(bidir, frontier.node == bidir.u) \
+            .select(F.col("v").alias("node")).distinct() \
+            .join(levels, "node", "left_anti").isEmpty():
+        raise RuntimeError(
+            f"bfs_levels: frontier still non-empty after {max_iter} "
+            "rounds - raise max_iter (graph diameter exceeds the bound; "
+            "returning now would silently truncate distances)"
+        )
+    return levels
+
+
+def bfs_levels_sql(max_iter: int = BFS_MAX_ITER) -> str:
+    """DuckDB twin of bfs_levels over the co-purchase graph: a
+    recursive CTE bounded by the same max_iter (UNION set semantics
+    dedupe (node, dist) pairs, so the recursion is O(N * diameter)
+    rows, not path-enumeration), then min(dist) per node — equal to
+    frontier BFS whenever the bound holds, which the Spark side
+    enforces loudly."""
+    return f"""
+        WITH RECURSIVE items AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        base AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        bidir AS (
+            SELECT u, v FROM base UNION ALL SELECT v AS u, u AS v FROM base),
+        walk(node, dist) AS (
+            SELECT (SELECT min(u) FROM base), 0
+            UNION
+            SELECT bidir.v, walk.dist + 1
+            FROM walk JOIN bidir ON walk.node = bidir.u
+            WHERE walk.dist < {max_iter}),
+        best AS (
+            SELECT node, min(dist) AS d FROM walk GROUP BY node)
+        SELECT node, CAST(d AS INTEGER) AS dist FROM best
+    """

@@ -439,3 +439,45 @@ def test_triangle_counts_broadcast_knob_changes_plan(spark):
     for plan in (p_on, p_off):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------- bfs_levels
+
+
+def test_bfs_levels_hand_graph(spark):
+    from llogtail_spark.operators.indexing import bfs_levels
+
+    # path 1-2-3-4-5, plus a disconnected pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "u long, v long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_levels(edges).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # 10,11 unreachable
+    # explicit source, reverse direction travels the undirected edges
+    got5 = {r["node"]: r["dist"] for r in bfs_levels(edges, src=5).collect()}
+    assert got5 == {5: 0, 4: 1, 3: 2, 2: 3, 1: 4}
+
+
+def test_bfs_levels_raises_past_max_iter(spark):
+    import pytest as _pytest
+
+    from llogtail_spark.operators.indexing import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    with _pytest.raises(RuntimeError, match="non-empty after 2"):
+        bfs_levels(edges, max_iter=2)
+
+
+def test_bfs_levels_layout_invariance(spark):
+    import random
+
+    from llogtail_spark.operators.indexing import bfs_levels
+
+    rng = random.Random(5)
+    edges = [(i, rng.randrange(i + 1, 60)) for i in range(59) if i < 59]
+    df = spark.createDataFrame(edges, "u long, v long")
+    a = sorted(map(tuple, bfs_levels(df.repartition(1)).collect()))
+    b = sorted(map(tuple, bfs_levels(df.repartition(16, "v")).collect()))
+    assert a == b and a[0][1] == 0
