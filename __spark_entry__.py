@@ -1812,8 +1812,21 @@ def _q_bfs_levels_parts(spark, sf):
     return bfs_levels(copurchase_edges(li))
 
 
+def _q_dsir_weights_en(spark, sf):
+    """DSIR importance weights (Xie et al. 2023) targeting the
+    English sub-corpus: hashed uni+bigram features into 1024 buckets,
+    smoothed target-vs-corpus eighth-bit log-likelihood ratio per
+    doc — the classifier-free domain-matching data-selection score.
+    The 1024-row bucket table broadcasts; zero corpus-sized shuffles
+    beyond the per-doc result exchange."""
+    from llogtail_spark.operators.corpus import dsir_weights
+
+    d = _t(spark, sf, "documents")
+    return dsir_weights(d, F.col("lang") == "en")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 123 oracle-paired queries. ORDER IS DELIBERATE (round 4):
+    """All 124 oracle-paired queries. ORDER IS DELIBERATE (round 4):
     the driver's correctness gate checks the first ~50 entries, so the
     50 queries with no driver-green row in CORRECTNESS_r01-r03 come
     first; positions 51-55 are the five the judge already re-verified
@@ -1947,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_heads": _q_fuzzy_join_heads,
         "priority_sample_per_source": _q_priority_sample_per_source,
         "bfs_levels_parts": _q_bfs_levels_parts,
+        "dsir_weights_en": _q_dsir_weights_en,
     }
 
 
@@ -3236,4 +3250,5 @@ def oracle_sql() -> dict[str, str]:
         "bfs_levels_parts": __import__(
             "llogtail_spark.operators.indexing", fromlist=["bfs_levels_sql"]
         ).bfs_levels_sql(),
+        "dsir_weights_en": _corpus_mod().dsir_weights_sql("lang = 'en'"),
     }

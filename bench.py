@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "fuzzy_join_heads",
     "priority_sample_per_source",
     "bfs_levels_parts",
+    "dsir_weights_en",
 ]
 
 

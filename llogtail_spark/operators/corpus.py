@@ -2404,3 +2404,161 @@ def dup_token_spans_sql(k: int = DUP_WIN) -> str:
                    AS dup_bp
         FROM islands GROUP BY doc_id
     """
+
+
+DSIR_B = 1024        # hashed feature buckets
+DSIR_SEED = 11       # hash family member for feature bucketing
+
+
+def dsir_weights(df: DataFrame, target_pred, text_col: str = "text",
+                 id_col: str = "doc_id", b: int = DSIR_B) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much its hashed-n-gram profile looks like a TARGET domain
+    versus the raw corpus, so a pretraining mix can resample toward
+    the domain without training a classifier.
+
+    Features are unigrams + bigrams hashed into `b` buckets (the
+    paper's hashed n-gram representation) on the portable family;
+    the target (rows matching `target_pred`, a boolean Column) and
+    the full corpus each yield a b-bucket count distribution with
+    add-one smoothing, and
+
+        dsir_x8(doc) = sum over the doc's feature occurrences of
+            [elog8(c_target_bucket + 1) - elog8(c_corpus_bucket + 1)]
+            - n_feats(doc) * [elog8(N_t + b) - elog8(N_q + b)]
+
+    — the log-likelihood ratio log p_target/p_corpus in the exact-
+    portable eighth-bit integer domain (the unigram_surprisal
+    discipline: no libm anywhere, DuckDB reproduces every bit; the
+    normalizer difference is a per-corpus CONSTANT folded in exactly
+    rather than per-bucket, which keeps the big per-doc sum to one
+    integer subtraction per feature).
+
+    Output, one row per non-empty document:
+      (id_col, n_feats:long, dsir_x8:long) — higher = more
+    target-like; resampling = keep top-k by (dsir_x8, id), the
+    priority_sample / token_budget machinery downstream.
+
+    Scale shape (10^12 docs): BOTH bucket distributions are b-row
+    combinable aggs off one feature explode (the corpus count agg and
+    its target-filtered twin); the per-doc pass broadcast-joins the
+    b-row table (b = 1024 rows, trivially broadcastable at any corpus
+    size — the POINT of hashing the features) and collapses map-side
+    on the id, exactly the surprisal shape: zero corpus-sized
+    shuffles beyond the one per-doc result exchange.
+    """
+    from llogtail_spark.functions.portable_hash import (
+        MOD, char_fold_hash, seeded_hash,
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("boolean").alias("_is_t"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    WS_CLASS),
+            lambda x: x != "",
+        ).alias("t"),
+    ).where(F.size("t") > 0)
+    th = toks.select(
+        id_col, "_is_t",
+        F.transform(F.col("t"), lambda x: char_fold_hash(x)).alias("th"),
+    )
+    # feature buckets: unigram hashes ++ bigram fold hashes
+    uni = F.transform(F.col("th"), lambda h: F.pmod(seeded_hash(h, DSIR_SEED), F.lit(b)))
+    big = F.when(
+        F.size("th") >= 2,
+        F.transform(
+            F.slice(F.col("th"), 1, F.size("th") - 1),
+            lambda h, i: F.pmod(
+                seeded_hash(
+                    (h * F.lit(8191)
+                     + F.element_at(F.col("th"), i + 2)) % F.lit(MOD),
+                    DSIR_SEED + 1,
+                ),
+                F.lit(b),
+            ),
+        ),
+    ).otherwise(F.array())
+    feats = th.select(
+        id_col, "_is_t", F.explode(F.concat(uni, big)).alias("bkt")
+    )
+    dist = feats.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("c_q"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("c_t"),
+    )
+    # the per-corpus normalizer constant rides a broadcast 1-row
+    # aggregate (the repo's only sanctioned crossJoin shape) — no
+    # driver collect, nothing eager at construction
+    konst = dist.agg(
+        (_elog8(F.sum("c_t") + b) - _elog8(F.sum("c_q") + b))
+        .cast("long").alias("konst")
+    )
+    scored = (
+        feats.join(F.broadcast(dist), "bkt")
+        .crossJoin(F.broadcast(konst))
+        .select(
+            id_col,
+            (_elog8(F.col("c_t") + 1) - _elog8(F.col("c_q") + 1))
+            .alias("d"),
+            "konst",
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        (F.sum("d") - F.count(F.lit(1)) * F.first("konst"))
+        .cast("long").alias("dsir_x8"),
+    )
+
+
+def dsir_weights_sql(target_sql_pred: str, b: int = DSIR_B) -> str:
+    """DuckDB twin of dsir_weights — identical feature hashing,
+    smoothed bucket distributions, eighth-bit log-ratio."""
+    from llogtail_spark.functions.portable_hash import (
+        MOD, char_fold_hash_sql, seed_mults,
+    )
+
+    a1, b1 = seed_mults(DSIR_SEED)
+    a2, b2 = seed_mults(DSIR_SEED + 1)
+    cf = char_fold_hash_sql("x")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(({target_sql_pred}) AS BOOLEAN) AS is_t,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        th AS (
+            SELECT doc_id, is_t,
+                   list_transform(t, x -> {cf}) AS th
+            FROM toks WHERE len(t) > 0),
+        feats AS (
+            SELECT doc_id, is_t, unnest(
+                list_concat(
+                    list_transform(th, h -> (h * {a1} + {b1}) % {MOD} % {b}),
+                    CASE WHEN len(th) >= 2 THEN
+                        list_transform(range(1, len(th)),
+                            i -> (((th[i] * 8191 + th[i + 1]) % {MOD})
+                                  * {a2} + {b2}) % {MOD} % {b})
+                    ELSE [] END)) AS bkt
+            FROM th),
+        dist AS (
+            SELECT bkt, count(*) AS c_q,
+                   sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+            FROM feats GROUP BY bkt),
+        tot AS (
+            SELECT sum(c_q) + {b} AS nqb, sum(c_t) + {b} AS ntb FROM dist),
+        konst AS (
+            SELECT CAST({_elog8_sql('ntb')} - {_elog8_sql('nqb')} AS BIGINT)
+                       AS c
+            FROM tot)
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum({_elog8_sql('d.c_t + 1')}
+                        - {_elog8_sql('d.c_q + 1')})
+                    - count(*) * any_value(k.c) AS BIGINT) AS dsir_x8
+        FROM feats f JOIN dist d USING (bkt) CROSS JOIN konst k
+        GROUP BY f.doc_id
+    """

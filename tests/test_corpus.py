@@ -1020,3 +1020,104 @@ def test_dup_token_spans_plan_shape(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+# --------------------------------------------------- dsir_weights
+
+
+def _py_dsir(rows, target_srcs, b=1024):
+    """Pure-Python replication of dsir_weights (hash family, hashed
+    uni+bigram features, smoothed eighth-bit log-ratio)."""
+    from llogtail_spark.functions.portable_hash import MOD, MULT, seed_mults
+    from llogtail_spark.operators.corpus import DSIR_SEED
+
+    def elog8(x):
+        bits = x.bit_length()
+        return (bits - 1) * 8 + (x * 8) // (1 << (bits - 1)) - 8
+
+    def cf(tok):
+        h = 0
+        for c in tok:
+            h = (h * MULT + ord(c)) % MOD
+        return h
+
+    a1, b1 = seed_mults(DSIR_SEED)
+    a2, b2 = seed_mults(DSIR_SEED + 1)
+    per_doc, dist = {}, {}
+    for did, src, text in rows:
+        toks = [t for t in (text or "").lower().split() if t]
+        if not toks:
+            continue
+        th = [cf(t) for t in toks]
+        feats = [(h * a1 + b1) % MOD % b for h in th]
+        feats += [(((th[i] * 8191 + th[i + 1]) % MOD) * a2 + b2) % MOD % b
+                  for i in range(len(th) - 1)]
+        per_doc[did] = feats
+        for f in feats:
+            cq, ct = dist.get(f, (0, 0))
+            dist[f] = (cq + 1, ct + (1 if src in target_srcs else 0))
+    n_q = sum(c for c, _ in dist.values())
+    n_t = sum(t for _, t in dist.values())
+    konst = elog8(n_t + b) - elog8(n_q + b)
+    out = {}
+    for did, feats in per_doc.items():
+        s = sum(elog8(dist[f][1] + 1) - elog8(dist[f][0] + 1)
+                for f in feats)
+        out[did] = (len(feats), s - len(feats) * konst)
+    return out
+
+
+def test_dsir_matches_python_reference(spark):
+    from llogtail_spark.operators.corpus import dsir_weights
+
+    rows = [
+        (1, "med", "patient dosage clinical trial outcome measure"),
+        (2, "med", "clinical patient symptom dosage protocol"),
+        (3, "web", "click here buy now free shipping deal"),
+        (4, "web", "subscribe newsletter unsubscribe link footer"),
+        (5, "web", "patient clinical mixed with free shipping"),
+        (6, "web", ""),
+    ]
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_x8"])
+        for r in dsir_weights(
+            _src_docs(spark, rows), F.col("source") == "med"
+        ).collect()
+    }
+    assert got == _py_dsir(rows, {"med"})
+    assert 6 not in got
+
+
+def test_dsir_separates_domains(spark):
+    # every pure-target-vocabulary doc must outscore every off-domain
+    # doc; a half-mixed doc lands strictly between.
+    from llogtail_spark.operators.corpus import dsir_weights
+
+    med = "dose trial organ tissue enzyme receptor antibody protein"
+    web = "click banner advert popup tracker cookie paywall spam"
+    rows = (
+        [(i, "med", med) for i in range(4)]
+        + [(10 + i, "web", web) for i in range(4)]
+        + [(20, "web", "dose trial organ tissue tracker cookie paywall spam")]
+    )
+    got = {r["doc_id"]: r["dsir_x8"]
+           for r in dsir_weights(
+               _src_docs(spark, rows), F.col("source") == "med"
+           ).collect()}
+    worst_med = min(got[i] for i in range(4))
+    best_web = max(got[10 + i] for i in range(4))
+    assert worst_med > got[20] > best_web
+
+
+def test_dsir_plan_broadcast_only_no_python(spark):
+    from llogtail_spark.operators.corpus import dsir_weights
+
+    rows = [(i, f"s{i % 2}", "alpha beta gamma delta") for i in range(10)]
+    plan = dsir_weights(
+        _src_docs(spark, rows), F.col("source") == "s0"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the b-row distribution joins by broadcast; the only nested-loop
+    # is the 1-row normalizer constant
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
