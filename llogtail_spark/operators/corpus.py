@@ -2139,7 +2139,10 @@ def seq_packing(df: DataFrame, text_col: str = "text",
         F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
         ).cast("long").alias("h"),
-    ).where(F.col("n_tok") > 0)
+        # NULL ids are out of scope: the two engines disagree on NULL
+        # sort placement (Spark NULLS FIRST vs DuckDB NULLS LAST), so
+        # a NULL-id doc's stream offset would be engine-dependent
+    ).where(F.col("n_tok") > 0).where(F.col(id_col).isNotNull())
     sharded = toks.withColumn(
         "shard", F.pmod(F.col("h"), F.lit(nshards)).cast("int")
     )
@@ -2175,7 +2178,7 @@ def seq_packing_sql(seq_len: int = SEQ_LEN, nshards: int = N_SHARDS) -> str:
                        x -> x <> '')) AS BIGINT) AS n_tok,
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                         AS BIGINT) AS h
-            FROM documents),
+            FROM documents WHERE doc_id IS NOT NULL),
         placed AS (
             SELECT CAST(h % {nshards} AS INTEGER) AS shard,
                    doc_id, n_tok,
@@ -2249,7 +2252,9 @@ def dup_token_spans(df: DataFrame, text_col: str = "text",
                     WS_CLASS),
             lambda x: x != "",
         ).alias("t"),
-    ).where(F.size("t") >= k)
+        # NULL ids out of scope: first-occurrence = min(id, off) and
+        # the engines disagree on NULL ordering
+    ).where((F.size("t") >= k) & F.col(id_col).isNotNull())
     # named columns between steps: indexing into an unnamed HOF
     # re-evaluates it per element (the cdc_chunking O(n^2) lesson)
     th = toks.select(
@@ -2344,7 +2349,7 @@ def dup_token_spans_sql(k: int = DUP_WIN) -> str:
                    list_filter(string_split_regex(lower(coalesce(text, '')),
                                                   '{WS_CLASS}'),
                                x -> x <> '') AS t
-            FROM documents),
+            FROM documents WHERE doc_id IS NOT NULL),
         th AS (
             SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
                    list_transform(t, x -> {cf}) AS th
