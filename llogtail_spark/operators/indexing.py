@@ -368,6 +368,12 @@ def bfs_levels(edges: DataFrame, src=None,
     instead (the oracle's recursion carries the same bound, so the
     two engines agree exactly whenever the operator returns at all).
 
+    EAGER by necessity: unlike pagerank (fixed iterations, fully
+    lazy plan), data-dependent termination requires a driver action
+    per round, so this function runs its Spark jobs AT CALL TIME and
+    returns an (already checkpointed) result frame — callers timing
+    queries should treat construction as execution.
+
     Reference anchor: recovery walks the pending-rotation queue
     transitively until no new work appears (log_watcher.go:163-200)
     — the same converge-until-empty-frontier loop, here over a
