@@ -310,3 +310,107 @@ def stream_hll_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def packing_ingest_batch(
+    spark: SparkSession,
+    bdf,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int | None = None,
+    nshards: int | None = None,
+) -> None:
+    """Continuous training-sequence packing over ONE micro-batch: the
+    streaming twin of corpus.seq_packing for a landing zone that
+    packs documents into shard files AS THEY ARRIVE. Each shard's
+    token stream continues exactly where the previous batches left
+    it: base offset = the shard's committed token total (history tags
+    MINUS this batch's own — the replay-exactness layout shared with
+    the dedup/boilerplate ingests), within-batch placement is the
+    same deterministic (md5-hash, id) order as the batch operator.
+
+    Ship-then-commit per batch: placements land in batch=<id>/
+    (overwrite), THEN the batch's per-shard token totals commit to
+    tag=p<id>/ (overwrite). Crash anywhere → replay recomputes the
+    identical placement (own tag excluded from the base) and
+    overwrites the same dirs — effectively-once.
+
+    Knowledge-at-arrival contract (inherent, documented): offsets
+    depend on batch ARRIVAL ORDER — a re-ingest of the same corpus
+    in different batch splits yields different (equally valid)
+    packings; within one stream + checkpoint, replays are exact. The
+    batch operator over the landed corpus is the order-canonical
+    twin.
+    """
+    from llogtail_spark.operators.corpus import N_SHARDS, SEQ_LEN, seq_packing
+
+    if seq_len is None:
+        seq_len = SEQ_LEN
+    if nshards is None:
+        nshards = N_SHARDS
+    tag = f"p{batch_id}"
+    placed = seq_packing(bdf, text_col, id_col, seq_len, nshards)
+    hist = _history_tags(index_path, tag)
+    if hist:
+        base = (
+            spark.read.parquet(*hist)
+            .groupBy("shard")
+            .agg(F.sum("n_tok_batch").alias("base"))
+        )
+        placed = placed.join(F.broadcast(base), "shard", "left").select(
+            "shard", id_col, "n_tok",
+            (F.col("tok_start") + F.coalesce(F.col("base"), F.lit(0)))
+            .cast("long").alias("tok_start"),
+        )
+    else:
+        placed = placed.select("shard", id_col, "n_tok", "tok_start")
+    final = placed.select(
+        "shard", id_col, "n_tok", "tok_start",
+        F.floor(F.col("tok_start") / seq_len).cast("long").alias("bin_first"),
+        F.floor((F.col("tok_start") + F.col("n_tok") - 1) / seq_len)
+        .cast("long").alias("bin_last"),
+    )
+    final.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"batch={batch_id}")
+    )
+    # commit the batch's own per-shard totals strictly after the ship
+    final.groupBy("shard").agg(
+        F.sum("n_tok").alias("n_tok_batch")
+    ).write.mode("overwrite").parquet(os.path.join(index_path, f"tag={tag}"))
+
+
+def stream_packing_ingest(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType = DOCS_SCHEMA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int | None = None,
+    nshards: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming packing ingest. Returns the
+    StreamingQuery."""
+    opts = {}
+    if max_files_per_trigger:
+        opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    stream = (
+        spark.readStream.schema(schema).options(**opts).parquet(input_path)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda bdf, bid: packing_ingest_batch(
+            spark, bdf, bid, index_path, out_path,
+            text_col=text_col, id_col=id_col,
+            seq_len=seq_len, nshards=nshards,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

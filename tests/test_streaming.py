@@ -1171,3 +1171,68 @@ def test_hll_stream_snapshot_equals_batch_sketch(spark, tmp_path):
     hll_ingest_batch(spark, bdf, 0, idx)
     again = sorted(map(tuple, hll_snapshot(spark, idx).collect()))
     assert again == snap
+
+
+def test_packing_stream_offsets_contiguous_and_replay_exact(spark, tmp_path):
+    """Streaming packing ingest: per-shard token streams stay
+    contiguous ACROSS micro-batches (batch k starts exactly where
+    k-1 ended), a crash-replay of the last batch reproduces its
+    placement byte-identically, and a second identical stream into a
+    fresh landing zone yields the identical packing."""
+    from llogtail_spark.streaming.ingest import (
+        packing_ingest_batch, stream_packing_ingest,
+    )
+
+    rows = [(i, " ".join(["x"] * (1 + (i * 13) % 40)))
+            for i in range(120)]
+    src = str(tmp_path / "in")
+    for f in range(4):
+        spark.createDataFrame(
+            rows[f * 30:(f + 1) * 30], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def ingest(name):
+        idx, out = str(tmp_path / f"{name}_idx"), str(tmp_path / f"{name}_out")
+        q = stream_packing_ingest(
+            spark, src, idx, out, str(tmp_path / f"{name}_ckpt"),
+            schema=spark.createDataFrame(
+                [], "doc_id long, text string").schema,
+            max_files_per_trigger=1, nshards=4,
+        )
+        q.awaitTermination(120)
+        return idx, out
+
+    idx, out = ingest("a")
+    landed = spark.read.parquet(out).collect()
+    by_shard = {}
+    for r in landed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(landed) == 120
+    for docs in by_shard.values():
+        docs.sort(key=lambda r: r["tok_start"])
+        off = 0
+        for r in docs:
+            assert r["tok_start"] == off       # no gaps, no overlaps
+            assert r["bin_first"] == off // 128
+            off += r["n_tok"]
+
+    # crash replay of the last batch: identical placement
+    last_dir = sorted(
+        d for d in __import__("os").listdir(out) if d.startswith("batch=")
+    )[-1]
+    last_bid = int(last_dir.split("=")[1])
+    before = sorted(map(tuple, spark.read.parquet(
+        f"{out}/{last_dir}").collect()))
+    bdf = spark.createDataFrame(
+        rows[last_bid * 30:(last_bid + 1) * 30], "doc_id long, text string"
+    )
+    packing_ingest_batch(spark, bdf, last_bid, idx, out, nshards=4)
+    after = sorted(map(tuple, spark.read.parquet(
+        f"{out}/{last_dir}").collect()))
+    assert after == before
+
+    # a second identical stream reproduces the identical packing
+    _, out2 = ingest("b")
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
