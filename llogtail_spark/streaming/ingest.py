@@ -267,6 +267,11 @@ def hll_snapshot(spark: SparkSession, index_path: str,
     from llogtail_spark.operators.sketches import hll_finalize
 
     tags = _history_tags(index_path, own_tag="")
+    if not tags:
+        raise ValueError(
+            f"hll_snapshot: no committed register tags under {index_path} "
+            "- run the ingest first"
+        )
     regs = (
         spark.read.parquet(*tags)
         .groupBy("grp", "bucket")
