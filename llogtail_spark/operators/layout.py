@@ -275,3 +275,124 @@ def pareto_front(df: DataFrame, min_col: str, max_col: str,
         .filter(F.col("_run").isNull() | (F.col("_best") > F.col("_run")))
         .select(F.col(min_col), F.col("_best").alias(max_col))
     )
+
+
+def hilbert256(bx: Column, by: Column) -> Column:
+    """16-bit Hilbert-curve index of two 8-bit buckets — the
+    locality-superior sibling of morton16 (a Hilbert walk never jumps
+    across the square, so consecutive key ranges cover tighter
+    rectangles: the property range-partitioned file layout wants).
+
+    The classic xy->d loop (reflect + swap at each of 8 bit levels)
+    runs as ONE Catalyst aggregate fold with a (x, y, d) struct
+    accumulator — expression size stays LINEAR in the bit depth (a
+    naive unroll doubles the expression tree per level: new_x and
+    new_y each reference both old coords, 2^8 blow-up by level 8).
+    Pure integer ops, whole-stage codegen, bit-identical in the
+    DuckDB twin.
+    """
+    levels = F.array(*[F.lit(1 << i).cast("long") for i in range(7, -1, -1)])
+    init = F.struct(
+        bx.cast("long").alias("x"),
+        by.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, s):
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        d2 = d + s * s * (rx * 3).bitwiseXOR(ry)
+        xr = F.when(rx == 1, s - 1 - x).otherwise(x)
+        yr = F.when(rx == 1, s - 1 - y).otherwise(y)
+        nx = F.when(ry == 0, yr).otherwise(x)
+        ny = F.when(ry == 0, xr).otherwise(y)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
+
+
+def _hilbert_levels_sql() -> str:
+    """DuckDB twin of hilbert256 as EIGHT CHAINED CTE levels of plain
+    scalar CASE expressions (columns x0,y0,d0 -> ... -> x8,y8,d8).
+
+    Why not list_reduce with a struct accumulator (the direct
+    translation of the Spark fold): DuckDB 1.0.0 returns WRONG values
+    from struct-accumulator list_reduce at vector width — the same
+    (bx,by)=(1,0) row yields d=1 under a WHERE filter but d=2 inside
+    a 512-row scan (verified this session; 4-row scans are correct,
+    512+ are not). Scalar CASE columns are vector-safe in every
+    engine. Expects a CTE named l0 providing (bx, by, x0, y0, d0).
+    """
+    parts = []
+    for i, s_ in enumerate([128, 64, 32, 16, 8, 4, 2, 1]):
+        p, n = i, i + 1
+        rx = f"CASE WHEN (x{p} & {s_}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (y{p} & {s_}) > 0 THEN 1 ELSE 0 END"
+        parts.append(f"""l{n} AS (
+            SELECT bx, by,
+                   CASE WHEN (y{p} & {s_}) > 0 THEN x{p}
+                        WHEN (x{p} & {s_}) > 0 THEN {s_} - 1 - y{p}
+                        ELSE y{p} END AS x{n},
+                   CASE WHEN (y{p} & {s_}) > 0 THEN y{p}
+                        WHEN (x{p} & {s_}) > 0 THEN {s_} - 1 - x{p}
+                        ELSE x{p} END AS y{n},
+                   d{p} + {s_ * s_} * xor(3 * ({rx}), {ry}) AS d{n}
+            FROM l{p})""")
+    return ",\n        ".join(parts)
+
+
+def hilbert_shards(df: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts") -> DataFrame:
+    """Hilbert layout audit — the zorder_shards twin on the Hilbert
+    index: per H-shard (top 8 of 16 bits) row count and min/max span
+    in each source dimension. Tighter per-shard spans than the Morton
+    audit on the same data = better zone-map pruning after a
+    `.repartitionByRange(n, "h")` write. Returns (hshard, n,
+    user_lo, user_hi, hour_lo, hour_hi), <= 256 rows; same
+    scan+rollup shape as zorder_shards (one combinable agg, no
+    Python, no extra shuffle)."""
+    bx = (F.col(user_col) % 256).cast("int")
+    by = (F.floor(F.col(ts_col).cast("timestamp").cast("long") / 3600)
+          % 256).cast("int")
+    keyed = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_bx", bx).withColumn("_by", by)
+        .withColumn("h", hilbert256(F.col("_bx"), F.col("_by")).cast("int"))
+    )
+    return (
+        keyed.groupBy(
+            F.shiftright(F.col("h"), SHARD_SHIFT).cast("int").alias("hshard")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_bx").cast("int").alias("user_lo"),
+            F.max("_bx").cast("int").alias("user_hi"),
+            F.min("_by").cast("int").alias("hour_lo"),
+            F.max("_by").cast("int").alias("hour_hi"),
+        )
+    )
+
+
+def hilbert_shards_sql(user_col: str = "user_id", ts_col: str = "ts") -> str:
+    """DuckDB twin of hilbert_shards (chained-level formulation)."""
+    return f"""
+        WITH keyed AS (
+            SELECT CAST({user_col} % 256 AS INTEGER) AS bx,
+                   CAST(CAST(floor(epoch({ts_col}) / 3600) AS BIGINT) % 256
+                        AS INTEGER) AS by
+            FROM events
+            WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+        l0 AS (
+            SELECT bx, by, CAST(bx AS BIGINT) AS x0, CAST(by AS BIGINT) AS y0,
+                   CAST(0 AS BIGINT) AS d0
+            FROM keyed),
+        {_hilbert_levels_sql()}
+        SELECT CAST(d8 // {1 << SHARD_SHIFT} AS INTEGER) AS hshard,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(bx) AS INTEGER) AS user_lo,
+               CAST(max(bx) AS INTEGER) AS user_hi,
+               CAST(min(by) AS INTEGER) AS hour_lo,
+               CAST(max(by) AS INTEGER) AS hour_hi
+        FROM l8 GROUP BY d8 // {1 << SHARD_SHIFT}
+    """

@@ -481,3 +481,84 @@ def test_bfs_levels_layout_invariance(spark):
     a = sorted(map(tuple, bfs_levels(df.repartition(1)).collect()))
     b = sorted(map(tuple, bfs_levels(df.repartition(16, "v")).collect()))
     assert a == b and a[0][1] == 0
+
+
+# ----------------------------------------------------------- hilbert
+
+
+def _py_hilbert(x, y, n=256):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert256_full_grid_bijection(spark):
+    """hilbert256 equals the textbook xy->d walk on the ENTIRE
+    256x256 grid and is a bijection onto [0, 65536)."""
+    from llogtail_spark.operators.layout import hilbert256
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("bx"),
+        (F.col("id") / 256).cast("int").alias("by"),
+    )
+    rows = grid.withColumn(
+        "h", hilbert256(F.col("bx"), F.col("by"))
+    ).collect()
+    assert all(r["h"] == _py_hilbert(r["bx"], r["by"]) for r in rows)
+    assert len({r["h"] for r in rows}) == 65536
+
+
+def test_hilbert_adjacency_beats_morton(spark):
+    """The defining Hilbert property: EVERY pair of consecutive keys
+    is grid-adjacent (Manhattan distance 1); Morton jumps (distance
+    up to 255 across quadrant seams). This is why consecutive key
+    ranges (files) cover tighter regions."""
+    from llogtail_spark.operators.layout import hilbert256, morton16
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("bx"),
+        (F.col("id") / 256).cast("int").alias("by"),
+    )
+    rows = grid.select(
+        "bx", "by",
+        hilbert256(F.col("bx"), F.col("by")).alias("h"),
+        morton16(F.col("bx"), F.col("by")).alias("z"),
+    ).collect()
+    by_h = {r["h"]: (r["bx"], r["by"]) for r in rows}
+    dists_h = [abs(by_h[k][0] - by_h[k + 1][0])
+               + abs(by_h[k][1] - by_h[k + 1][1])
+               for k in range(65535)]
+    assert max(dists_h) == 1
+    by_z = {r["z"]: (r["bx"], r["by"]) for r in rows}
+    dists_z = [abs(by_z[k][0] - by_z[k + 1][0])
+               + abs(by_z[k][1] - by_z[k + 1][1])
+               for k in range(65535)]
+    assert max(dists_z) > 1
+
+
+def test_hilbert_shards_locality_and_plan(spark):
+    from llogtail_spark.operators.layout import hilbert_shards
+
+    rows = [
+        (1, _ts(1, 0)), (2, _ts(1, 1)),
+        (200, _ts(5, 3)), (201, _ts(5, 4)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = hilbert_shards(df).collect()
+    assert sum(r["n"] for r in out) == 4
+    for r in out:
+        assert r["user_hi"] - r["user_lo"] < 16
+        assert r["hour_hi"] - r["hour_lo"] < 16
+    plan = hilbert_shards(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
