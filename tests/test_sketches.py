@@ -271,3 +271,89 @@ def test_hll_register_table_is_fixed_size(spark):
     )
     # pure Catalyst: no Python eval anywhere
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_set_ops_exact_below_capacity(spark):
+    # union(50) < K=64 -> every output is EXACT set arithmetic:
+    # a = t0..t29, b = t20..t49: inter 10, union 50, J = 2000 bp.
+    from llogtail_spark.operators.sketches import kmv_set_ops
+
+    rows = [(1, "a", " ".join(f"t{i}" for i in range(30))),
+            (2, "b", " ".join(f"t{i}" for i in range(20, 50)))]
+    out = kmv_set_ops(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"]) == ("a", "b")
+    assert r["n_common"] == 10
+    assert r["union_est"] == 50
+    assert r["inter_est"] == 10
+    assert r["jaccard_bp"] == 2000
+
+
+def test_kmv_set_ops_estimator_envelope(spark):
+    # 5 independent replicas of (3000 distinct per side, 1500
+    # shared): true J = 1/3, union 4500 in each. Any single
+    # deterministic draw can sit a few sigma out (the k-th-order-
+    # statistic rel sigma is ~1/sqrt(K) ~ 12.5%; replica p0 of this
+    # very family lands +52%), so the per-pair bound is loose (6
+    # sigma) and the REAL assertion is on the replica mean, where an
+    # estimator bias would show through: mean union within 25%, mean
+    # Jaccard within 0.12 of truth.
+    from llogtail_spark.operators.sketches import kmv_set_ops
+
+    reps = 5
+    rows = []
+    for p in range(reps):
+        a = " ".join(f"p{p}s{i}" for i in range(1500)) + " " + \
+            " ".join(f"p{p}a{i}" for i in range(1500))
+        b = " ".join(f"p{p}s{i}" for i in range(1500)) + " " + \
+            " ".join(f"p{p}b{i}" for i in range(1500))
+        rows += [(2 * p, f"a{p}", a), (2 * p + 1, f"b{p}", b)]
+    out = kmv_set_ops(_docs(spark, rows)).collect()
+    matched = [r for r in out
+               if r["src_a"][0] == "a" and r["src_b"] == "b" + r["src_a"][1:]]
+    assert len(matched) == reps
+    for r in matched:
+        assert abs(r["jaccard_bp"] / 10000 - 1 / 3) < 0.36, r
+        assert abs(r["union_est"] - 4500) / 4500 < 0.75, r
+    mu = sum(r["union_est"] for r in matched) / reps
+    mj = sum(r["jaccard_bp"] for r in matched) / reps / 10000
+    assert abs(mu - 4500) / 4500 < 0.25, (mu, [r["union_est"] for r in matched])
+    assert abs(mj - 1 / 3) < 0.12, (mj, [r["jaccard_bp"] for r in matched])
+
+
+def test_kmv_set_ops_layout_invariance(spark):
+    # sketch-merge is a semilattice: results cannot depend on the
+    # physical partitioning of the input.
+    from llogtail_spark.operators.sketches import kmv_set_ops
+
+    rows = [(i, f"s{i % 4}", " ".join(f"w{(i * 7 + j) % 300}" for j in range(40)))
+            for i in range(80)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, kmv_set_ops(df.repartition(1)).collect()))
+    b = sorted(map(tuple, kmv_set_ops(df.repartition(16, "doc_id")).collect()))
+    assert a == b
+
+
+def test_kmv_set_ops_disjoint_and_identical(spark):
+    # the two boundary regimes: disjoint vocabularies must report
+    # zero overlap; identical vocabularies must report J = 10000 with
+    # inter == union.
+    from llogtail_spark.operators.sketches import kmv_set_ops
+
+    common = " ".join(f"c{i}" for i in range(200))
+    rows = [(1, "x", " ".join(f"x{i}" for i in range(200))),
+            (2, "y", " ".join(f"y{i}" for i in range(200))),
+            (3, "p", common), (4, "q", common)]
+    out = {(r["src_a"], r["src_b"]): r
+           for r in kmv_set_ops(_docs(spark, rows)).collect()}
+    assert out[("x", "y")]["n_common"] == 0
+    assert out[("x", "y")]["jaccard_bp"] == 0
+    assert out[("x", "y")]["inter_est"] == 0
+    assert out[("p", "q")]["jaccard_bp"] == 10000
+    assert out[("p", "q")]["inter_est"] == out[("p", "q")]["union_est"]
