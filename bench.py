@@ -188,6 +188,11 @@ BENCH_QUERIES = [
     "hilbert_shards",
     "quality_classifier",
     "kmv_set_ops",
+    "journey_paths",
+    "weighted_median",
+    "benford_digits",
+    "kn_bigram_lm",
+    "rrf_fuse",
 ]
 
 

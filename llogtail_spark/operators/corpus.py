@@ -2567,3 +2567,145 @@ def dsir_weights_sql(target_sql_pred: str, b: int = DSIR_B) -> str:
         FROM feats f JOIN dist d USING (bkt) CROSS JOIN konst k
         GROUP BY f.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram language model (integer absolute discounting)
+# ---------------------------------------------------------------------------
+
+KN_TOP = 50          # bigrams reported (by raw count)
+KN_SCALE = 1_000_000  # x6 fixed point; pkn is x12 (term1 and lam*pc)
+
+_KN_CACHES: list = []
+
+
+def release_kn_caches() -> int:
+    """Unpersist every bigram-type relation cached by kn_bigram_lm;
+    returns how many were released (the release_fuzzy_caches
+    discipline)."""
+    n = 0
+    while _KN_CACHES:
+        try:
+            _KN_CACHES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def kn_bigram_lm(df: DataFrame, text_col: str = "text",
+                 top: int = KN_TOP) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1999) with ABSOLUTE DISCOUNT D = 1, in pure
+    integer fixed point — the n-gram LM estimation step of a
+    pretraining pipeline (perplexity filters, fuzzy decontamination,
+    surprisal scoring all start from these counts).
+
+        P_KN(w2 | w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                        + [D * N1+(w1 .) / c(w1 .)] * P_cont(w2)
+        P_cont(w2)    = N1+(. w2) / |distinct bigram types|
+
+    Fixed point (deterministic in both engines, no libm):
+        term1_x12 = floor((c2 - 1) * 10^12 / c1)
+        lam_x6    = floor(nf1 * 10^6 / c1)
+        pc_x6     = floor(ncont2 * 10^6 / nbig)
+        pkn_x12   = term1_x12 + lam_x6 * pc_x6
+    Headroom: (c2-1)*10^12 stays under 2^63 for c2 < 9.2e6; corpora
+    with hotter bigrams drop to x9 scaling (three fewer digits).
+
+    All four statistics (c2, c1 = sum_w2 c2, N1+(w1 .) = distinct
+    followers, N1+(. w2) = distinct predecessors, nbig) derive from
+    the ONE bigram-type table, which is persisted and registered for
+    release_kn_caches() — otherwise each derived agg would re-derive
+    the tokenize+explode subtree (the fuzzy_join lesson). Every agg
+    is map-side combinable; the final joins broadcast the `top`-row
+    candidate set against the token-keyed aggregates, so nothing
+    vocab-sized shuffles after the count stage. Output:
+    (w1, w2, c2:long, pkn_x12:long), top rows by (c2 DESC, w1, w2).
+    """
+    from pyspark import StorageLevel
+
+    toks = df.select(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    WS_CLASS),
+            lambda x: x != "",
+        ).alias("t"),
+    ).where(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                lambda x, i: F.struct(
+                    x.alias("w1"),
+                    F.element_at(F.col("t"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _KN_CACHES.append(c2)
+    cand = (
+        c2.orderBy(F.desc("c2"), F.asc("w1"), F.asc("w2"))
+        .limit(top)
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nf1")
+    )
+    ncont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    nbig = c2.agg(F.count(F.lit(1)).alias("nbig"))
+    j = (
+        F.broadcast(cand)
+        .join(c1, "w1")
+        .join(ncont, "w2")
+        .crossJoin(F.broadcast(nbig))
+    )
+    term1 = F.floor((F.col("c2") - 1) * F.lit(KN_SCALE) * F.lit(KN_SCALE)
+                    / F.col("c1"))
+    lam = F.floor(F.col("nf1") * F.lit(KN_SCALE) / F.col("c1"))
+    pc = F.floor(F.col("ncont") * F.lit(KN_SCALE) / F.col("nbig"))
+    return (
+        j.select(
+            "w1", "w2", F.col("c2").cast("long").alias("c2"),
+            (term1 + lam * pc).cast("long").alias("pkn_x12"),
+        )
+        .orderBy(F.desc("c2"), F.asc("w1"), F.asc("w2"))
+    )
+
+
+def kn_bigram_lm_sql(top: int = KN_TOP) -> str:
+    """DuckDB twin of kn_bigram_lm — identical counts and fixed-point
+    discount arithmetic."""
+    s = KN_SCALE
+    return f"""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+            FROM toks WHERE len(t) >= 2),
+        c2 AS (
+            SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c2
+            FROM pairs GROUP BY w1, w2),
+        cand AS (
+            SELECT * FROM c2 ORDER BY c2 DESC, w1, w2 LIMIT {top}),
+        c1 AS (
+            SELECT w1, sum(c2) AS c1, count(*) AS nf1 FROM c2 GROUP BY w1),
+        ncont AS (
+            SELECT w2, count(*) AS ncont FROM c2 GROUP BY w2),
+        nbig AS (SELECT count(*) AS nbig FROM c2)
+        SELECT cand.w1, cand.w2, CAST(cand.c2 AS BIGINT) AS c2,
+               CAST(floor((cand.c2 - 1) * {s}::BIGINT * {s} / c1.c1)
+                    + floor(nf1 * {s} / c1.c1)
+                      * floor(ncont * {s} / nbig) AS BIGINT) AS pkn_x12
+        FROM cand
+        JOIN c1 USING (w1) JOIN ncont USING (w2) CROSS JOIN nbig
+        ORDER BY c2 DESC, w1, w2
+    """

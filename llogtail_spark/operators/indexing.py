@@ -445,3 +445,107 @@ def bfs_levels_sql(max_iter: int = BFS_MAX_ITER) -> str:
             SELECT node, min(dist) AS d FROM walk GROUP BY node)
         SELECT node, CAST(d AS INTEGER) AS dist FROM best
     """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion (multi-ranker result merging)
+# ---------------------------------------------------------------------------
+
+RRF_TERMS = ("join", "scan", "hash")   # one ranker per probe term
+RRF_C = 60          # the standard RRF damping constant
+RRF_DEPTH = 100     # per-ranker list depth
+RRF_TOP = 20        # fused results reported
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(df: DataFrame, terms: tuple = RRF_TERMS,
+             text_col: str = "text", id_col: str = "doc_id",
+             depth: int = RRF_DEPTH, top: int = RRF_TOP) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of per-term term-frequency rankings — the standard way hybrid
+    retrieval (BM25 + dense + recency) merges result lists without
+    score calibration, fused here over one tf ranker per probe term:
+
+        rrf(d) = sum over rankers r where d is in r's top `depth` of
+                 floor(10^6 / (C + rank_r(d)))
+
+    with C = 60 (the paper's constant) and ranks from (tf DESC, doc)
+    — a total order, so both engines agree. Integer division only:
+    no float score ever exists.
+
+    Shape: ONE pass computes every ranker's tf table (explode +
+    filter to the probe terms + (doc, term) count, combinable);
+    per-term ranking is a WindowGroupLimit bounded top-`depth` heap
+    below the term exchange (#terms partitions); the fuse is a
+    (doc)-keyed combinable sum over <= terms x depth rows; final
+    `top` by (rrf DESC, doc) plans TakeOrderedAndProject. Nothing
+    corpus-sized survives past the first aggregation.
+
+    Output: (id_col, n_lists:long, rrf_x6:long), top rows by
+    (rrf_x6 DESC, id).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ranked = (
+        tf.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc"))
+            ),
+        )
+        .filter(F.col("rank") <= depth)
+    )
+    score = F.floor(F.lit(RRF_SCALE) / (F.lit(RRF_C) + F.col("rank")))
+    return (
+        ranked.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum(score).cast("long").alias("rrf_x6"),
+        )
+        .orderBy(F.desc("rrf_x6"), F.asc("doc"))
+        .limit(top)
+        .select(F.col("doc").alias(id_col), "n_lists", "rrf_x6")
+    )
+
+
+def rrf_fuse_sql(terms: tuple = RRF_TERMS, depth: int = RRF_DEPTH,
+                 top: int = RRF_TOP) -> str:
+    """DuckDB twin of rrf_fuse — identical ranking and integer RRF
+    arithmetic."""
+    from llogtail_spark.operators.dedup import WS_CLASS
+
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH tok AS (
+            SELECT doc_id AS doc,
+                   unnest(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '{WS_CLASS}'),
+                       x -> x <> '')) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc, term, count(*) AS tf
+            FROM tok WHERE term IN ({term_list})
+            GROUP BY doc, term),
+        ranked AS (
+            SELECT doc, term, tf,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY tf DESC, doc) AS rank
+            FROM tf),
+        fused AS (
+            SELECT doc, CAST(count(*) AS BIGINT) AS n_lists,
+                   CAST(sum(floor({RRF_SCALE} / ({RRF_C} + rank)))
+                        AS BIGINT) AS rrf_x6
+            FROM ranked WHERE rank <= {depth} GROUP BY doc)
+        SELECT doc AS doc_id, n_lists, rrf_x6
+        FROM fused ORDER BY rrf_x6 DESC, doc LIMIT {top}
+    """

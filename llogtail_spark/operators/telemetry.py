@@ -885,3 +885,241 @@ def mad_outliers_sql(factor: int = MAD_FACTOR) -> str:
         FROM dev JOIN mad USING (g)
         GROUP BY dev.g
     """
+
+
+# ---------------------------------------------------------------------------
+# User journey paths (ordered string aggregation)
+# ---------------------------------------------------------------------------
+
+JOURNEY_K = 5        # first K events define the journey prefix
+JOURNEY_TOP = 25     # paths reported
+
+
+def journey_paths(df: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  k: int = JOURNEY_K, top: int = JOURNEY_TOP) -> DataFrame:
+    """Most common user-journey prefixes: each user's first `k`
+    events (ordered by ts, event_id — a total order, so both engines
+    agree on every path) joined into a '>' path string, then the
+    `top` most frequent paths.
+
+    The classical ORDER-SENSITIVE string aggregation (SQL
+    string_agg(x ORDER BY y)) Spark lacks as a builtin — expressed
+    as sort_array(collect_list(struct(ord, val))) + transform +
+    array_join, with the collect bounded to k rows per user because
+    the rank filter sits BELOW it (WindowGroupLimit plans a bounded
+    top-k heap under the user exchange, so a user with 10^9 events
+    contributes k rows to the collect, not 10^9).
+
+    Output: (path:string, n_users:long), top rows by (n_users DESC,
+    path) — TakeOrderedAndProject, no global sort.
+    """
+    ranked = (
+        df.select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("ts"),
+            F.col("event_id").alias("eid"), F.col(type_col).alias("et"),
+        )
+        .where(F.col("u").isNotNull() & F.col("ts").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy("ts", "eid")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+    )
+    paths = ranked.groupBy("u").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "et"))),
+                lambda s: s["et"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(top)
+    )
+
+
+def journey_paths_sql(k: int = JOURNEY_K, top: int = JOURNEY_TOP) -> str:
+    """DuckDB twin of journey_paths — string_agg with ORDER BY states
+    the ordered aggregation directly."""
+    return f"""
+        WITH ranked AS (
+            SELECT user_id AS u, event_type AS et,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        paths AS (
+            SELECT u, string_agg(et, '>' ORDER BY rn) AS path
+            FROM ranked WHERE rn <= {k} GROUP BY u)
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_users DESC, path LIMIT {top}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (histogram cumsum, the mad_outliers discipline + weights)
+# ---------------------------------------------------------------------------
+
+
+def weighted_median(df: DataFrame, group_col: str = "l_returnflag",
+                    val_col: str = "l_extendedprice",
+                    weight_col: str = "l_quantity") -> DataFrame:
+    """Exact weighted median per group: the smallest value v where
+    the cumulative weight of all rows <= v reaches half the group's
+    total weight (2*cum >= tot — no division, no midpoint
+    interpolation, so both engines agree bit-for-bit).
+
+    Shape: collapse to the per-(group, value) weight histogram first
+    (ONE combinable shuffle — the mad_outliers discipline), then a
+    running-sum window over the histogram, NOT the rows: state and
+    the window partition scale with DISTINCT values per group, not
+    row count. Quantized domains (prices, durations in ms) keep that
+    small at any scale; for unbounded-cardinality doubles, bin to
+    fixed-width buckets upstream. Weights cast to long (the fixture's
+    quantities are integral), so cumulative sums are exact integers —
+    no float-associativity hazard across engines.
+
+    Output: (group_col, w_median:double, tot_weight:long).
+    """
+    hist = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(val_col).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("g").isNotNull() & F.col("v").isNotNull()
+               & F.col("w").isNotNull())
+        .groupBy("g", "v").agg(F.sum("w").alias("w"))
+    )
+    cum = hist.select(
+        "g", "v",
+        F.sum("w").over(
+            Window.partitionBy("g").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("w").over(Window.partitionBy("g")).alias("tot"),
+    )
+    return (
+        cum.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("g")
+        .agg(F.min("v").alias("w_median"),
+             F.first("tot").cast("long").alias("tot_weight"))
+        .select(F.col("g").alias(group_col), "w_median", "tot_weight")
+    )
+
+
+def weighted_median_sql(group_col: str = "l_returnflag",
+                        val_col: str = "l_extendedprice",
+                        weight_col: str = "l_quantity",
+                        table: str = "lineitem") -> str:
+    """DuckDB twin of weighted_median — identical histogram + cumsum
+    + threshold arithmetic."""
+    return f"""
+        WITH hist AS (
+            SELECT {group_col} AS g, {val_col} AS v,
+                   sum(CAST({weight_col} AS BIGINT)) AS w
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {val_col} IS NOT NULL
+                  AND {weight_col} IS NOT NULL
+            GROUP BY g, v),
+        cum AS (
+            SELECT g, v,
+                   sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+                   sum(w) OVER (PARTITION BY g) AS tot
+            FROM hist)
+        SELECT g AS {group_col}, min(v) AS w_median,
+               CAST(any_value(tot) AS BIGINT) AS tot_weight
+        FROM cum WHERE cum * 2 >= tot GROUP BY g
+    """
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit
+# ---------------------------------------------------------------------------
+
+# Benford expected frequencies log10(1 + 1/d) in basis points —
+# LITERAL constants so no engine evaluates a log at runtime.
+BENFORD_BP = (3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+
+
+def benford_digits(df: DataFrame, group_col: str = "event_type",
+                   val_col: str = "value") -> DataFrame:
+    """Leading-digit distribution of a value column per group vs
+    Benford's law — the classical numeric-data forgery/generation
+    audit (synthetic or fabricated metrics rarely match it).
+
+    Portability: the leading digit comes from CAST(floor(value*100)
+    AS BIGINT) rendered as a string — float->int flooring and
+    int->string are bit-identical across engines, unlike
+    double->string formatting (which differs and is never used).
+    Rows with value <= 0.005 (cent-floor 0) are excluded.
+
+    obs_bp = floor(10000 * n_digit / n_group); dev_bp = |obs - exp|.
+    Shape: ONE combinable (group, digit) count, then a dim-sized
+    (9 rows per group) window for the group total. Output:
+    (group_col, digit:int, n:long, obs_bp:long, exp_bp:long,
+    dev_bp:long).
+    """
+    exp_arr = F.array(*[F.lit(b) for b in BENFORD_BP])
+    digits = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.floor(F.col(val_col) * 100).cast("long").alias("cents"),
+        )
+        .where(F.col("g").isNotNull() & (F.col("cents") > 0))
+        .select(
+            "g",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int").alias("digit"),
+        )
+    )
+    counts = digits.groupBy("g", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.withColumn(
+        "tot", F.sum("n").over(Window.partitionBy("g"))
+    )
+    obs = F.floor(F.col("n") * 10000 / F.col("tot")).cast("long")
+    exp = F.element_at(exp_arr, F.col("digit")).cast("long")
+    return tot.select(
+        F.col("g").alias(group_col), "digit",
+        F.col("n").cast("long").alias("n"),
+        obs.alias("obs_bp"), exp.alias("exp_bp"),
+        F.abs(obs - exp).alias("dev_bp"),
+    )
+
+
+def benford_digits_sql(group_col: str = "event_type",
+                       val_col: str = "value",
+                       table: str = "events") -> str:
+    """DuckDB twin of benford_digits — identical cent-floor digit
+    extraction and integer bp arithmetic."""
+    exp_list = "[" + ", ".join(str(b) for b in BENFORD_BP) + "]"
+    return f"""
+        WITH digits AS (
+            SELECT {group_col} AS g,
+                   CAST(substr(CAST(CAST(floor({val_col} * 100) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM {table}
+            WHERE {group_col} IS NOT NULL
+                  AND CAST(floor({val_col} * 100) AS BIGINT) > 0),
+        counts AS (
+            SELECT g, digit, count(*) AS n
+            FROM digits GROUP BY g, digit),
+        tot AS (
+            SELECT g, digit, n, sum(n) OVER (PARTITION BY g) AS tot
+            FROM counts)
+        SELECT g AS {group_col}, digit, CAST(n AS BIGINT) AS n,
+               CAST(floor(n * 10000 / tot) AS BIGINT) AS obs_bp,
+               CAST({exp_list}[digit] AS BIGINT) AS exp_bp,
+               CAST(abs(floor(n * 10000 / tot) - {exp_list}[digit])
+                    AS BIGINT) AS dev_bp
+        FROM tot
+    """

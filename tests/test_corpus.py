@@ -1121,3 +1121,68 @@ def test_dsir_plan_broadcast_only_no_python(spark):
     # is the 1-row normalizer constant
     assert plan.count("BroadcastHashJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# kn_bigram_lm
+# ---------------------------------------------------------------------------
+
+
+def test_kn_bigram_lm_matches_bruteforce(spark):
+    """The operator's fixed-point KN probabilities must equal a pure-
+    Python recompute (same D=1 discount, same floor order) on a
+    random corpus."""
+    import random
+
+    from llogtail_spark.operators.corpus import (
+        KN_SCALE, kn_bigram_lm, release_kn_caches,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, "s", " ".join(rng.choice(vocab) for _ in range(30)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {(r["w1"], r["w2"]): (r["c2"], r["pkn_x12"])
+           for r in kn_bigram_lm(df, top=1000).collect()}
+    release_kn_caches()
+
+    c2, c1, nf, nc = {}, {}, {}, {}
+    for _, _, text in docs:
+        t = text.split()
+        for a, b in zip(t, t[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    for (a, b), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+    for (a, b) in c2:
+        nf[a] = nf.get(a, 0) + 1
+        nc[b] = nc.get(b, 0) + 1
+    nbig = len(c2)
+    for (a, b), c in c2.items():
+        want = ((c - 1) * KN_SCALE * KN_SCALE // c1[a]
+                + (nf[a] * KN_SCALE // c1[a]) * (nc[b] * KN_SCALE // nbig))
+        assert got[(a, b)] == (c, want), (a, b)
+    assert len(got) == len(c2)
+
+
+def test_kn_bigram_lm_probabilities_sum_below_one(spark):
+    """For every context w1 the discounted mass plus the full
+    continuation share must keep sum_w2 P(w2|w1) <= 1 (+ rounding):
+    checked by summing the x12 fixed-point values per context."""
+    from llogtail_spark.operators.corpus import (
+        KN_SCALE, kn_bigram_lm, release_kn_caches,
+    )
+
+    docs = [(1, "s", "a b a c a b b c a a"),
+            (2, "s", "b a c c b a b a c b")]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = kn_bigram_lm(df, top=1000).collect()
+    release_kn_caches()
+    per_ctx = {}
+    for r in rows:
+        per_ctx[r["w1"]] = per_ctx.get(r["w1"], 0) + r["pkn_x12"]
+    for w1, s in per_ctx.items():
+        # observed bigrams only; lambda mass spread over unseen
+        # followers is excluded, so the sum must be strictly <= 1
+        assert s <= KN_SCALE * KN_SCALE, (w1, s)
+        assert s > 0

@@ -562,3 +562,42 @@ def test_hilbert_shards_locality_and_plan(spark):
     plan = hilbert_shards(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_case(spark):
+    from llogtail_spark.operators.indexing import (
+        RRF_C, RRF_SCALE, rrf_fuse,
+    )
+
+    # doc 1 ranks #1 for 'join' (tf 5) and #2 for 'scan' (tf 1);
+    # doc 2 ranks #2 for 'join' (tf 2) and #1 for 'scan' (tf 3);
+    # doc 3 only matches 'hash'.
+    rows = [(1, "s", "join join join join join scan"),
+            (2, "s", "join join scan scan scan"),
+            (3, "s", "hash nothing else")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in rrf_fuse(df).collect()}
+    r1 = RRF_SCALE // (RRF_C + 1)
+    r2 = RRF_SCALE // (RRF_C + 2)
+    assert out[1]["n_lists"] == 2 and out[1]["rrf_x6"] == r1 + r2
+    assert out[2]["n_lists"] == 2 and out[2]["rrf_x6"] == r1 + r2
+    assert out[3]["n_lists"] == 1 and out[3]["rrf_x6"] == r1
+
+
+def test_rrf_fuse_depth_excludes_tail(spark):
+    from llogtail_spark.operators.indexing import rrf_fuse
+
+    # 30 docs matching 'join' with distinct tf; depth=10 keeps the
+    # top 10 only, and top=5 returns the 5 best overall.
+    rows = [(i, "s", " ".join(["join"] * (i + 1))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = rrf_fuse(df, depth=10, top=5).collect()
+    assert len(got) == 5
+    # highest tf = doc 29 -> rank 1 -> best fused score
+    assert got[0]["doc_id"] == 29
+    assert [r["doc_id"] for r in got] == [29, 28, 27, 26, 25]

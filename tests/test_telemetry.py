@@ -224,3 +224,74 @@ def test_active_users_7d_window_edges(spark):
     d0 = min(out)
     assert out[d0 + 6]["wau"] == 2   # u1 (d0) + u2 (d6)
     assert out[d0 + 7]["wau"] == 2   # u2 (d6) + u3 (d7); u1 aged out
+
+
+# ---------------------------------------------------------------------------
+# journey_paths / weighted_median / benford_digits
+# ---------------------------------------------------------------------------
+
+
+def test_journey_paths_hand_case(spark):
+    from datetime import datetime
+
+    from llogtail_spark.operators.telemetry import journey_paths
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    # user 1 & 2: identical a>b>c; user 3: seven events, truncated to
+    # first 5; user 4: two events at the SAME ts — event_id breaks
+    # the tie deterministically.
+    rows = []
+    for u in (1, 2):
+        rows += [(u * 10 + i, t(i), u, et, 0.0, None)
+                 for i, et in enumerate(["a", "b", "c"])]
+    rows += [(100 + i, t(i), 3, f"e{i}", 0.0, None) for i in range(7)]
+    rows += [(201, t(0), 4, "x", 0.0, None), (200, t(0), 4, "y", 0.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["path"]: r["n_users"] for r in journey_paths(df).collect()}
+    assert out["a>b>c"] == 2
+    assert out["e0>e1>e2>e3>e4"] == 1          # truncated at k=5
+    assert out["y>x"] == 1                     # event_id 200 before 201
+
+
+def test_weighted_median_hand_and_split_invariance(spark):
+    from llogtail_spark.operators.telemetry import weighted_median
+
+    # weights: v=1 w=3, v=2 w=1, v=10 w=2 -> tot 6, cum(1)=3, 2*3>=6
+    # -> lower weighted median = 1.
+    rows = [("A", 1.0, 3.0), ("A", 2.0, 1.0), ("A", 10.0, 2.0),
+            # B: v=5 w=1, v=7 w=1 -> cum(5)=1, 2>=2 -> median 5
+            ("B", 5.0, 1.0), ("B", 7.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {r["g"]: r for r in
+           weighted_median(df, "g", "v", "w").collect()}
+    assert out["A"]["w_median"] == 1.0 and out["A"]["tot_weight"] == 6
+    assert out["B"]["w_median"] == 5.0 and out["B"]["tot_weight"] == 2
+
+    # splitting a weight-3 row into three weight-1 rows is identity
+    split = [("A", 1.0, 1.0)] * 3 + rows[1:]
+    df2 = spark.createDataFrame(split, "g string, v double, w double")
+    out2 = {r["g"]: r for r in
+            weighted_median(df2, "g", "v", "w").collect()}
+    assert out2["A"]["w_median"] == 1.0 and out2["A"]["tot_weight"] == 6
+
+
+def test_benford_digits_hand_case(spark):
+    from llogtail_spark.operators.telemetry import BENFORD_BP, benford_digits
+
+    # 19.x -> leading digit of 19xx cents = 1; 0.25 -> 25 -> 2;
+    # 3.00 -> 300 -> 3; 0.004 -> cents 0 -> EXCLUDED.
+    rows = [(1, None, 1, "t", 19.5, None), (2, None, 1, "t", 0.25, None),
+            (3, None, 1, "t", 3.0, None), (4, None, 1, "t", 0.004, None),
+            (5, None, 1, "t", 150.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["digit"]: r for r in benford_digits(df).collect()}
+    assert sorted(out) == [1, 2, 3]
+    assert out[1]["n"] == 2          # 19.5 and 150.0
+    assert out[1]["obs_bp"] == 5000  # 2 of 4 kept rows
+    assert out[1]["exp_bp"] == BENFORD_BP[0]
+    assert out[1]["dev_bp"] == 5000 - BENFORD_BP[0]
+    assert sum(r["n"] for r in out.values()) == 4
