@@ -1917,8 +1917,44 @@ def _q_rrf_fuse(spark, sf):
     return rrf_fuse(_t(spark, sf, "documents"))
 
 
+def _q_hll_sliding_dau(spark, sf):
+    """Trailing-7-day distinct-user estimate per day from per-day HLL
+    register files: each day summarizes ONCE into 64 registers, the
+    sliding union is a RANGE-frame window MAX over the register grid
+    (HLL union = pointwise max), finalized with the integer-exact
+    estimate + literal linear-counting table — O(days x 64) window
+    work regardless of user count, vs the exact twin re-touching
+    every (user, day) pair per window."""
+    from llogtail_spark.operators.sketches import hll_sliding_dau
+
+    return hll_sliding_dau(_t(spark, sf, "events"))
+
+
+def _q_cm_join_size(spark, sf):
+    """Join-cardinality estimation from count-min inner products
+    (AMS'96 / CM'05): |events JOIN orders ON user = cust| estimated
+    per hash row from two 4x256 sketches, min over rows — the
+    cost-based-optimizer primitive, never re-touching either table.
+    Sequential integer keys pass the quadratic lattice-breaker mix."""
+    from llogtail_spark.operators.sketches import cm_join_size
+
+    return cm_join_size(_t(spark, sf, "events"), "user_id",
+                        _t(spark, sf, "orders"), "o_custkey")
+
+
+def _q_trend_slope(spark, sf):
+    """Per-event-type OLS trend slope of value vs time: five exact
+    BIGINT sufficient statistics (x = hours since the group's first
+    event, y = cents) from one combinable shuffle + a dim-sized
+    first-hour broadcast; the only float op is the single final IEEE
+    division, floored into x6 fixed point."""
+    from llogtail_spark.operators.telemetry import trend_slope
+
+    return trend_slope(_t(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 132 oracle-paired queries. ORDER IS DELIBERATE (round 4):
+    """All 135 oracle-paired queries. ORDER IS DELIBERATE (round 4):
     the driver's correctness gate checks the first ~50 entries, so the
     50 queries with no driver-green row in CORRECTNESS_r01-r03 come
     first; positions 51-55 are the five the judge already re-verified
@@ -2061,6 +2097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": _q_benford_digits,
         "kn_bigram_lm": _q_kn_bigram_lm,
         "rrf_fuse": _q_rrf_fuse,
+        "hll_sliding_dau": _q_hll_sliding_dau,
+        "cm_join_size": _q_cm_join_size,
+        "trend_slope": _q_trend_slope,
     }
 
 
@@ -3366,4 +3405,12 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fuse": __import__(
             "llogtail_spark.operators.indexing", fromlist=["rrf_fuse_sql"]
         ).rrf_fuse_sql(),
+        "hll_sliding_dau": __import__(
+            "llogtail_spark.operators.sketches",
+            fromlist=["hll_sliding_dau_sql"],
+        ).hll_sliding_dau_sql(),
+        "cm_join_size": __import__(
+            "llogtail_spark.operators.sketches", fromlist=["cm_join_size_sql"]
+        ).cm_join_size_sql(),
+        "trend_slope": _telemetry_mod().trend_slope_sql(),
     }

@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "benford_digits",
     "kn_bigram_lm",
     "rrf_fuse",
+    "hll_sliding_dau",
+    "cm_join_size",
+    "trend_slope",
 ]
 
 

@@ -744,3 +744,226 @@ def kmv_set_ops_sql(
                CAST(floor(n_common * 10000 / n_u) AS BIGINT) AS jaccard_bp
         FROM est
     """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window HLL (distinct users over a trailing window, per day)
+# ---------------------------------------------------------------------------
+
+SLIDE_DAYS = 7
+
+
+def hll_sliding_dau(df: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts",
+                    window_days: int = SLIDE_DAYS) -> DataFrame:
+    """Trailing-`window_days` distinct-user estimate per day from
+    per-day HLL register files — the sketch answer to WAU/rolling
+    DAU. The exact twin (active_users_7d) re-touches every (user,
+    day) pair per window; here each day is summarized ONCE into m=64
+    registers and every window estimate is a register-wise MAX over
+    the trailing days (HLL union = pointwise max — the semilattice
+    property the streaming ingest twin already exploits), so the
+    window stage costs O(n_days * m) regardless of user count.
+
+    User ids pass through the quadratic mix before the order hash:
+    they are SEQUENTIAL integers, exactly the affine-lattice input
+    that biased the KMV k-min (see _kmv_mix) — and HLL's max-rho
+    statistic needs uniform hash bits just the same.
+
+    Shape: ONE combinable (day, bucket) max-rho shuffle over the
+    events; a dim-sized (n_days x m) grid LEFT-joins the registers
+    (broadcast); the sliding union is a RANGE-frame window max
+    (range, not rows: gap days must still expire old registers);
+    finalization reuses hll_finalize's integer-exact estimate + the
+    literal linear-counting table.
+
+    Output: (day:long epoch-day, n_seen, harmonic_scaled, est_raw,
+    est_distinct) — est_distinct is the trailing-window DAU estimate.
+    """
+    day = F.floor(
+        F.col(ts_col).cast("timestamp").cast("long") / 86400
+    ).cast("long")
+    hv = order_hash(_kmv_mix(F.col("u") % MOD), HLL_SEED)
+    hashed = (
+        df.select(day.alias("day"), F.col(user_col).alias("u"))
+        .where(F.col("u").isNotNull() & F.col("day").isNotNull())
+        .select(
+            "day",
+            F.pmod(hv, F.lit(HLL_M)).cast("int").alias("bucket"),
+            F.floor(hv / HLL_M).cast("long").alias("w"),
+        )
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(HLL_RMAX))
+        .otherwise(F.lit(HLL_RMAX) - F.length(F.bin(F.col("w"))))
+        .cast("int")
+    )
+    regs = (
+        hashed.select("day", "bucket", rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").cast("int").alias("m_b"))
+    )
+    days = regs.select("day").distinct()
+    grid = days.select(
+        "day", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket")
+    )
+    win = (
+        Window.partitionBy("bucket").orderBy("day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    slid = (
+        grid.join(F.broadcast(regs), ["day", "bucket"], "left")
+        .withColumn("m_w", F.max("m_b").over(win))
+        .filter(F.col("m_w").isNotNull())
+        .select(F.col("day").alias("grp"), "bucket",
+                F.col("m_w").alias("m_b"))
+    )
+    return hll_finalize(slid, group_col="day")
+
+
+def hll_sliding_dau_sql(window_days: int = SLIDE_DAYS,
+                        table: str = "events") -> str:
+    """DuckDB twin of hll_sliding_dau — identical registers, RANGE
+    window union, and integer finalization."""
+    h = order_hash_sql(_kmv_mix_sql("(u % " + str(MOD) + ")"), HLL_SEED)
+    return f"""
+        WITH ev AS (
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   user_id AS u
+            FROM {table}
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        hashed AS (
+            SELECT day,
+                   CAST(({h}) % {HLL_M} AS INTEGER) AS bucket,
+                   CAST(floor(({h}) / {HLL_M}) AS BIGINT) AS w
+            FROM ev),
+        regs AS (
+            SELECT day, bucket,
+                   max(CASE WHEN w = 0 THEN {HLL_RMAX}
+                            ELSE {HLL_RMAX} - len(bin(w)) END) AS m_b
+            FROM hashed GROUP BY day, bucket),
+        grid AS (
+            SELECT d.day, b.bucket
+            FROM (SELECT DISTINCT day FROM regs) d
+            CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS bucket) b),
+        slid AS (
+            SELECT g.day, g.bucket,
+                   max(r.m_b) OVER (
+                       PARTITION BY g.bucket ORDER BY g.day
+                       RANGE BETWEEN {window_days - 1} PRECEDING
+                             AND CURRENT ROW) AS m_w
+            FROM grid g
+            LEFT JOIN regs r ON r.day = g.day AND r.bucket = g.bucket),
+        rolled AS (
+            SELECT day,
+                   CAST(count(*) AS BIGINT) AS n_seen,
+                   CAST(sum(CAST(power(2, {HLL_RMAX} - m_w) AS BIGINT))
+                        + ({HLL_M} - count(*)) * {1 << HLL_RMAX} AS BIGINT)
+                       AS harmonic_scaled
+            FROM slid WHERE m_w IS NOT NULL GROUP BY day),
+        raw AS (
+            SELECT day, n_seen, harmonic_scaled,
+                   {HLL_NUMER} // (1000000 * harmonic_scaled) AS est_raw
+            FROM rolled)
+        SELECT day, n_seen, harmonic_scaled, est_raw,
+               CAST(CASE WHEN n_seen < {HLL_M} AND est_raw <= {5 * HLL_M // 2}
+                         THEN {HLL_LC}[CAST({HLL_M} - n_seen AS INTEGER)]
+                         ELSE est_raw END AS BIGINT) AS est_distinct
+        FROM raw
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min join-size estimation (sketch inner product)
+# ---------------------------------------------------------------------------
+
+
+CMJ_WIDTH = 256   # join-size sketches want width >> distinct-key overlap
+
+
+def cm_join_size(dfa: DataFrame, key_a: str, dfb: DataFrame, key_b: str,
+                 depth: int = CM_DEPTH, width: int = CMJ_WIDTH) -> DataFrame:
+    """Equi-join cardinality estimation from count-min sketch inner
+    products (Alon-Matias-Szegedy '96 for the F2 idea; Cormode &
+    Muthukrishnan '05 §4.2 for the CM form): |A join B on k| =
+    sum_k fA(k)*fB(k), estimated per hash row by
+    sum_cell cntA[row,cell]*cntB[row,cell] and taking the MIN over
+    rows — each row overestimates by the collision mass
+    (expected (N_A*N_B - true)/width), never underestimates. This is
+    the cost-based-optimizer primitive: join sizes from two
+    depth x width summaries without touching either table again.
+
+    Integer keys pass through the quadratic mix (sequential ids are
+    the affine-lattice worst case, see _kmv_mix). Each side is ONE
+    combinable (row, cell) count; the inner product joins two
+    <= depth*width-row relations (broadcast); output is depth rows:
+    (row_i:int, inner_prod:long, est:long) with est = min over rows
+    repeated on each (the scalar answer, kept per-row so the oracle
+    verifies every row product, not just the min).
+    """
+    def side(df, key):
+        hh = _kmv_mix(F.col("k") % MOD)
+        cells = (
+            df.where(F.col(key).isNotNull())
+            .groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "n",
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (order_hash(hh, i) % width).alias("cell"),
+                    ) for i in range(depth)
+                ])).alias("rc"),
+            )
+        )
+        return cells.groupBy(
+            F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell")
+        ).agg(F.sum("n").cast("long").alias("cnt"))
+
+    sa, sb = side(dfa, key_a), side(dfb, key_b)
+    inner = (
+        sa.alias("a").join(F.broadcast(sb.alias("b")), ["row_i", "cell"])
+        .groupBy("row_i")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("inner_prod"))
+    )
+    return inner.select(
+        F.col("row_i").cast("int").alias("row_i"), "inner_prod",
+        F.min("inner_prod").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).cast("long").alias("est"),
+    )
+
+
+def cm_join_size_sql(table_a: str = "events", key_a: str = "user_id",
+                     table_b: str = "orders", key_b: str = "o_custkey",
+                     depth: int = CM_DEPTH, width: int = CMJ_WIDTH) -> str:
+    """DuckDB twin of cm_join_size — identical cells, products, min."""
+    def side(name, table, key):
+        rows = " UNION ALL ".join(
+            f"SELECT n, {i} AS row_i, "
+            f"({order_hash_sql(_kmv_mix_sql(f'({key} % {MOD})'), i)})"
+            f" % {width} AS cell FROM {name}_hist"
+            for i in range(depth)
+        )
+        return f"""
+        {name}_hist AS (
+            SELECT {key}, count(*) AS n FROM {table}
+            WHERE {key} IS NOT NULL GROUP BY {key}),
+        {name}_cells AS ({rows}),
+        {name}_sketch AS (
+            SELECT row_i, cell, CAST(sum(n) AS BIGINT) AS cnt
+            FROM {name}_cells GROUP BY 1, 2)"""
+
+    return f"""
+        WITH {side('a', table_a, key_a)}, {side('b', table_b, key_b)},
+        inner_p AS (
+            SELECT a_sketch.row_i,
+                   CAST(sum(a_sketch.cnt * b_sketch.cnt) AS BIGINT) AS inner_prod
+            FROM a_sketch
+            JOIN b_sketch ON a_sketch.row_i = b_sketch.row_i
+                         AND a_sketch.cell = b_sketch.cell
+            GROUP BY a_sketch.row_i)
+        SELECT CAST(row_i AS INTEGER) AS row_i, inner_prod,
+               CAST(min(inner_prod) OVER () AS BIGINT) AS est
+        FROM inner_p
+    """

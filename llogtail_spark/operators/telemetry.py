@@ -1123,3 +1123,93 @@ def benford_digits_sql(group_col: str = "event_type",
                     AS BIGINT) AS dev_bp
         FROM tot
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend slope (integer sufficient statistics)
+# ---------------------------------------------------------------------------
+
+TREND_X6 = 1_000_000
+
+
+def trend_slope(df: DataFrame, group_col: str = "event_type",
+                ts_col: str = "ts", val_col: str = "value") -> DataFrame:
+    """Ordinary-least-squares trend of a value column against time,
+    per group — "is this metric drifting?" as a single slope per
+    event type.
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    x = whole HOURS since the group's first event (recentring plus
+    the coarse unit keep every product far inside int64: x <= ~1e4
+    for year-scale windows, so n*Sxx <= 1e5-row groups * 1e8 — nine
+    orders of headroom); y = value in whole cents. All five
+    sufficient statistics are EXACT BIGINTs from one combinable
+    shuffle (plus a dim-sized first-hour broadcast); the only float
+    op is the final numer/denom division, done identically in both
+    engines from identical integers (IEEE round-to-nearest), and
+    floored into x6 fixed point.
+
+    Output: (group_col, n:long, numer:long, denom:long,
+    slope_x6:long cents-per-hour x 1e6; 0 when denom = 0).
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.floor(F.col(ts_col).cast("timestamp").cast("long") / 3600)
+        .cast("long").alias("hr"),
+        F.floor(F.col(val_col) * 100).cast("long").alias("cents"),
+    ).where(F.col("g").isNotNull() & F.col("hr").isNotNull()
+            & F.col("cents").isNotNull())
+    first = base.groupBy("g").agg(F.min("hr").alias("hr0"))
+    xy = base.join(F.broadcast(first), "g").select(
+        "g", (F.col("hr") - F.col("hr0")).alias("x"), F.col("cents").alias("y")
+    )
+    s = xy.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    numer = s["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    denom = s["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        numer.cast("long").alias("numer"),
+        denom.cast("long").alias("denom"),
+        F.when(denom == 0, F.lit(0)).otherwise(
+            F.floor(numer.cast("double") * TREND_X6 / denom.cast("double"))
+        ).cast("long").alias("slope_x6"),
+    )
+
+
+def trend_slope_sql(group_col: str = "event_type", ts_col: str = "ts",
+                    val_col: str = "value", table: str = "events") -> str:
+    """DuckDB twin of trend_slope — identical integer sufficient
+    statistics and the same single IEEE division."""
+    return f"""
+        WITH base AS (
+            SELECT {group_col} AS g,
+                   CAST(floor(epoch({ts_col}) / 3600) AS BIGINT) AS hr,
+                   CAST(floor({val_col} * 100) AS BIGINT) AS y
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+                  AND {val_col} IS NOT NULL),
+        first AS (SELECT g, min(hr) AS hr0 FROM base GROUP BY g),
+        xy AS (
+            SELECT base.g, base.hr - first.hr0 AS x, y
+            FROM base JOIN first USING (g)),
+        s AS (
+            SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy GROUP BY g)
+        SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS numer,
+               CAST(n * sxx - sx * sx AS BIGINT) AS denom,
+               CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                    ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                               * {TREND_X6}
+                               / CAST(n * sxx - sx * sx AS DOUBLE))
+               END AS BIGINT) AS slope_x6
+        FROM s
+    """

@@ -295,3 +295,38 @@ def test_benford_digits_hand_case(spark):
     assert out[1]["exp_bp"] == BENFORD_BP[0]
     assert out[1]["dev_bp"] == 5000 - BENFORD_BP[0]
     assert sum(r["n"] for r in out.values()) == 4
+
+
+def test_trend_slope_recovers_planted_line(spark):
+    """y = 3.00 + 0.50*hours (in dollars): slope_x6 must recover 50
+    cents/hour exactly; a constant series has denom > 0, numer 0."""
+    from datetime import datetime, timedelta
+
+    from llogtail_spark.operators.telemetry import trend_slope
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(hours=i), 1, "lin", 3.0 + 0.5 * i, None)
+            for i in range(24)]
+    rows += [(100 + i, t0 + timedelta(hours=i), 1, "flat", 7.25, None)
+             for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["event_type"]: r for r in trend_slope(df).collect()}
+    assert out["lin"]["slope_x6"] == 50 * 1_000_000   # 50 cents/hour
+    assert out["flat"]["numer"] == 0 and out["flat"]["slope_x6"] == 0
+    assert out["flat"]["denom"] > 0
+
+
+def test_trend_slope_single_point_group(spark):
+    """One event -> denom = 0 -> slope 0, no division error."""
+    from datetime import datetime
+
+    from llogtail_spark.operators.telemetry import trend_slope
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "solo", 5.0, None)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    r = trend_slope(df).collect()[0]
+    assert r["denom"] == 0 and r["slope_x6"] == 0
