@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "hll_sliding_dau",
     "cm_join_size",
     "trend_slope",
+    "doc_perplexity",
+    "categorical_mi",
+    "unpivot_event_matrix",
 ]
 
 

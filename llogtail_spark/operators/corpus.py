@@ -2709,3 +2709,213 @@ def kn_bigram_lm_sql(top: int = KN_TOP) -> str:
         JOIN c1 USING (w1) JOIN ncont USING (w2) CROSS JOIN nbig
         ORDER BY c2 DESC, w1, w2
     """
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document perplexity (the perplexity filter)
+# ---------------------------------------------------------------------------
+
+# _elog8 of the x12 fixed-point unit — the constant that converts
+# elog8(pkn_x12) into elog8 of the actual probability (always <= 0).
+ELOG8_X12 = 318  # _elog8(10^12): bits=40 -> 312 + floor(8e12/2^39) - 8
+
+
+def doc_perplexity(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's OWN
+    Kneser-Ney bigram LM — the classic perplexity quality filter
+    (CCNet, Wenzek et al. 2020, scores documents with a small LM and
+    drops the high-perplexity tail; the LM here is kn_bigram_lm's
+    D=1 estimate trained on the corpus itself, so every document
+    bigram exists in the model by construction and no backoff path
+    is needed).
+
+    nll of one bigram = elog8(10^12) - elog8(max(pkn_x12, 1)) —
+    eighth-bits of -log2 P, >= 0, integer-exact in both engines (the
+    max guards lam/pc fixed-point underflow to 0 at extreme counts).
+
+    Output: (id_col, n_bi:long bigram instances, nll_e8:long total,
+    avg_nll_e8:long = floor(nll/n_bi) — the perplexity score; filter
+    = drop docs above a threshold).
+
+    Shape: the bigram-type table (persisted, release_kn_caches())
+    feeds both the LM statistics and the per-doc join; all joins are
+    token-keyed and combinable; per-doc bigram multiplicities
+    collapse BEFORE the LM join so the join carries bigram TYPES per
+    doc, not instances. One per-doc result exchange at the end.
+    """
+    from pyspark import StorageLevel
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    WS_CLASS),
+            lambda x: x != "",
+        ).alias("t"),
+    ).where(F.size("t") >= 2)
+    dpairs = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                lambda x, i: F.struct(
+                    x.alias("w1"),
+                    F.element_at(F.col("t"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("_id", "p.w1", "p.w2")
+    # per-doc bigram-type multiplicities (collapse instances early)
+    dm = dpairs.groupBy("_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    c2 = (
+        dm.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _KN_CACHES.append(c2)
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nf1")
+    )
+    ncont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    nbig = c2.agg(F.count(F.lit(1)).alias("nbig"))
+    lm = (
+        c2.join(c1, "w1").join(ncont, "w2").crossJoin(F.broadcast(nbig))
+        .select(
+            "w1", "w2",
+            F.greatest(
+                F.floor((F.col("c2") - 1) * F.lit(KN_SCALE) * F.lit(KN_SCALE)
+                        / F.col("c1"))
+                + F.floor(F.col("nf1") * F.lit(KN_SCALE) / F.col("c1"))
+                * F.floor(F.col("ncont") * F.lit(KN_SCALE) / F.col("nbig")),
+                F.lit(1),
+            ).alias("pkn"),
+        )
+    )
+    nll1 = F.lit(ELOG8_X12) - _elog8(F.col("pkn"))
+    scored = dm.join(lm, ["w1", "w2"]).groupBy("_id").agg(
+        F.sum("m").cast("long").alias("n_bi"),
+        F.sum(F.col("m") * nll1).cast("long").alias("nll_e8"),
+    )
+    return scored.select(
+        F.col("_id").alias(id_col), "n_bi", "nll_e8",
+        F.floor(F.col("nll_e8") / F.col("n_bi")).cast("long")
+        .alias("avg_nll_e8"),
+    )
+
+
+def doc_perplexity_sql() -> str:
+    """DuckDB twin of doc_perplexity — identical LM statistics,
+    fixed-point floor order, and eighth-bit nll."""
+    s = KN_SCALE
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '{WS_CLASS}'),
+                               x -> x <> '') AS t
+            FROM documents),
+        dpairs AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+            FROM toks WHERE len(t) >= 2),
+        dm AS (
+            SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS m
+            FROM dpairs GROUP BY doc_id, w1, w2),
+        c2 AS (
+            SELECT w1, w2, sum(m) AS c2 FROM dm GROUP BY w1, w2),
+        c1 AS (
+            SELECT w1, sum(c2) AS c1, count(*) AS nf1 FROM c2 GROUP BY w1),
+        ncont AS (SELECT w2, count(*) AS ncont FROM c2 GROUP BY w2),
+        nbig AS (SELECT count(*) AS nbig FROM c2),
+        lm AS (
+            SELECT w1, w2,
+                   greatest(
+                       floor((c2.c2 - 1) * {s}::BIGINT * {s} / c1.c1)
+                       + floor(nf1 * {s} / c1.c1)
+                         * floor(ncont * {s} / nbig), 1) AS pkn
+            FROM c2 JOIN c1 USING (w1) JOIN ncont USING (w2)
+            CROSS JOIN nbig),
+        scored AS (
+            SELECT doc_id, sum(m) AS n_bi,
+                   sum(m * ({ELOG8_X12} - ({_elog8_sql('pkn')}))) AS nll_e8
+            FROM dm JOIN lm USING (w1, w2) GROUP BY doc_id)
+        SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bi,
+               CAST(nll_e8 AS BIGINT) AS nll_e8,
+               CAST(floor(nll_e8 / n_bi) AS BIGINT) AS avg_nll_e8
+        FROM scored
+    """
+
+
+# ---------------------------------------------------------------------------
+# Categorical mutual information (lang x source audit)
+# ---------------------------------------------------------------------------
+
+
+def categorical_mi(df: DataFrame, col_a: str = "lang",
+                   col_b: str = "source") -> DataFrame:
+    """Pointwise mutual information between two categorical columns
+    in eighth-bits — the corpus-audit statistic that flags scrape
+    artifacts (a language glued to one source, a source that is
+    secretly one language): independent columns read pmi ~ 0
+    everywhere; structure shows as large-|pmi| cells.
+
+        pmi_e8(a, b) = elog8(n_ab) + elog8(N) - elog8(n_a) - elog8(n_b)
+        contrib_e8   = n_ab * pmi_e8   (sums to N * MI over cells)
+
+    Shape: ONE combinable (a, b) count; margins via dim-sized window
+    sums over the cell table (cells = |A| x |B|, dim-sized by
+    definition for categorical columns). All integer.
+
+    Output: (col_a, col_b, n:long, pmi_e8:long, contrib_e8:long).
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    wa = W.partitionBy("a")
+    wb = W.partitionBy("b")
+    wall = W.partitionBy()
+    m = cells.select(
+        "a", "b", "n",
+        F.sum("n").over(wa).alias("na"),
+        F.sum("n").over(wb).alias("nb"),
+        F.sum("n").over(wall).alias("nn"),
+    )
+    pmi = (_elog8(F.col("n")) + _elog8(F.col("nn"))
+           - _elog8(F.col("na")) - _elog8(F.col("nb")))
+    return m.select(
+        F.col("a").alias(col_a), F.col("b").alias(col_b),
+        F.col("n").cast("long").alias("n"),
+        pmi.cast("long").alias("pmi_e8"),
+        (F.col("n") * pmi).cast("long").alias("contrib_e8"),
+    )
+
+
+def categorical_mi_sql(col_a: str = "lang", col_b: str = "source",
+                       table: str = "documents") -> str:
+    """DuckDB twin of categorical_mi — identical counts and
+    eighth-bit arithmetic."""
+    pmi = (f"({_elog8_sql('n')}) + ({_elog8_sql('nn')})"
+           f" - ({_elog8_sql('na')}) - ({_elog8_sql('nb')})")
+    return f"""
+        WITH cells AS (
+            SELECT {col_a} AS a, {col_b} AS b, count(*) AS n
+            FROM {table}
+            WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+            GROUP BY a, b),
+        m AS (
+            SELECT a, b, n,
+                   sum(n) OVER (PARTITION BY a) AS na,
+                   sum(n) OVER (PARTITION BY b) AS nb,
+                   sum(n) OVER () AS nn
+            FROM cells)
+        SELECT a AS {col_a}, b AS {col_b}, CAST(n AS BIGINT) AS n,
+               CAST({pmi} AS BIGINT) AS pmi_e8,
+               CAST(n * ({pmi}) AS BIGINT) AS contrib_e8
+        FROM m
+    """

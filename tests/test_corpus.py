@@ -1186,3 +1186,74 @@ def test_kn_bigram_lm_probabilities_sum_below_one(spark):
         # followers is excluded, so the sum must be strictly <= 1
         assert s <= KN_SCALE * KN_SCALE, (w1, s)
         assert s > 0
+
+
+# ---------------------------------------------------------------------------
+# doc_perplexity / categorical_mi
+# ---------------------------------------------------------------------------
+
+
+def test_doc_perplexity_template_scores_lower(spark):
+    """A document made of the corpus's dominant repeated bigram must
+    score LOWER avg nll (more predictable) than a document of rare
+    bigrams; identical documents score identically."""
+    from llogtail_spark.operators.corpus import (
+        doc_perplexity, release_kn_caches,
+    )
+
+    common = "a b " * 30                       # bigram (a,b) dominates
+    rare = " ".join(f"r{i}" for i in range(40))
+    docs = [(1, "s", common), (2, "s", common), (3, "s", rare)]
+    # pad the corpus so the LM has mass beyond the probe docs
+    docs += [(10 + i, "s", "a b c d e f g h") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in doc_perplexity(df).collect()}
+    release_kn_caches()
+    assert out[1]["avg_nll_e8"] == out[2]["avg_nll_e8"]
+    assert out[1]["avg_nll_e8"] < out[3]["avg_nll_e8"]
+    # n_bi = token count - 1 per doc
+    assert out[3]["n_bi"] == 39
+    assert out[1]["nll_e8"] >= 0
+
+
+def test_doc_perplexity_every_doc_covered(spark):
+    """Self-trained LM: every document with >= 2 tokens gets a row
+    (no bigram can be missing from its own training set)."""
+    from llogtail_spark.operators.corpus import (
+        doc_perplexity, release_kn_caches,
+    )
+
+    docs = [(i, "s", " ".join(f"w{(i * 3 + j) % 17}" for j in range(10)))
+            for i in range(30)]
+    docs.append((99, "s", "solo"))          # 1 token -> dropped
+    docs.append((100, "s", None))           # NULL -> dropped
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r["doc_id"] for r in doc_perplexity(df).collect()}
+    release_kn_caches()
+    assert got == set(range(30))
+
+
+def test_categorical_mi_independence_and_structure(spark):
+    """Independent columns read pmi ~ 0 (within elog8 quantization);
+    a perfectly coupled column pair reads strongly positive diagonal
+    pmi and negative off-diagonal (none present here: coupled cells
+    only exist on the diagonal)."""
+    from llogtail_spark.operators.corpus import categorical_mi
+
+    # independent: every (a, b) combination equally often
+    ind = [(f"l{i % 4}", f"s{j % 5}") for i in range(4) for j in range(5)
+           for _ in range(10)]
+    df = spark.createDataFrame(ind, "lang string, source string")
+    rows = categorical_mi(df).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert abs(r["pmi_e8"]) <= 6, r    # quantization-only noise
+
+    # coupled: lang == source
+    cpl = [(f"x{i % 4}", f"x{i % 4}") for i in range(400)]
+    df2 = spark.createDataFrame(cpl, "lang string, source string")
+    rows2 = categorical_mi(df2).collect()
+    assert len(rows2) == 4
+    for r in rows2:
+        # pmi = log2(4) = 2 bits = 16 eighth-bits per cell
+        assert 14 <= r["pmi_e8"] <= 18, r
