@@ -199,6 +199,10 @@ BENCH_QUERIES = [
     "doc_perplexity",
     "categorical_mi",
     "unpivot_event_matrix",
+    "copurchase_lift",
+    "fk_audit",
+    "hist_quantiles",
+    "rank_normalize",
 ]
 
 

@@ -72,3 +72,101 @@ def k_anonymity_sql(k: int = K_ANON, len_bucket: int = LEN_BUCKET) -> str:
                           * 10000 / sum(g)) AS BIGINT) AS risk_bp
         FROM qi GROUP BY lang
     """
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan counts)
+# ---------------------------------------------------------------------------
+
+
+def fk_audit(spark, tables: dict) -> DataFrame:
+    """Foreign-key conformance audit across the warehouse: for each
+    declared (child, fk) -> (parent, pk) relationship, how many child
+    rows are orphans (fk NOT NULL but no matching parent) and how
+    many carry a NULL fk — the data-quality gate a pipeline runs
+    before trusting joins downstream (an orphan rate that jumps
+    between loads is how partial ingests get caught).
+
+    `tables` maps name -> DataFrame for: orders, customer, lineitem,
+    part, supplier.
+
+    Shape: each check is ONE left-anti join of the child against the
+    parent's key projection — the parent side is key-only (column-
+    pruned to one attribute) and Spark broadcasts it when dim-sized,
+    while fact-fact checks (lineitem -> orders) shuffle both sides
+    co-keyed; NULL counts ride the same scan as a conditional sum.
+    The per-relation results are 1-row aggregates unioned together —
+    a fixed-size report regardless of warehouse size.
+
+    Output: (relation:string, n_child:long, n_null_fk:long,
+    n_orphan:long, orphan_bp:long).
+    """
+    checks = [
+        ("orders.custkey->customer", tables["orders"], "o_custkey",
+         tables["customer"], "c_custkey"),
+        ("lineitem.orderkey->orders", tables["lineitem"], "l_orderkey",
+         tables["orders"], "o_orderkey"),
+        ("lineitem.partkey->part", tables["lineitem"], "l_partkey",
+         tables["part"], "p_partkey"),
+        ("lineitem.suppkey->supplier", tables["lineitem"], "l_suppkey",
+         tables["supplier"], "s_suppkey"),
+    ]
+    outs = []
+    for name, child, fk, parent, pk in checks:
+        base = child.select(F.col(fk).alias("fk"))
+        keys = parent.select(F.col(pk).alias("fk")).distinct()
+        totals = base.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col("fk").isNull(), 1).otherwise(0))
+            .alias("n_null_fk"),
+        )
+        orphans = (
+            base.where(F.col("fk").isNotNull())
+            .join(keys, "fk", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphan"))
+        )
+        outs.append(
+            totals.crossJoin(F.broadcast(orphans)).select(
+                F.lit(name).alias("relation"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_null_fk").cast("long").alias("n_null_fk"),
+                F.col("n_orphan").cast("long").alias("n_orphan"),
+                F.floor(F.col("n_orphan") * 10000 / F.col("n_child"))
+                .cast("long").alias("orphan_bp"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def fk_audit_sql() -> str:
+    """DuckDB twin of fk_audit — the same four checks as anti-join
+    aggregates."""
+    def check(name, child, fk, parent, pk):
+        return f"""
+            SELECT '{name}' AS relation,
+                   CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_fk,
+                   CAST(sum(CASE WHEN {fk} IS NOT NULL AND NOT EXISTS (
+                            SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+                   CAST(floor(sum(CASE WHEN {fk} IS NOT NULL AND NOT EXISTS (
+                            SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})
+                        THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT)
+                       AS orphan_bp
+            FROM {child} c"""
+
+    parts = " UNION ALL ".join([
+        check("orders.custkey->customer", "orders", "o_custkey",
+              "customer", "c_custkey"),
+        check("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+              "orders", "o_orderkey"),
+        check("lineitem.partkey->part", "lineitem", "l_partkey",
+              "part", "p_partkey"),
+        check("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+              "supplier", "s_suppkey"),
+    ])
+    return parts

@@ -549,3 +549,106 @@ def rrf_fuse_sql(terms: tuple = RRF_TERMS, depth: int = RRF_DEPTH,
         SELECT doc AS doc_id, n_lists, rrf_x6
         FROM fused ORDER BY rrf_x6 DESC, doc LIMIT {top}
     """
+
+
+# ---------------------------------------------------------------------------
+# Association rules: co-purchase support / lift
+# ---------------------------------------------------------------------------
+
+LIFT_TOP = 30
+LIFT_X3 = 1000
+
+
+def copurchase_lift(lineitem: DataFrame, top: int = LIFT_TOP) -> DataFrame:
+    """Frequent co-purchased part pairs with support and lift — the
+    A-Priori pair-counting step of association-rule mining (Agrawal &
+    Srikant, VLDB'94), kept exact because pair counting is already
+    the bounded-fanout copurchase_edges shape (per-basket C(k,2),
+    never table-squared).
+
+        support_bp(a,b) = floor(10^4 * n_ab / N)
+        lift_x3(a,b)    = floor(10^3 * n_ab * N / (n_a * n_b))
+
+    with n_x = baskets containing x, N = total baskets — lift > 1000
+    means the pair co-occurs more than independence predicts. All
+    integer: n_ab * N * 10^3 needs n_ab * N < 9.2e15, fine through
+    ~10^7 baskets per shard; beyond that drop to x1 or compute per
+    partition-of-time and merge counts first.
+
+    Shape: basket-item distinct (combinable), the co-keyed pair join,
+    pair counts (combinable), top-`top` pairs by (n_ab DESC, a, b)
+    via TakeOrderedAndProject, then item counts join the tiny
+    candidate set (broadcast) and the 1-row basket total rides a
+    broadcast crossJoin.
+
+    Output: (part_a:long, part_b:long, n_ab:long, support_bp:long,
+    lift_x3:long).
+    """
+    items = (
+        lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .filter(F.col("o").isNotNull() & F.col("p").isNotNull())
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pair_counts = (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    cand = pair_counts.orderBy(
+        F.desc("n_ab"), F.asc("pa"), F.asc("pb")
+    ).limit(top)
+    item_counts = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    n_baskets = items.select("o").distinct().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    j = (
+        F.broadcast(cand)
+        .join(item_counts.withColumnRenamed("p", "pa")
+              .withColumnRenamed("n_p", "n_a"), "pa")
+        .join(item_counts.withColumnRenamed("p", "pb")
+              .withColumnRenamed("n_p", "n_b"), "pb")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return j.select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"),
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.floor(F.col("n_ab") * 10000 / F.col("nb")).cast("long")
+        .alias("support_bp"),
+        F.floor(F.col("n_ab") * F.col("nb") * LIFT_X3
+                / (F.col("n_a") * F.col("n_b"))).cast("long")
+        .alias("lift_x3"),
+    )
+
+
+def copurchase_lift_sql(top: int = LIFT_TOP) -> str:
+    """DuckDB twin of copurchase_lift — identical counts and integer
+    fixed-point arithmetic."""
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        pair_counts AS (
+            SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+            GROUP BY pa, pb),
+        cand AS (
+            SELECT * FROM pair_counts
+            ORDER BY n_ab DESC, pa, pb LIMIT {top}),
+        item_counts AS (SELECT p, count(*) AS n_p FROM items GROUP BY p),
+        nb AS (SELECT count(DISTINCT o) AS nb FROM items)
+        SELECT cand.pa AS part_a, cand.pb AS part_b,
+               CAST(cand.n_ab AS BIGINT) AS n_ab,
+               CAST(floor(cand.n_ab * 10000 / nb.nb) AS BIGINT)
+                   AS support_bp,
+               CAST(floor(cand.n_ab * nb.nb * {LIFT_X3}
+                          / (ia.n_p * ib.n_p)) AS BIGINT) AS lift_x3
+        FROM cand
+        JOIN item_counts ia ON ia.p = cand.pa
+        JOIN item_counts ib ON ib.p = cand.pb
+        CROSS JOIN nb
+    """

@@ -1213,3 +1213,159 @@ def trend_slope_sql(group_col: str = "event_type", ts_col: str = "ts",
                END AS BIGINT) AS slope_x6
         FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HQ_BIN_CENTS = 800          # bin width: 8 dollars in cents
+HQ_PCTS = (50, 95, 99)      # percentiles reported
+
+
+def hist_quantiles(df: DataFrame, group_col: str = "event_type",
+                   val_col: str = "value",
+                   bin_cents: int = HQ_BIN_CENTS) -> DataFrame:
+    """Per-group quantiles from a fixed-width histogram SKETCH — the
+    mergeable alternative to exact sorts when the value domain is
+    bounded: every partition contributes bin counts (combinable, the
+    merge is addition), and any percentile resolves to a bin upper
+    edge with error <= one bin width. This is the streaming-friendly
+    quantile summary (t-digest's fixed-grid cousin) — unlike the
+    exact rank machinery (median_value_by_type), the state per group
+    is the FIXED bin count regardless of row count or distinct
+    values.
+
+    p-th percentile = upper edge (in cents) of the first bin where
+    100 * cum >= p * n — pure integer; ties and engine order cannot
+    matter because bins are keyed, not row-ordered.
+
+    Output: (group_col, n:long, p50_cents, p95_cents, p99_cents).
+    """
+    bins = (
+        df.select(
+            F.col(group_col).alias("g"),
+            (F.floor(F.floor(F.col(val_col) * 100) / bin_cents))
+            .cast("long").alias("b"),
+        )
+        .where(F.col("g").isNotNull() & F.col("b").isNotNull())
+        .groupBy("g", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = bins.select(
+        "g", "b", "cnt",
+        F.sum("cnt").over(
+            Window.partitionBy("g").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("g")).alias("n"),
+    )
+    aggs = [F.first("n").cast("long").alias("n")]
+    for p in HQ_PCTS:
+        aggs.append(
+            F.min(
+                F.when(F.lit(100) * F.col("cum") >= F.lit(p) * F.col("n"),
+                       (F.col("b") + 1) * bin_cents)
+            ).cast("long").alias(f"p{p}_cents")
+        )
+    return cum.groupBy("g").agg(*aggs).select(
+        F.col("g").alias(group_col), "n",
+        *[f"p{p}_cents" for p in HQ_PCTS],
+    )
+
+
+def hist_quantiles_sql(group_col: str = "event_type",
+                       val_col: str = "value",
+                       bin_cents: int = HQ_BIN_CENTS,
+                       table: str = "events") -> str:
+    """DuckDB twin of hist_quantiles — identical binning and integer
+    percentile thresholds."""
+    pcols = ", ".join(
+        f"CAST(min(CASE WHEN 100 * cum >= {p} * n "
+        f"THEN (b + 1) * {bin_cents} END) AS BIGINT) AS p{p}_cents"
+        for p in HQ_PCTS
+    )
+    return f"""
+        WITH bins AS (
+            SELECT {group_col} AS g,
+                   CAST(floor(floor({val_col} * 100) / {bin_cents})
+                        AS BIGINT) AS b,
+                   count(*) AS cnt
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {val_col} IS NOT NULL
+            GROUP BY g, b),
+        cum AS (
+            SELECT g, b, cnt,
+                   sum(cnt) OVER (PARTITION BY g ORDER BY b) AS cum,
+                   sum(cnt) OVER (PARTITION BY g) AS n
+            FROM bins)
+        SELECT g AS {group_col}, CAST(any_value(n) AS BIGINT) AS n, {pcols}
+        FROM cum GROUP BY g
+    """
+
+
+# ---------------------------------------------------------------------------
+# Rank normalization (percent-rank feature scaling, integer fixed point)
+# ---------------------------------------------------------------------------
+
+
+def rank_normalize(df: DataFrame, group_col: str = "event_type",
+                   val_col: str = "value",
+                   id_col: str = "event_id") -> DataFrame:
+    """Per-group percent-rank feature scaling in x6 fixed point: the
+    rank-based normalization that makes heavy-tailed metrics
+    comparable across groups (the feature-engineering step before
+    mixing signals of different scales).
+
+        prank_x6 = floor(10^6 * (rank - 1) / (n - 1))   (n > 1)
+
+    with rank over (val, id) — a total order, so both engines agree
+    on every tie. Classical percent_rank, restated in integers
+    because the builtin returns a double whose engine-side division
+    is the only nondeterminism risk worth removing.
+
+    Shape: one rank window per group + a dim-sized group-count join;
+    output is row-sized (it IS a per-row feature). Single-row groups
+    emit 0.
+
+    Output: (id_col, group_col, prank_x6:long).
+    """
+    w = Window.partitionBy("g").orderBy("v", "i")
+    ranked = (
+        df.select(
+            F.col(id_col).alias("i"), F.col(group_col).alias("g"),
+            F.col(val_col).alias("v"),
+        )
+        .where(F.col("g").isNotNull() & F.col("v").isNotNull()
+               & F.col("i").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    )
+    return ranked.select(
+        F.col("i").alias(id_col), F.col("g").alias(group_col),
+        F.when(F.col("n") > 1,
+               F.floor(F.lit(1_000_000) * (F.col("rk") - 1)
+                       / (F.col("n") - 1)))
+        .otherwise(F.lit(0)).cast("long").alias("prank_x6"),
+    )
+
+
+def rank_normalize_sql(group_col: str = "event_type",
+                       val_col: str = "value", id_col: str = "event_id",
+                       table: str = "events") -> str:
+    """DuckDB twin of rank_normalize — identical total order and
+    integer arithmetic."""
+    return f"""
+        WITH ranked AS (
+            SELECT {id_col} AS i, {group_col} AS g, {val_col} AS v,
+                   row_number() OVER (PARTITION BY {group_col}
+                                      ORDER BY {val_col}, {id_col}) AS rk,
+                   count(*) OVER (PARTITION BY {group_col}) AS n
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {val_col} IS NOT NULL
+                  AND {id_col} IS NOT NULL)
+        SELECT i AS {id_col}, g AS {group_col},
+               CAST(CASE WHEN n > 1
+                    THEN floor(1000000 * (rk - 1) / (n - 1))
+                    ELSE 0 END AS BIGINT) AS prank_x6
+        FROM ranked
+    """

@@ -601,3 +601,29 @@ def test_rrf_fuse_depth_excludes_tail(spark):
     # highest tf = doc 29 -> rank 1 -> best fused score
     assert got[0]["doc_id"] == 29
     assert [r["doc_id"] for r in got] == [29, 28, 27, 26, 25]
+
+
+def test_copurchase_lift_hand_case(spark):
+    """Parts 1+2 always co-purchased (lift = N/(n1*n2)*1000 > 1000);
+    duplicate line items for the same (order, part) must not inflate
+    counts."""
+    from llogtail_spark.operators.indexing import copurchase_lift
+
+    rows = []
+    # baskets 1..4: {1,2}; baskets 5..8: {3}; basket 9: {1,2,3}
+    for o in range(1, 5):
+        rows += [(o, 1), (o, 2), (o, 1)]     # dup (o,1) line
+    for o in range(5, 9):
+        rows += [(o, 3)]
+    rows += [(9, 1), (9, 2), (9, 3)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r["part_a"], r["part_b"]): r
+           for r in copurchase_lift(df).collect()}
+    r12 = out[(1, 2)]
+    # n_ab=5, N=9, n_1=5, n_2=5 -> lift = 5*9*1000//25 = 1800
+    assert r12["n_ab"] == 5
+    assert r12["support_bp"] == 5 * 10000 // 9
+    assert r12["lift_x3"] == 1800
+    # pair (1,3) co-occurs once in 9 baskets with n1=5, n3=5:
+    # lift = 1*9*1000//25 = 360 (< 1000: anti-correlated)
+    assert out[(1, 3)]["lift_x3"] == 360

@@ -330,3 +330,46 @@ def test_trend_slope_single_point_group(spark):
         "event_type string, value double, props string")
     r = trend_slope(df).collect()[0]
     assert r["denom"] == 0 and r["slope_x6"] == 0
+
+
+def test_hist_quantiles_hand_case_and_merge_invariance(spark):
+    from llogtail_spark.operators.telemetry import hist_quantiles
+
+    # 100 values 0.01..1.00 dollars -> cents 1..100, bin width 800
+    # puts everything in bin 0 -> every percentile = 800; add one
+    # 50-dollar outlier -> p99 jumps to its bin edge.
+    rows = [(i, None, 1, "t", (i + 1) / 100.0, None) for i in range(100)]
+    rows.append((200, None, 1, "t", 50.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    r = hist_quantiles(df).collect()[0]
+    assert r["n"] == 101
+    assert r["p50_cents"] == 800
+    assert r["p95_cents"] == 800
+    assert r["p99_cents"] == 800   # 100*100 >= 99*101 -> still bin 0
+    # drop to 50 base values: p99 must now hit the outlier's bin
+    df2 = spark.createDataFrame(
+        rows[:50] + [rows[-1]],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    r2 = hist_quantiles(df2).collect()[0]
+    assert r2["p99_cents"] == (5000 // 800 + 1) * 800
+    # bin counts are combinable: layout invariance
+    a = sorted(map(tuple, hist_quantiles(df.repartition(1)).collect()))
+    b = sorted(map(tuple, hist_quantiles(df.repartition(8, "event_id")).collect()))
+    assert a == b
+
+
+def test_rank_normalize_hand_case(spark):
+    from llogtail_spark.operators.telemetry import rank_normalize
+
+    rows = [(i, None, 1, "t", float(v), None)
+            for i, v in enumerate([10, 20, 30, 40, 50])]
+    rows.append((99, None, 1, "solo", 7.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["event_id"]: r["prank_x6"] for r in rank_normalize(df).collect()}
+    assert [out[i] for i in range(5)] == [0, 250000, 500000, 750000, 1000000]
+    assert out[99] == 0
