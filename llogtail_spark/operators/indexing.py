@@ -491,7 +491,7 @@ def rrf_fuse(df: DataFrame, terms: tuple = RRF_TERMS,
             F.col(id_col).alias("doc"),
             F.explode(_tokens(F.col(text_col))).alias("term"),
         )
-        .where(F.col("term").isin(*terms))
+        .where(F.col("term").isin(*terms) & F.col("doc").isNotNull())
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -534,7 +534,7 @@ def rrf_fuse_sql(terms: tuple = RRF_TERMS, depth: int = RRF_DEPTH,
             FROM documents),
         tf AS (
             SELECT doc, term, count(*) AS tf
-            FROM tok WHERE term IN ({term_list})
+            FROM tok WHERE term IN ({term_list}) AND doc IS NOT NULL
             GROUP BY doc, term),
         ranked AS (
             SELECT doc, term, tf,

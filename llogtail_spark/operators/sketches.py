@@ -596,6 +596,23 @@ def hll_distinct_sql(group_col: str = "source") -> str:
 # KMV set algebra (cross-source sketch union / intersection / Jaccard)
 # ---------------------------------------------------------------------------
 
+from pyspark import StorageLevel  # noqa: E402  (section-local dependency)
+
+_KMV_CACHES: list = []
+
+
+def release_kmv_caches() -> int:
+    """Unpersist every sketch relation cached by kmv_set_ops; returns
+    how many were released (the release_fuzzy_caches discipline)."""
+    n = 0
+    while _KMV_CACHES:
+        try:
+            _KMV_CACHES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def kmv_set_ops(
     df: DataFrame,
@@ -633,8 +650,11 @@ def kmv_set_ops(
     combine, then a WindowGroupLimit bottom-k heap below the group
     exchange — so each source contributes ONE k-value array. The
     pair stage self-joins the S-row sketch table (S = #sources,
-    dim-sized; the big side of the build never re-shuffles), with the
-    smaller relation broadcast. For web-scale S the pair stage is
+    dim-sized; PERSISTED before the self-join — the a<b pair
+    condition plans a BroadcastNestedLoopJoin whose two branches do
+    NOT canonicalize to a reusable exchange, so without the persist
+    the whole corpus-scan sketch build would execute twice;
+    release_kmv_caches() frees it), with one side broadcast. For web-scale S the pair stage is
     S^2/2 rows of O(k) arrays — band the pairs or prefilter on
     min-hash equality before calling; the sketches themselves stay
     mergeable either way. Rel. error ~ 1/sqrt(k) on union; Jaccard
@@ -664,7 +684,8 @@ def kmv_set_ops(
     )
     sk = kept.groupBy("grp").agg(
         F.array_sort(F.collect_list("hv")).alias("sk")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _KMV_CACHES.append(sk)
     a, b = sk.alias("a"), sk.alias("b")
     pairs = a.join(
         F.broadcast(b), F.col("a.grp") < F.col("b.grp"), "inner"

@@ -919,7 +919,8 @@ def journey_paths(df: DataFrame, user_col: str = "user_id",
             F.col(user_col).alias("u"), F.col(ts_col).alias("ts"),
             F.col("event_id").alias("eid"), F.col(type_col).alias("et"),
         )
-        .where(F.col("u").isNotNull() & F.col("ts").isNotNull())
+        .where(F.col("u").isNotNull() & F.col("ts").isNotNull()
+               & F.col("eid").isNotNull())
         .withColumn(
             "rn",
             F.row_number().over(
@@ -954,7 +955,8 @@ def journey_paths_sql(k: int = JOURNEY_K, top: int = JOURNEY_TOP) -> str:
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn
             FROM events
-            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_id IS NOT NULL),
         paths AS (
             SELECT u, string_agg(et, '>' ORDER BY rn) AS path
             FROM ranked WHERE rn <= {k} GROUP BY u)
@@ -1343,7 +1345,7 @@ def rank_normalize(df: DataFrame, group_col: str = "event_type",
     return ranked.select(
         F.col("i").alias(id_col), F.col("g").alias(group_col),
         F.when(F.col("n") > 1,
-               F.floor(F.lit(1_000_000) * (F.col("rk") - 1)
+               F.floor(F.lit(1_000_000) * (F.col("rk").cast("long") - 1)
                        / (F.col("n") - 1)))
         .otherwise(F.lit(0)).cast("long").alias("prank_x6"),
     )
@@ -1368,4 +1370,228 @@ def rank_normalize_sql(group_col: str = "event_type",
                     THEN floor(1000000 * (rk - 1) / (n - 1))
                     ELSE 0 END AS BIGINT) AS prank_x6
         FROM ranked
+    """
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: event-type trigrams via lag windows (no collect)
+# ---------------------------------------------------------------------------
+
+TRIGRAM_TOP = 30
+
+
+def event_trigrams(df: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts", type_col: str = "event_type",
+                   top: int = TRIGRAM_TOP) -> DataFrame:
+    """Most frequent within-user event-type trigrams — sequence
+    mining one order up from markov_transitions' bigrams, built from
+    TWO lag windows instead of any per-user collect: state per user
+    is O(1) regardless of how many events a user has (the
+    journey_paths collect is bounded by its rank filter; this needs
+    no bound at all, which is the right shape for power users with
+    10^9 events).
+
+    Order is the (ts, event_id) total order; trigram counts are the
+    usual combinable shuffle; top `top` by (n DESC, trigram) plans
+    TakeOrderedAndProject.
+
+    Output: (trigram:string "a>b>c", n:long).
+    """
+    w = Window.partitionBy("u").orderBy("ts", "eid")
+    lagged = (
+        df.select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("ts"),
+            F.col("event_id").alias("eid"), F.col(type_col).alias("et"),
+        )
+        .where(F.col("u").isNotNull() & F.col("ts").isNotNull()
+               & F.col("eid").isNotNull())
+        .select(
+            "u", "et",
+            F.lag("et", 1).over(w).alias("p1"),
+            F.lag("et", 2).over(w).alias("p2"),
+        )
+        .where(F.col("p2").isNotNull())
+    )
+    return (
+        lagged.groupBy(
+            F.concat_ws(">", "p2", "p1", "et").alias("trigram")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(top)
+    )
+
+
+def event_trigrams_sql(top: int = TRIGRAM_TOP) -> str:
+    """DuckDB twin of event_trigrams — identical lag order and
+    counts."""
+    return f"""
+        WITH lagged AS (
+            SELECT lag(event_type, 2) OVER w AS p2,
+                   lag(event_type, 1) OVER w AS p1,
+                   event_type AS et
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_id IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT concat_ws('>', p2, p1, et) AS trigram,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lagged WHERE p2 IS NOT NULL
+        GROUP BY trigram ORDER BY n DESC, trigram LIMIT {top}
+    """
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (ordered-argument aggregates)
+# ---------------------------------------------------------------------------
+
+
+def ohlc_bars(df: DataFrame, group_col: str = "event_type",
+              ts_col: str = "ts", val_col: str = "value") -> DataFrame:
+    """Daily open/high/low/close bars per group — the classical
+    ordered-argument aggregation family (SQL arg_min/arg_max, Spark
+    min_by/max_by), stated here as conditional aggregates over the
+    (ts, event_id) total order so both engines agree on ties
+    bit-for-bit: open = the value at the MIN (ts, event_id) of the
+    (group, day), close = at the MAX; high/low are plain extremes.
+
+    ONE combinable shuffle: min/max of (ts, event_id, value) structs
+    combine associatively map-side (the struct comparison IS the
+    total order, value riding along), so no window and no second
+    pass. Output: (group_col, day:long epoch-day, open, high, low,
+    close, n:long).
+    """
+    day = F.floor(
+        F.col(ts_col).cast("timestamp").cast("long") / 86400
+    ).cast("long")
+    base = df.select(
+        F.col(group_col).alias("g"), day.alias("day"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("sec"),
+        F.col("event_id").alias("eid"), F.col(val_col).alias("v"),
+    ).where(F.col("g").isNotNull() & F.col("day").isNotNull()
+            & F.col("v").isNotNull() & F.col("eid").isNotNull())
+    return (
+        base.groupBy("g", "day")
+        .agg(
+            F.min(F.struct("sec", "eid", "v")).alias("o"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max(F.struct("sec", "eid", "v")).alias("c"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.col("g").alias(group_col), "day",
+            F.col("o.v").alias("open"), "high", "low",
+            F.col("c.v").alias("close"), "n",
+        )
+    )
+
+
+def ohlc_bars_sql(group_col: str = "event_type", ts_col: str = "ts",
+                  val_col: str = "value", table: str = "events") -> str:
+    """DuckDB twin of ohlc_bars — arg_min/arg_max over the identical
+    (sec, event_id) total order, packed into one HUGEINT key
+    (sec * 2^64 + eid — collision-free for any non-negative int64
+    event id; DuckDB 1.0's arg_min does not take struct keys)."""
+    key = ("CAST(sec AS HUGEINT) * "
+           "CAST('18446744073709551616' AS HUGEINT) + eid")
+    return f"""
+        WITH base AS (
+            SELECT {group_col} AS g,
+                   CAST(floor(epoch({ts_col}) / 86400) AS BIGINT) AS day,
+                   CAST(epoch({ts_col}) AS BIGINT) AS sec,
+                   event_id AS eid, {val_col} AS v
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+                  AND {val_col} IS NOT NULL AND event_id IS NOT NULL)
+        SELECT g AS {group_col}, day,
+               arg_min(v, {key}) AS open,
+               max(v) AS high, min(v) AS low,
+               arg_max(v, {key}) AS close,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY g, day
+    """
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed scores (powers-of-two exact arithmetic)
+# ---------------------------------------------------------------------------
+
+DECAY_HALFLIFE_S = 7 * 86400     # one-week half-life
+DECAY_TOP = 20
+
+
+def decayed_scores(df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts",
+                   halflife_s: int = DECAY_HALFLIFE_S,
+                   top: int = DECAY_TOP) -> DataFrame:
+    """Exponentially time-decayed activity leaderboard — the
+    feed-ranking primitive (recent events count full, events one
+    half-life old count half, ...), made CROSS-ENGINE EXACT by
+    quantizing the decay to whole half-lives: each event contributes
+    2^-k with k = floor((t_ref - ts)/halflife), t_ref = the corpus's
+    max timestamp (a broadcast 1-row aggregate, so the score is a
+    pure function of the data, not of wall-clock).
+
+    Why this is bit-exact in floating point: each 2^-k is an exact
+    IEEE double; per-(key, k) COUNTS are integers; and the final
+    sum_k count_k * 2^-k has every term an exact multiple of
+    2^-k_max with total magnitude << 2^53 ulps of that unit, so no
+    rounding ever occurs in either engine, in any summation order.
+    The x4096 integer output makes that visible: score_x4096 =
+    sum_k count_k * 2^(12-k) is computed in BIGINTs (k <= 12
+    clamped; beyond 12 half-lives an event's weight < 1/4096 ~ 0 and
+    clamps to the floor contribution of 1).
+
+    Shape: one combinable (key, k) count shuffle (k has <= 13
+    values), dim-sized rollup, TakeOrderedAndProject top-`top` by
+    (score DESC, key). Output: (key_col, n_events:long,
+    score_x4096:long).
+    """
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("sec"),
+    ).where(F.col("k").isNotNull() & F.col("sec").isNotNull())
+    tref = base.agg(F.max("sec").alias("tref"))
+    withk = base.crossJoin(F.broadcast(tref)).select(
+        "k",
+        F.least(
+            F.floor((F.col("tref") - F.col("sec")) / halflife_s),
+            F.lit(12),
+        ).cast("int").alias("hk"),
+    )
+    counts = withk.groupBy("k", "hk").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy("k")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum(F.col("n") * F.expr("shiftleft(1, 12 - hk)"))
+            .cast("long").alias("score_x4096"),
+        )
+        .orderBy(F.desc("score_x4096"), F.asc("k"))
+        .limit(top)
+        .select(F.col("k").alias(key_col), "n_events", "score_x4096")
+    )
+
+
+def decayed_scores_sql(key_col: str = "user_id", ts_col: str = "ts",
+                       halflife_s: int = DECAY_HALFLIFE_S,
+                       top: int = DECAY_TOP, table: str = "events") -> str:
+    """DuckDB twin of decayed_scores — identical half-life buckets
+    and BIGINT shift arithmetic."""
+    return f"""
+        WITH base AS (
+            SELECT {key_col} AS k, CAST(epoch({ts_col}) AS BIGINT) AS sec
+            FROM {table}
+            WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+        tref AS (SELECT max(sec) AS tref FROM base),
+        withk AS (
+            SELECT k, least(CAST(floor((tref - sec) / {halflife_s})
+                                 AS BIGINT), 12) AS hk
+            FROM base CROSS JOIN tref),
+        counts AS (SELECT k, hk, count(*) AS n FROM withk GROUP BY k, hk)
+        SELECT k AS {key_col}, CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(sum(n * (1 << (12 - hk))) AS BIGINT) AS score_x4096
+        FROM counts GROUP BY k
+        ORDER BY score_x4096 DESC, k LIMIT {top}
     """

@@ -468,3 +468,21 @@ def test_cm_join_size_disjoint_keys(spark):
     rows = cm_join_size(a, "k", b, "j").collect()
     assert rows and 0 <= rows[0]["est"] <= 6
     assert rows[0]["est"] == min(r["inner_prod"] for r in rows)
+
+
+def test_kmv_set_ops_sketch_built_once(spark):
+    """The a<b pair condition plans a BroadcastNestedLoopJoin whose
+    branches do not canonicalize to a reusable exchange — without the
+    persist the corpus-scan sketch build would execute TWICE. Pin:
+    both pair branches read the cached sketch relation."""
+    from llogtail_spark.operators.sketches import (
+        kmv_set_ops, release_kmv_caches,
+    )
+
+    rows = [(i, f"s{i % 3}", " ".join(f"w{j}" for j in range(i % 20)))
+            for i in range(60)]
+    df = kmv_set_ops(_docs(spark, rows))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert df.count() == 3
+    assert release_kmv_caches() >= 1

@@ -373,3 +373,104 @@ def test_rank_normalize_hand_case(spark):
     out = {r["event_id"]: r["prank_x6"] for r in rank_normalize(df).collect()}
     assert [out[i] for i in range(5)] == [0, 250000, 500000, 750000, 1000000]
     assert out[99] == 0
+
+
+def test_event_trigrams_hand_case(spark):
+    from datetime import datetime
+
+    from llogtail_spark.operators.telemetry import event_trigrams
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    # user 1: a b c a b c -> trigrams a>b>c x2, b>c>a, c>a>b
+    rows = [(i, t(i), 1, et, 0.0, None)
+            for i, et in enumerate(["a", "b", "c", "a", "b", "c"])]
+    # user 2: two events only -> no trigram
+    rows += [(10, t(0), 2, "x", 0.0, None), (11, t(1), 2, "y", 0.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["trigram"]: r["n"] for r in event_trigrams(df).collect()}
+    assert out == {"a>b>c": 2, "b>c>a": 1, "c>a>b": 1}
+
+
+def test_ohlc_bars_hand_case(spark):
+    from datetime import datetime
+
+    from llogtail_spark.operators.telemetry import ohlc_bars
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    # same-second open tie broken by event_id: eid 0 before eid 1
+    rows = [(0, t(0), 1, "t", 5.0, None), (1, t(0), 1, "t", 9.0, None),
+            (2, t(30), 1, "t", 1.0, None), (3, t(59), 1, "t", 7.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    r = ohlc_bars(df).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == \
+        (5.0, 9.0, 1.0, 7.0, 4)
+
+
+def test_decayed_scores_exact_halflife_arithmetic(spark):
+    from datetime import datetime, timedelta
+
+    from llogtail_spark.operators.telemetry import (
+        DECAY_HALFLIFE_S, decayed_scores,
+    )
+
+    t0 = datetime(2024, 6, 1)
+    hl = timedelta(seconds=DECAY_HALFLIFE_S)
+    # user 1: events at t_ref, t_ref-1hl, t_ref-2hl -> 4096+2048+1024
+    # user 2: one event 20 half-lives back -> clamped to k=12 -> 1
+    rows = [(0, t0, 1, "t", 0.0, None),
+            (1, t0 - hl, 1, "t", 0.0, None),
+            (2, t0 - 2 * hl, 1, "t", 0.0, None),
+            (3, t0 - 20 * hl, 2, "t", 0.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["user_id"]: r for r in decayed_scores(df).collect()}
+    assert out[1]["score_x4096"] == 4096 + 2048 + 1024
+    assert out[1]["n_events"] == 3
+    assert out[2]["score_x4096"] == 1
+
+
+def test_decayed_scores_layout_invariance(spark):
+    """The power-of-two design means NO summation-order rounding:
+    repartitioning cannot move the score by even one ulp."""
+    from datetime import datetime, timedelta
+
+    from llogtail_spark.operators.telemetry import decayed_scores
+
+    t0 = datetime(2024, 6, 1)
+    rows = [(i, t0 - timedelta(seconds=i * 50000), i % 7, "t", 0.0, None)
+            for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    a = sorted(map(tuple, decayed_scores(df.repartition(1)).collect()))
+    b = sorted(map(tuple, decayed_scores(df.repartition(16, "event_id")).collect()))
+    assert a == b
+
+
+def test_order_sensitive_ops_drop_null_event_ids(spark):
+    """NULL order keys are excluded in BOTH engines (Spark sorts
+    NULLS FIRST, DuckDB NULLS LAST — the known cross-engine
+    divergence class): a NULL event_id row must not shift journey
+    paths, trigrams, or OHLC open/close."""
+    from datetime import datetime
+
+    from llogtail_spark.operators.telemetry import (
+        event_trigrams, journey_paths, ohlc_bars,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [(0, t(0), 1, "a", 5.0, None), (None, t(0), 1, "z", 99.0, None),
+            (1, t(1), 1, "b", 7.0, None), (2, t(2), 1, "c", 6.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    assert [r["path"] for r in journey_paths(df).collect()] == ["a>b>c"]
+    assert {r["trigram"] for r in event_trigrams(df).collect()} == {"a>b>c"}
+    by_type = {r["event_type"]: r for r in ohlc_bars(df).collect()}
+    assert "z" not in by_type
+    assert by_type["a"]["n"] == 1

@@ -220,6 +220,21 @@ SHOWCASE = [
      "frequency count, per-doc bounded prefix window, equi-join on "
      "rarest prefix grams only, Levenshtein verify on candidates — "
      "no cartesian, no hot-gram skew."),
+    ("quality_classifier",
+     "fastText-style quality filter as inference-as-scan: hashed "
+     "features, arithmetic weight lookup and the dot product all in "
+     "ONE WholeStageCodegen projection — zero Exchange, zero Join, "
+     "zero Python; 10^12 docs cost exactly one pass."),
+    ("hll_sliding_dau",
+     "Trailing-7d distinct users from per-day HLL registers: one "
+     "combinable (day, bucket) max-rho shuffle, then the sliding "
+     "union is a RANGE-frame window MAX over the dim-sized register "
+     "grid — O(days x 64) window work regardless of user count."),
+    ("doc_perplexity",
+     "Bigram-LM perplexity filter: the persisted bigram-type table "
+     "feeds the LM statistics and the per-doc join; per-doc "
+     "multiplicities collapse BEFORE the LM join (types, not "
+     "instances cross the wire); all token-keyed and combinable."),
 ]
 
 
