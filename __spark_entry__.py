@@ -2070,8 +2070,49 @@ def _q_decayed_scores(spark, sf):
     return decayed_scores(_t(spark, sf, "events"))
 
 
+def _q_media_frame_digest(spark, sf):
+    """Frame-sampling through the REAL multimodal plumbing: video
+    payloads (utf-8 doc bytes with deterministic frame counts) run
+    the mapInPandas seek-style frame sampler (every 8th frame, no
+    decode of unsampled frames) and each frame's stub digest
+    (sha256(payload + '#idx')) is value-verified by the oracle —
+    the second fully-oracle-paired multimodal query, covering the
+    per-frame expansion path multimodal_stats doesn't touch."""
+    from llogtail_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf, "documents")
+    media = docs.where(F.pmod("doc_id", 3) == 2).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.pmod("n_chars", 57) + 8).cast("int").alias("n_frames"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.col("lang").alias("source"),
+    )
+    frames = sample_frames(media, every=8)
+    return frames.select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.lower(F.substring(F.hex("frame_payload"), 1, 16))
+        .alias("digest16"),
+    )
+
+
+def _q_source_kl_matrix(spark, sf):
+    """Directional corpus-drift matrix: pairwise KL divergence
+    between source unigram distributions over the shared top-200
+    vocabulary, add-one smoothed, in exact integer eighth-bits
+    (numerator and denominator ship separately — no engine ever
+    divides). One combinable count; the dense S x V grid persists
+    (both pair-join sides derive from it)."""
+    from llogtail_spark.operators.corpus import source_kl_matrix
+
+    return source_kl_matrix(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 145 oracle-paired queries. ORDER IS DELIBERATE (round 4):
+    """All 147 oracle-paired queries. ORDER IS DELIBERATE (round 4):
     the driver's correctness gate checks the first ~50 entries, so the
     50 queries with no driver-green row in CORRECTNESS_r01-r03 come
     first; positions 51-55 are the five the judge already re-verified
@@ -2227,6 +2268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigrams": _q_event_trigrams,
         "ohlc_bars": _q_ohlc_bars,
         "decayed_scores": _q_decayed_scores,
+        "media_frame_digest": _q_media_frame_digest,
+        "source_kl_matrix": _q_source_kl_matrix,
     }
 
 
@@ -3565,4 +3608,21 @@ def oracle_sql() -> dict[str, str]:
         "event_trigrams": _telemetry_mod().event_trigrams_sql(),
         "ohlc_bars": _telemetry_mod().ohlc_bars_sql(),
         "decayed_scores": _telemetry_mod().decayed_scores_sql(),
+        "media_frame_digest": """
+            WITH media AS (
+                SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+                       CAST(n_chars % 57 + 8 AS INTEGER) AS n_frames
+                FROM documents WHERE doc_id % 3 = 2),
+            frames AS (
+                SELECT media_id, text,
+                       CAST(unnest(range(0, n_frames, 8)) AS INTEGER)
+                           AS frame_idx
+                FROM media)
+            SELECT media_id, frame_idx,
+                   substr(sha256(text || '#'
+                                 || CAST(frame_idx AS VARCHAR)), 1, 16)
+                       AS digest16
+            FROM frames
+        """,
+        "source_kl_matrix": _corpus_mod().source_kl_matrix_sql(),
     }

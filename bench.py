@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "event_trigrams",
     "ohlc_bars",
     "decayed_scores",
+    "media_frame_digest",
+    "source_kl_matrix",
 ]
 
 

@@ -2919,3 +2919,145 @@ def categorical_mi_sql(col_a: str = "lang", col_b: str = "source",
                CAST(n * ({pmi}) AS BIGINT) AS contrib_e8
         FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source KL-divergence matrix
+# ---------------------------------------------------------------------------
+
+KL_VOCAB = 200   # restricted support: top-V global tokens
+
+_KL_CACHES: list = []
+
+
+def release_kl_caches() -> int:
+    """Unpersist every dense-grid relation cached by
+    source_kl_matrix (the release_fuzzy_caches discipline)."""
+    n = 0
+    while _KL_CACHES:
+        try:
+            _KL_CACHES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def source_kl_matrix(df: DataFrame, text_col: str = "text",
+                     group_col: str = "source",
+                     top_v: int = KL_VOCAB) -> DataFrame:
+    """Pairwise Kullback-Leibler divergence between source unigram
+    distributions over the shared top-`top_v` global vocabulary,
+    add-one smoothed — the directional corpus-drift matrix
+    (KL(P||Q) large means P uses vocabulary Q rarely does; the
+    asymmetry is the point: a template farm diverges FROM the web
+    far more than the web diverges from it).
+
+        contrib_i = (c_p + 1) * [elog8((c_p+1) * (n_q+V))
+                                 - elog8((c_q+1) * (n_p+V))]
+        kl_num_e8 = sum_i contrib_i      (exact integers; the true
+    KL in eighth-bits is kl_num_e8 / (n_p + V) — numerator and
+    denominator ship separately so no engine ever divides, and the
+    slight negativity quantization can introduce on near-identical
+    distributions survives exactly in both engines).
+
+    Shape: ONE combinable (source, token) count over the corpus,
+    vocabulary restricted by a broadcast top-V semi-join
+    (TakeOrderedAndProject — the global vocab is never sorted); the
+    dense S x V grid (dim-sized by construction) is PERSISTED
+    (release_kl_caches()) because both sides of the pair join derive
+    from it; the pair stage is V*S^2 grid rows — for web-scale S,
+    prefilter pairs (e.g. same-language only) before calling.
+
+    Output: (src_a, src_b, n_a:long, kl_num_e8:long), one row per
+    ORDERED pair a != b.
+    """
+    from pyspark import StorageLevel
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).where(F.col("grp").isNotNull())
+    cnt = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.groupBy("tok").agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok")).limit(top_v)
+        .select("tok")
+    )
+    grid = (
+        cnt.select("grp").distinct()
+        .crossJoin(F.broadcast(vocab))
+        .join(cnt, ["grp", "tok"], "left")
+        .select("grp", "tok", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _KL_CACHES.append(grid)
+    tot = grid.groupBy("grp").agg(F.sum("c").alias("n"))
+    p, q = grid.alias("p"), grid.alias("q")
+    pairs = p.join(
+        F.broadcast(q),
+        (F.col("p.tok") == F.col("q.tok"))
+        & (F.col("p.grp") != F.col("q.grp")),
+    ).select(
+        F.col("p.grp").alias("ga"), F.col("q.grp").alias("gb"),
+        F.col("p.c").alias("cp"), F.col("q.c").alias("cq"),
+    )
+    tp = tot.select(F.col("grp").alias("ga"), F.col("n").alias("na"))
+    tq = tot.select(F.col("grp").alias("gb"), F.col("n").alias("nb"))
+    j = pairs.join(F.broadcast(tp), "ga").join(F.broadcast(tq), "gb")
+    contrib = (F.col("cp") + 1) * (
+        _elog8((F.col("cp") + 1) * (F.col("nb") + top_v))
+        - _elog8((F.col("cq") + 1) * (F.col("na") + top_v))
+    )
+    return j.groupBy("ga", "gb").agg(
+        F.first(F.col("na") + top_v).cast("long").alias("n_a"),
+        F.sum(contrib).cast("long").alias("kl_num_e8"),
+    ).select(
+        F.col("ga").alias("src_a"), F.col("gb").alias("src_b"),
+        "n_a", "kl_num_e8",
+    )
+
+
+def source_kl_matrix_sql(text_col: str = "text",
+                         group_col: str = "source",
+                         top_v: int = KL_VOCAB,
+                         table: str = "documents") -> str:
+    """DuckDB twin of source_kl_matrix — identical counts, smoothing
+    and eighth-bit arithmetic."""
+    e_num = _elog8_sql(f"(cp + 1) * (nb + {top_v})")
+    e_den = _elog8_sql(f"(cq + 1) * (na + {top_v})")
+    return f"""
+        WITH toks AS (
+            SELECT {group_col} AS grp,
+                   unnest(list_filter(
+                       string_split_regex(lower(coalesce({text_col}, '')),
+                                          '{WS_CLASS}'),
+                       x -> x <> '')) AS tok
+            FROM {table} WHERE {group_col} IS NOT NULL),
+        cnt AS (
+            SELECT grp, tok, count(*) AS c FROM toks GROUP BY grp, tok),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, sum(c) AS n FROM cnt GROUP BY tok
+                ORDER BY n DESC, tok LIMIT {top_v})),
+        grid AS (
+            SELECT g.grp, v.tok, coalesce(c.c, 0) AS c
+            FROM (SELECT DISTINCT grp FROM cnt) g
+            CROSS JOIN vocab v
+            LEFT JOIN cnt c ON c.grp = g.grp AND c.tok = v.tok),
+        tot AS (SELECT grp, sum(c) AS n FROM grid GROUP BY grp),
+        pairs AS (
+            SELECT p.grp AS ga, q.grp AS gb, p.c AS cp, q.c AS cq
+            FROM grid p JOIN grid q
+              ON p.tok = q.tok AND p.grp <> q.grp),
+        j AS (
+            SELECT ga, gb, cp, cq, tp.n AS na, tq.n AS nb
+            FROM pairs
+            JOIN tot tp ON tp.grp = ga
+            JOIN tot tq ON tq.grp = gb)
+        SELECT ga AS src_a, gb AS src_b,
+               CAST(any_value(na) + {top_v} AS BIGINT) AS n_a,
+               CAST(sum((cp + 1) * (({e_num}) - ({e_den}))) AS BIGINT)
+                   AS kl_num_e8
+        FROM j GROUP BY ga, gb
+    """

@@ -239,8 +239,15 @@ def sample_frames(df: DataFrame, every: int = 8) -> DataFrame:
             )
             idxs = (offs * every).astype(np.int32)
             payloads = np.repeat(vids["payload"].to_numpy(), counts)
+            # ASCII frame suffix (payload + "#idx") so an independent
+            # SQL engine can recompute the exact stub digests: DuckDB's
+            # sha256 is VARCHAR-only, which a raw-byte suffix would
+            # break (the digest is a STUB for a seek-based reader —
+            # the suffix choice is arbitrary, determinism is the spec)
             frames = [
-                hashlib.sha256(bytes(p) + int(fi).to_bytes(4, "big")).digest()
+                hashlib.sha256(
+                    bytes(p) + b"#" + str(int(fi)).encode()
+                ).digest()
                 for p, fi in zip(payloads, idxs)
             ]
             yield pd.DataFrame(

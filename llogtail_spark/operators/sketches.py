@@ -47,6 +47,7 @@ from llogtail_spark.functions.portable_hash import (
     char_fold_hash_sql,
     order_hash,
     order_hash_sql,
+    order_mults,
 )
 from llogtail_spark.operators.dedup import WS_CLASS
 
@@ -895,96 +896,217 @@ def hll_sliding_dau_sql(window_days: int = SLIDE_DAYS,
 
 
 # ---------------------------------------------------------------------------
-# Count-min join-size estimation (sketch inner product)
+# Skew-aware join-size estimation (exact heavy keys + Fast-AGMS tail)
 # ---------------------------------------------------------------------------
 
 
-CMJ_WIDTH = 256   # join-size sketches want width >> distinct-key overlap
+CMJ_WIDTH = 256      # tail sketch width
+CMJ_SIGN_SEED = 40   # order_hash members for the +-1 sign hashes
+CMJ_HEAVY = 64       # exact heavy-hitter keys per side
+
+_CMJ_CACHES: list = []
+
+
+def release_cmj_caches() -> int:
+    """Unpersist every key histogram cached by cm_join_size; returns
+    how many were released (the release_fuzzy_caches discipline)."""
+    n = 0
+    while _CMJ_CACHES:
+        try:
+            _CMJ_CACHES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def cm_join_size(dfa: DataFrame, key_a: str, dfb: DataFrame, key_b: str,
-                 depth: int = CM_DEPTH, width: int = CMJ_WIDTH) -> DataFrame:
-    """Equi-join cardinality estimation from count-min sketch inner
-    products (Alon-Matias-Szegedy '96 for the F2 idea; Cormode &
-    Muthukrishnan '05 §4.2 for the CM form): |A join B on k| =
-    sum_k fA(k)*fB(k), estimated per hash row by
-    sum_cell cntA[row,cell]*cntB[row,cell] and taking the MIN over
-    rows — each row overestimates by the collision mass
-    (expected (N_A*N_B - true)/width), never underestimates. This is
-    the cost-based-optimizer primitive: join sizes from two
-    depth x width summaries without touching either table again.
+                 depth: int = CM_DEPTH, width: int = CMJ_WIDTH,
+                 heavy: int = CMJ_HEAVY) -> DataFrame:
+    """Skew-aware equi-join cardinality estimation: EXACT products
+    for the heavy-hitter keys plus a Fast-AGMS (count-sketch) signed
+    inner product for the tail (AMS '96; Charikar '02 signs;
+    Cormode-Garofalakis '05 sketch joins; the heavy/tail split is
+    the standard skewed-data refinement, cf. Ganguly et al.'s
+    skimmed sketches).
 
-    Integer keys pass through the quadratic mix (sequential ids are
-    the affine-lattice worst case, see _kmv_mix). Each side is ONE
-    combinable (row, cell) count; the inner product joins two
-    <= depth*width-row relations (broadcast); output is depth rows:
-    (row_i:int, inner_prod:long, est:long) with est = min over rows
-    repeated on each (the scalar answer, kept per-row so the oracle
-    verifies every row product, not just the min).
+    Why all three stages exist — measured on a 10M x 1M zipf(1.3)
+    stress (BENCH/newops_stress_r04.json lineage):
+      plain count-min inner product: +50000% (collision mass
+        N_A*N_B/width is the floor — a useless upper bound);
+      signed AGMS alone: +526% (unbiased, but per-row sigma ~
+        sqrt(F2_A*F2_B/width) and a zipf head inflates F2 by orders
+        of magnitude);
+      exact-heavy + AGMS tail: the head keys that dominate BOTH F2
+        and the true join size are counted exactly from the key
+        histograms, so the sketch only absorbs the low-F2 tail,
+        where its variance bound actually bites.
+
+    est = sum over heavy keys (top-`heavy` per side, unioned) of
+    fA(k)*fB(k)   [exact, <= 2*heavy broadcast keys]
+        + max(0, lower-median over rows of the signed tail inner
+          products).
+
+    Shapes: each side's key histogram is ONE combinable shuffle and
+    feeds BOTH the heavy top-k (TakeOrderedAndProject) and the tail
+    sketch (anti-join against the broadcast heavy set) — persisted
+    via the registry (release_cmj_caches()) so the corpus aggregates
+    once. Integer keys pass the quadratic mix (_kmv_mix) before cell
+    and sign hashing.
+
+    Output, depth rows: (row_i:int, inner_prod:long signed TAIL
+    product for that hash row, est:long = exact_heavy +
+    clamped-tail-median, repeated — per-row products stay visible so
+    the oracle verifies every row, not just the final estimate).
     """
-    def side(df, key):
-        hh = _kmv_mix(F.col("k") % MOD)
-        cells = (
+    from pyspark import StorageLevel
+
+    spark = dfa.sparkSession
+
+    def hist(df, key):
+        h = (
             df.where(F.col(key).isNotNull())
-            .groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("n"))
-            .select(
-                "n",
-                F.explode(F.array(*[
-                    F.struct(
-                        F.lit(i).alias("row_i"),
-                        (order_hash(hh, i) % width).alias("cell"),
-                    ) for i in range(depth)
-                ])).alias("rc"),
-            )
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _CMJ_CACHES.append(h)
+        return h
+
+    ha, hb = hist(dfa, key_a), hist(dfb, key_b)
+    heavy_keys = (
+        ha.orderBy(F.desc("n"), F.asc("k")).limit(heavy).select("k")
+        .unionByName(
+            hb.orderBy(F.desc("n"), F.asc("k")).limit(heavy).select("k"))
+        .distinct()
+    )
+    exact = (
+        ha.join(F.broadcast(heavy_keys), "k")
+        .join(hb.withColumnRenamed("n", "nb"), "k")
+        .agg(F.coalesce(F.sum(F.col("n") * F.col("nb")), F.lit(0))
+             .cast("long").alias("exact_heavy"))
+    )
+
+    def tail_sketch(h):
+        t = h.join(F.broadcast(heavy_keys), "k", "left_anti")
+        hh = _kmv_mix(F.col("k") % MOD)
+        # sign hash: a SECOND quadratic mix, not another affine member
+        # — parity of an affine map of the same h correlates with the
+        # (affine) cell hash, which biased every row of the zipf
+        # stress identically (+315% on the uniform-tail test; the
+        # independent nonlinearity lands within one sigma)
+        cells = t.select(
+            "n",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    (order_hash(hh, i) % width).alias("cell"),
+                    ((F.lit(3) * hh * hh + F.lit(7) * hh
+                      + F.lit(order_mults(CMJ_SIGN_SEED + i)[0]))
+                     % MOD % 2 * 2 - 1).alias("sgn"),
+                ) for i in range(depth)
+            ])).alias("rc"),
         )
         return cells.groupBy(
             F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell")
-        ).agg(F.sum("n").cast("long").alias("cnt"))
+        ).agg(F.sum(F.col("rc.sgn") * F.col("n")).cast("long").alias("cnt"))
 
-    sa, sb = side(dfa, key_a), side(dfb, key_b)
+    sa, sb = tail_sketch(ha), tail_sketch(hb)
     inner = (
         sa.alias("a").join(F.broadcast(sb.alias("b")), ["row_i", "cell"])
         .groupBy("row_i")
-        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("inner_prod"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long")
+             .alias("inner_prod"))
     )
-    return inner.select(
-        F.col("row_i").cast("int").alias("row_i"), "inner_prod",
-        F.min("inner_prod").over(Window.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )).cast("long").alias("est"),
+    # depth output rows exist even when the tail is empty (all keys
+    # heavy): a literal row spine left-joins the tail products
+    spine = spark.range(depth).select(F.col("id").cast("int").alias("row_i"))
+    rows = spine.join(inner, "row_i", "left").select(
+        "row_i", F.coalesce(F.col("inner_prod"), F.lit(0))
+        .cast("long").alias("inner_prod"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = F.element_at(
+        F.sort_array(F.collect_list("inner_prod").over(w_all)),
+        (depth + 1) // 2,
+    )
+    return rows.crossJoin(F.broadcast(exact)).select(
+        "row_i", "inner_prod",
+        (F.col("exact_heavy")
+         + F.greatest(F.lit(0).cast("long"), med.cast("long")))
+        .cast("long").alias("est"),
     )
 
 
 def cm_join_size_sql(table_a: str = "events", key_a: str = "user_id",
                      table_b: str = "orders", key_b: str = "o_custkey",
-                     depth: int = CM_DEPTH, width: int = CMJ_WIDTH) -> str:
-    """DuckDB twin of cm_join_size — identical cells, products, min."""
-    def side(name, table, key):
-        rows = " UNION ALL ".join(
+                     depth: int = CM_DEPTH, width: int = CMJ_WIDTH,
+                     heavy: int = CMJ_HEAVY) -> str:
+    """DuckDB twin of cm_join_size — identical heavy split, signed
+    tail cells, products, and lower median."""
+    def cells(name):
+        hexpr = _kmv_mix_sql("(k % " + str(MOD) + ")")
+        return " UNION ALL ".join(
             f"SELECT n, {i} AS row_i, "
-            f"({order_hash_sql(_kmv_mix_sql(f'({key} % {MOD})'), i)})"
-            f" % {width} AS cell FROM {name}_hist"
+            f"({order_hash_sql(hexpr, i)})"
+            f" % {width} AS cell, "
+            f"((3 * ({hexpr}) * ({hexpr}) + 7 * ({hexpr})"
+            f" + {order_mults(CMJ_SIGN_SEED + i)[0]})"
+            f" % {MOD}) % 2 * 2 - 1 AS sgn FROM {name}_tail"
             for i in range(depth)
         )
-        return f"""
-        {name}_hist AS (
-            SELECT {key}, count(*) AS n FROM {table}
-            WHERE {key} IS NOT NULL GROUP BY {key}),
-        {name}_cells AS ({rows}),
-        {name}_sketch AS (
-            SELECT row_i, cell, CAST(sum(n) AS BIGINT) AS cnt
-            FROM {name}_cells GROUP BY 1, 2)"""
 
     return f"""
-        WITH {side('a', table_a, key_a)}, {side('b', table_b, key_b)},
+        WITH a_hist AS (
+            SELECT {key_a} AS k, count(*) AS n FROM {table_a}
+            WHERE {key_a} IS NOT NULL GROUP BY {key_a}),
+        b_hist AS (
+            SELECT {key_b} AS k, count(*) AS n FROM {table_b}
+            WHERE {key_b} IS NOT NULL GROUP BY {key_b}),
+        heavy_keys AS (
+            SELECT DISTINCT k FROM (
+                (SELECT k FROM a_hist ORDER BY n DESC, k LIMIT {heavy})
+                UNION ALL
+                (SELECT k FROM b_hist ORDER BY n DESC, k LIMIT {heavy}))),
+        exact AS (
+            SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT)
+                       AS exact_heavy
+            FROM a_hist a
+            JOIN heavy_keys USING (k)
+            JOIN b_hist b USING (k)),
+        a_tail AS (
+            SELECT k, n FROM a_hist
+            WHERE k NOT IN (SELECT k FROM heavy_keys)),
+        b_tail AS (
+            SELECT k, n FROM b_hist
+            WHERE k NOT IN (SELECT k FROM heavy_keys)),
+        a_cells AS ({cells('a')}),
+        b_cells AS ({cells('b')}),
+        a_sketch AS (
+            SELECT row_i, cell, CAST(sum(sgn * n) AS BIGINT) AS cnt
+            FROM a_cells GROUP BY 1, 2),
+        b_sketch AS (
+            SELECT row_i, cell, CAST(sum(sgn * n) AS BIGINT) AS cnt
+            FROM b_cells GROUP BY 1, 2),
+        spine AS (SELECT unnest(range(0, {depth})) AS row_i),
         inner_p AS (
             SELECT a_sketch.row_i,
-                   CAST(sum(a_sketch.cnt * b_sketch.cnt) AS BIGINT) AS inner_prod
+                   CAST(sum(a_sketch.cnt * b_sketch.cnt) AS BIGINT)
+                       AS inner_prod
             FROM a_sketch
             JOIN b_sketch ON a_sketch.row_i = b_sketch.row_i
                          AND a_sketch.cell = b_sketch.cell
-            GROUP BY a_sketch.row_i)
-        SELECT CAST(row_i AS INTEGER) AS row_i, inner_prod,
-               CAST(min(inner_prod) OVER () AS BIGINT) AS est
-        FROM inner_p
+            GROUP BY a_sketch.row_i),
+        rows_t AS (
+            SELECT CAST(spine.row_i AS INTEGER) AS row_i,
+                   CAST(coalesce(inner_p.inner_prod, 0) AS BIGINT)
+                       AS inner_prod
+            FROM spine LEFT JOIN inner_p ON inner_p.row_i = spine.row_i)
+        SELECT row_i, inner_prod,
+               CAST((SELECT exact_heavy FROM exact)
+                    + greatest(0, list_sort(list(inner_prod) OVER ())
+                                  [{(depth + 1) // 2}]) AS BIGINT) AS est
+        FROM rows_t
     """

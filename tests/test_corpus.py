@@ -1257,3 +1257,30 @@ def test_categorical_mi_independence_and_structure(spark):
     for r in rows2:
         # pmi = log2(4) = 2 bits = 16 eighth-bits per cell
         assert 14 <= r["pmi_e8"] <= 18, r
+
+
+def test_source_kl_matrix_identical_and_divergent(spark):
+    """Identical distributions read ~0 (quantization only, bounded by
+    ~1 eighth-bit per normalized unit); a source with disjoint
+    vocabulary reads strongly positive KL in both directions, and
+    KL is asymmetric between a narrow and a broad source."""
+    from llogtail_spark.operators.corpus import (
+        release_kl_caches, source_kl_matrix,
+    )
+
+    same = "alpha beta gamma delta " * 20
+    rows = [(1, "a", same), (2, "b", same),
+            (3, "c", "zeta eta theta iota " * 20),
+            (4, "d", "alpha " * 75 + "beta gamma delta " * 2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["src_a"], r["src_b"]): r
+           for r in source_kl_matrix(df).collect()}
+    release_kl_caches()
+    ab = out[("a", "b")]
+    # identical: |kl| <= ~2 eighth-bits per unit mass
+    assert abs(ab["kl_num_e8"]) <= 2 * ab["n_a"], ab
+    # disjoint vocab: strongly positive both ways (>= 1 bit = 8 e8/unit)
+    assert out[("a", "c")]["kl_num_e8"] > 8 * out[("a", "c")]["n_a"]
+    assert out[("c", "a")]["kl_num_e8"] > 8 * out[("c", "a")]["n_a"]
+    # asymmetry: narrow d diverges from a differently than a from d
+    assert out[("d", "a")]["kl_num_e8"] != out[("a", "d")]["kl_num_e8"]

@@ -887,3 +887,115 @@ def test_round4_ops_match_duckdb_on_random_texts(spark):
           for r in fuzzy_join(sdf).collect()}
     release_fuzzy_caches()
     assert fz[(400, 401)] == 1 and fz[(400, 402)] == 1
+
+
+def test_late_round4_text_ops_match_duckdb_on_random_texts(spark):
+    """quality_classifier / kmv_set_ops / kn_bigram_lm /
+    doc_perplexity / source_kl_matrix vs their DuckDB oracles on
+    adversarial random texts (mixed whitespace, punctuation tokens,
+    empty and NULL docs, single-token docs) — cross-engine drift net
+    for the late-round-4 additions."""
+    from llogtail_spark.operators.classify import (
+        quality_classifier, quality_classifier_sql,
+    )
+    from llogtail_spark.operators.corpus import (
+        doc_perplexity, doc_perplexity_sql, kn_bigram_lm, kn_bigram_lm_sql,
+        release_kl_caches, release_kn_caches, source_kl_matrix,
+        source_kl_matrix_sql,
+    )
+    from llogtail_spark.operators.sketches import (
+        kmv_set_ops, kmv_set_ops_sql, release_kmv_caches,
+    )
+
+    rng = np.random.default_rng(SEED + 7)
+    vocab = ["foo", "BAR", "baz,", "q-x", "the", "a!", "zz9", "..", "&",
+             "Mixed", "CASE"]
+    docs = []
+    for i in range(150):
+        n = int(rng.integers(0, 50))
+        ws = rng.choice([" ", "  ", "\t", " \n"], size=max(n, 1))
+        words = rng.choice(vocab, size=n)
+        docs.append((i, f"s{i % 5}",
+                     "".join(w + s for w, s in zip(words, ws))))
+    docs += [(900, "s0", ""), (901, "s1", "   \t "), (902, "s2", None),
+             (903, "s3", "solo")]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "source", "text"])
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    cases = [
+        ("quality_classifier", quality_classifier(sdf),
+         quality_classifier_sql()),
+        ("kmv_set_ops", kmv_set_ops(sdf), kmv_set_ops_sql()),
+        ("kn_bigram_lm", kn_bigram_lm(sdf), kn_bigram_lm_sql()),
+        ("doc_perplexity", doc_perplexity(sdf), doc_perplexity_sql()),
+        ("source_kl_matrix", source_kl_matrix(sdf),
+         source_kl_matrix_sql()),
+    ]
+    for name, df, sql in cases:
+        got = sorted(map(tuple, df.collect()))
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want, name
+    release_kn_caches()
+    release_kl_caches()
+    release_kmv_caches()
+
+
+def test_late_round4_event_ops_match_duckdb_on_random_events(spark):
+    """journey_paths / event_trigrams / ohlc_bars / decayed_scores /
+    trend_slope / benford_digits / hist_quantiles / rank_normalize /
+    hll_sliding_dau vs their DuckDB oracles on adversarial random
+    events: heavy (ts) ties, NULL user/ts/value/event_id rows, and
+    negative-ish tiny values (cent-floor boundary)."""
+    from llogtail_spark.operators.sketches import hll_sliding_dau
+    from llogtail_spark.operators.sketches import hll_sliding_dau_sql
+    from llogtail_spark.operators.telemetry import (
+        benford_digits, benford_digits_sql, decayed_scores,
+        decayed_scores_sql, event_trigrams, event_trigrams_sql,
+        hist_quantiles, hist_quantiles_sql, journey_paths,
+        journey_paths_sql, ohlc_bars, ohlc_bars_sql, rank_normalize,
+        rank_normalize_sql, trend_slope, trend_slope_sql,
+    )
+
+    rng = np.random.default_rng(SEED + 11)
+    base = dt.datetime(2024, 3, 1)
+    n = 600
+    rows = []
+    for i in range(n):
+        ts = base + dt.timedelta(
+            seconds=int(rng.integers(0, 20 * 86400)) % (20 * 86400))
+        if i % 7 == 0:  # heavy tie block: same second
+            ts = base
+        rows.append((
+            i if i % 53 else None,                         # NULL eids
+            None if i % 41 == 0 else ts,                   # NULL ts
+            int(rng.integers(0, 25)) if i % 37 else None,  # NULL user
+            rng.choice(["click", "view", "purchase", "signup", "error"]),
+            None if i % 43 == 0 else float(np.round(
+                rng.uniform(0.001, 300.0), 3)),            # NULL + tiny
+            None,
+        ))
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["event_id"] = pdf["event_id"].astype("Int64")
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    cases = [
+        ("journey_paths", journey_paths(sdf), journey_paths_sql()),
+        ("event_trigrams", event_trigrams(sdf), event_trigrams_sql()),
+        ("ohlc_bars", ohlc_bars(sdf), ohlc_bars_sql()),
+        ("decayed_scores", decayed_scores(sdf), decayed_scores_sql()),
+        ("trend_slope", trend_slope(sdf), trend_slope_sql()),
+        ("benford_digits", benford_digits(sdf), benford_digits_sql()),
+        ("hist_quantiles", hist_quantiles(sdf), hist_quantiles_sql()),
+        ("rank_normalize", rank_normalize(sdf), rank_normalize_sql()),
+        ("hll_sliding_dau", hll_sliding_dau(sdf), hll_sliding_dau_sql()),
+    ]
+    for name, df, sql in cases:
+        got = sorted(map(tuple, df.collect()))
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want, name

@@ -85,3 +85,23 @@ def test_media_stats_prunes_payload(spark, media, tmp_path):
     slim = spark.read.parquet(p).groupBy("kind").count()
     plan = slim._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in plan and "payload" not in plan
+
+
+def test_frame_digest_matches_hashlib(spark):
+    """The ASCII frame-suffix stub digest must equal a direct
+    hashlib recompute — the property that makes the frame path
+    oracle-verifiable in SQL."""
+    import hashlib
+
+    from llogtail_spark.operators.multimodal import sample_frames
+
+    payload = "some video bytes".encode()
+    media = spark.createDataFrame(
+        [("m1", "video", payload, None, None, 20, None, "s")],
+        MEDIA_SCHEMA)
+    out = {r["frame_idx"]: bytes(r["frame_payload"])
+           for r in sample_frames(media, every=8).collect()}
+    assert sorted(out) == [0, 8, 16]
+    for fi, digest in out.items():
+        want = hashlib.sha256(payload + b"#" + str(fi).encode()).digest()
+        assert digest == want
