@@ -235,6 +235,13 @@ SHOWCASE = [
      "feeds the LM statistics and the per-doc join; per-doc "
      "multiplicities collapse BEFORE the LM join (types, not "
      "instances cross the wire); all token-keyed and combinable."),
+    ("cm_join_size",
+     "Skew-aware join-size estimation: ONE persisted key histogram "
+     "per side feeds both the exact heavy top-k "
+     "(TakeOrderedAndProject) and the signed AGMS tail sketch "
+     "(anti-join vs the broadcast heavy set); the estimate "
+     "combines from two dim-sized relations — the tables are "
+     "never re-touched."),
 ]
 
 
