@@ -802,6 +802,18 @@ def hll_sliding_dau(df: DataFrame, user_col: str = "user_id",
     Output: (day:long epoch-day, n_seen, harmonic_scaled, est_raw,
     est_distinct) — est_distinct is the trailing-window DAU estimate.
     """
+    return hll_sliding_finalize(
+        user_day_registers(df, user_col, ts_col), window_days
+    )
+
+
+def user_day_registers(df: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """The (day, bucket, m_b) register file of hll_sliding_dau — the
+    mergeable unit: register files from any partition of the input
+    (micro-batches, shards, replays) combine by max per (day,
+    bucket), which is what makes the streaming ingest twin
+    replay-exact for free."""
     day = F.floor(
         F.col(ts_col).cast("timestamp").cast("long") / 86400
     ).cast("long")
@@ -820,11 +832,18 @@ def hll_sliding_dau(df: DataFrame, user_col: str = "user_id",
         .otherwise(F.lit(HLL_RMAX) - F.length(F.bin(F.col("w"))))
         .cast("int")
     )
-    regs = (
+    return (
         hashed.select("day", "bucket", rho.alias("rho"))
         .groupBy("day", "bucket")
         .agg(F.max("rho").cast("int").alias("m_b"))
     )
+
+
+def hll_sliding_finalize(regs: DataFrame,
+                         window_days: int = SLIDE_DAYS) -> DataFrame:
+    """Roll a (day, bucket, m_b) register file into per-day
+    trailing-window estimates: dense day x bucket grid, RANGE-frame
+    window max (the sliding HLL union), integer finalization."""
     days = regs.select("day").distinct()
     grid = days.select(
         "day", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket")

@@ -419,3 +419,94 @@ def stream_packing_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dau_ingest_batch(
+    spark: SparkSession,
+    bdf,
+    batch_id: int,
+    index_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Incremental sliding-DAU registers over ONE micro-batch: the
+    batch's (day, bucket, m_b) register file overwrites its own
+    `tag=d<batch_id>/` directory — the hll_ingest_batch discipline
+    keyed by day, so the SLIDING-window estimate becomes streamable:
+    no read-modify-write, max-merge semilattice, crash replay
+    recommits the same tag byte-identically. Late events are handled
+    structurally: an event for day D arriving in any later batch
+    lands in that batch's register file under day D and max-merges
+    into D's window at snapshot time — no watermark needed because
+    registers never expire, only windows select them."""
+    from llogtail_spark.operators.sketches import user_day_registers
+
+    regs = user_day_registers(bdf, user_col, ts_col)
+    regs.write.mode("overwrite").parquet(
+        os.path.join(index_path, f"tag=d{batch_id}")
+    )
+
+
+def dau_snapshot(spark: SparkSession, index_path: str,
+                 window_days: int | None = None):
+    """Merge every committed tag's day-keyed register file and run
+    the sliding finalization: equals batch hll_sliding_dau over the
+    union of all ingested micro-batches EXACTLY (register max-merge
+    loses nothing; pinned in tests/test_streaming.py against a
+    randomized multi-batch stream with cross-batch day overlap)."""
+    from llogtail_spark.operators.sketches import (
+        SLIDE_DAYS, hll_sliding_finalize,
+    )
+
+    tags = _history_tags(index_path, own_tag="")
+    if not tags:
+        raise ValueError(
+            f"dau_snapshot: no committed register tags under {index_path}"
+            " - run the ingest first"
+        )
+    regs = (
+        spark.read.parquet(*tags)
+        .groupBy("day", "bucket")
+        .agg(F.max("m_b").cast("int").alias("m_b"))
+    )
+    return hll_sliding_finalize(
+        regs, SLIDE_DAYS if window_days is None else window_days
+    )
+
+
+def stream_dau_ingest(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming sliding-DAU ingest. Returns the
+    StreamingQuery."""
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField(ts_col, T.TimestampType()),
+                T.StructField(user_col, T.LongType()),
+            ]
+        )
+    opts = {}
+    if max_files_per_trigger:
+        opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    stream = (
+        spark.readStream.schema(schema).options(**opts).parquet(input_path)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda bdf, bid: dau_ingest_batch(
+            spark, bdf, bid, index_path,
+            user_col=user_col, ts_col=ts_col,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

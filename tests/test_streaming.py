@@ -1236,3 +1236,52 @@ def test_packing_stream_offsets_contiguous_and_replay_exact(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(out).collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).collect()))
     assert a == b
+
+
+def test_dau_stream_snapshot_equals_batch_sliding(spark, tmp_path):
+    """Streaming sliding-DAU ingest: a randomized event stream split
+    across 5 micro-batches WITH cross-batch day overlap (every batch
+    carries events for several of the same days, including far-late
+    arrivals) — the snapshot must equal batch hll_sliding_dau over
+    the union EXACTLY, and recommitting a batch's registers (crash
+    replay) must change nothing."""
+    import random
+    from datetime import datetime, timedelta
+
+    from llogtail_spark.operators.sketches import hll_sliding_dau
+    from llogtail_spark.streaming.ingest import (
+        dau_ingest_batch, dau_snapshot, stream_dau_ingest,
+    )
+
+    rng = random.Random(99)
+    t0 = datetime(2024, 5, 1)
+    rows = [
+        (i, t0 + timedelta(days=rng.randrange(12),
+                           seconds=rng.randrange(86400)),
+         rng.randrange(60))
+        for i in range(400)
+    ]
+    src = str(tmp_path / "in")
+    schema = "event_id long, ts timestamp, user_id long"
+    for f in range(5):
+        spark.createDataFrame(
+            rows[f * 80:(f + 1) * 80], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    idx = str(tmp_path / "didx")
+    q = stream_dau_ingest(
+        spark, src, idx, str(tmp_path / "dckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    snap = sorted(map(tuple, dau_snapshot(spark, idx).collect()))
+    want = sorted(map(tuple, hll_sliding_dau(
+        spark.createDataFrame(rows, schema)).collect()))
+    assert snap == want
+    assert len(snap) == 12        # every day present
+
+    # crash replay: recommit batch 2's registers from its own data
+    bdf = spark.createDataFrame(rows[160:240], schema)
+    dau_ingest_batch(spark, bdf, 2, idx)
+    again = sorted(map(tuple, dau_snapshot(spark, idx).collect()))
+    assert again == snap
