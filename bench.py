@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "decayed_scores",
     "media_frame_digest",
     "source_kl_matrix",
+    "table_profile",
 ]
 
 

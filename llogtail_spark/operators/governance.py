@@ -170,3 +170,56 @@ def fk_audit_sql() -> str:
               "supplier", "s_suppkey"),
     ])
     return parts
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style per-column statistics)
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def table_profile(df: DataFrame, cols: tuple = PROFILE_COLS) -> DataFrame:
+    """ANALYZE-style column statistics — the stats-collection
+    primitive a cost-based optimizer (and cm_join_size's consumers)
+    feed on: per column, row count, NULL count, and exact distinct
+    count. At 10^12 rows the exact per-column distincts are the
+    expensive part; production swaps approx_count_distinct (HLL++)
+    per column — the plan shape is identical (ONE pass, Spark plans
+    the multi-distinct via Expand), and this exact version is what
+    the oracle can verify bit-for-bit.
+
+    Output: (column:string, n:long total rows, n_null:long,
+    n_distinct:long NULLs excluded), one row per profiled column.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    row = df.agg(*aggs)
+    out = None
+    for c in cols:
+        one = row.select(
+            F.lit(c).alias("column"),
+            F.col("_n").cast("long").alias("n"),
+            F.col(f"_nn_{c}").cast("long").alias("n_null"),
+            F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def table_profile_sql(cols: tuple = PROFILE_COLS,
+                      table: str = "events") -> str:
+    """DuckDB twin of table_profile — identical exact statistics."""
+    parts = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM {table}"""
+        for c in cols
+    )
+    return parts

@@ -25,3 +25,25 @@ def test_fk_audit_planted_orphans(spark):
     assert ls["n_orphan"] == 1               # suppkey 9
     lp = out["lineitem.partkey->part"]
     assert lp["n_orphan"] == 0
+
+
+def test_table_profile_exact_counts(spark):
+    from llogtail_spark.operators.governance import table_profile
+
+    rows = [(1, None, 10, "a", 1.5, None),
+            (2, None, 10, "a", 1.5, "x"),
+            (None, None, None, "b", None, "x"),
+            (4, None, 20, None, 2.5, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["column"]: r for r in table_profile(df).collect()}
+    assert all(r["n"] == 4 for r in out.values())
+    assert out["event_id"]["n_null"] == 1
+    assert out["event_id"]["n_distinct"] == 3
+    assert out["user_id"]["n_distinct"] == 2
+    assert out["event_type"]["n_null"] == 1
+    assert out["event_type"]["n_distinct"] == 2
+    assert out["ts"]["n_null"] == 4 and out["ts"]["n_distinct"] == 0
+    assert out["value"]["n_distinct"] == 2
+    assert out["props"]["n_distinct"] == 1

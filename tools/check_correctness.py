@@ -8,7 +8,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
 --json writes a driver-format artifact (one object per query with
 rows_match / schema_match / hash_match / spark_rows / oracle_rows /
-err) so the full query surface (147 as of round 4) has a recorded correctness
+err) so the full query surface (148 as of round 4) has a recorded correctness
 artifact every round, not just the ~50 entries the driver's own gate
 windows (VERDICT r03 next-round #1). Queries with no SQL oracle are
 recorded as rows-only (hash_match null), same as the driver.
