@@ -3368,8 +3368,8 @@ def oracle_sql() -> dict[str, str]:
         "range_frame_sum": """
             SELECT event_id, user_id,
                    count(value) OVER w AS n_1h,
-                   sum(CAST(floor(value * 100) AS BIGINT)) OVER w
-                       AS sum_1h_fp
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS sum_1h_fp
             FROM events
             WHERE ts IS NOT NULL AND user_id IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
