@@ -493,3 +493,59 @@ def test_null_safe_join_is_hash_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashJoin" in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_late_round4_plan_shapes(spark):
+    """Executed-plan pins for the late-round-4 scale stories: no
+    Python eval, no cartesian anywhere; the specific operator shape
+    each docstring claims."""
+    sf = "/root/testdata/sf0.001"
+    import os
+
+    import pytest
+
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata fixture not present")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+
+    from llogtail_spark.operators.corpus import (
+        doc_perplexity, release_kl_caches, release_kn_caches,
+        source_kl_matrix,
+    )
+    from llogtail_spark.operators.indexing import copurchase_lift, rrf_fuse
+    from llogtail_spark.operators.sketches import hll_sliding_dau
+    from llogtail_spark.operators.telemetry import (
+        event_trigrams, journey_paths,
+    )
+
+    cases = {
+        # sliding HLL: registers broadcast to the day x bucket grid;
+        # never a shuffled join against anything event-sized
+        "hll_sliding_dau": hll_sliding_dau(events),
+        # LM joins all hash/broadcast; the persisted bigram table
+        # keeps the corpus scan single
+        "doc_perplexity": doc_perplexity(docs),
+        # candidate set broadcasts; pair counting is the co-keyed
+        # basket join, never an all-pairs product
+        "copurchase_lift": copurchase_lift(li),
+        "rrf_fuse": rrf_fuse(docs),
+        "journey_paths": journey_paths(events),
+        "event_trigrams": event_trigrams(events),
+        "source_kl_matrix": source_kl_matrix(docs),
+    }
+    for name, df in cases.items():
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # rank-limited top-k shapes plan their bounded operators
+    assert "TakeOrderedAndProject" in _plan(cases["copurchase_lift"])
+    assert "WindowGroupLimit" in _plan(cases["rrf_fuse"])
+    assert "WindowGroupLimit" in _plan(cases["journey_paths"])
+    # sliding HLL: the only joins are broadcast (grid <- registers)
+    p = _plan(cases["hll_sliding_dau"])
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    release_kn_caches()
+    release_kl_caches()
