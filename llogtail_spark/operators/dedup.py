@@ -943,6 +943,8 @@ def fuzzy_join(df: DataFrame, text_col: str = "text",
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.storagelevel import StorageLevel
 
+    from llogtail_spark.operators.ckpt import checkpoint, checkpoint_is_reliable
+
     ranked = (
         grams.join(freq, "gram")
         .withColumn(
@@ -953,9 +955,18 @@ def fuzzy_join(df: DataFrame, text_col: str = "text",
         )
         .where(F.col("rn") <= p)
         .select("_id", "gram")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _FUZZY_CACHES.append(ranked)
+    # the self-join consumes the prefix relation twice; pin it once.
+    # With sc.setCheckpointDir configured the pin is a reliable
+    # checkpoint (survives executor loss — the ckpt.py knob, same
+    # discipline as pagerank/triangle_counts, VERDICT r04 #8); the
+    # local/test default stays a lazy MEMORY_AND_DISK persist released
+    # via release_fuzzy_caches().
+    if checkpoint_is_reliable(ranked):
+        ranked = checkpoint(ranked, eager=False)
+    else:
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+        _FUZZY_CACHES.append(ranked)
     cand = (
         ranked.alias("a")
         .join(ranked.alias("b"), "gram")

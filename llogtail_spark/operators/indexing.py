@@ -344,8 +344,12 @@ def triangle_counts(edges: DataFrame,
 BFS_MAX_ITER = 20
 
 
+BFS_HOP_BATCH = 3
+
+
 def bfs_levels(edges: DataFrame, src=None,
-               max_iter: int = BFS_MAX_ITER) -> DataFrame:
+               max_iter: int = BFS_MAX_ITER,
+               hop_batch: int = BFS_HOP_BATCH) -> DataFrame:
     """Single-source shortest hop counts (BFS) over an undirected
     (u, v) edge list — frontier expansion, the Pregel-lite loop that
     complements pagerank's fixed-iteration shape with a
@@ -374,6 +378,17 @@ def bfs_levels(edges: DataFrame, src=None,
     returns an (already checkpointed) result frame — callers timing
     queries should treat construction as execution.
 
+    hop_batch (VERDICT r04 #7): each driver round expands up to
+    `hop_batch` hops LAZILY (chained joins with in-batch anti-join
+    against the accumulating level set) before the one eager
+    checkpoint + isEmpty action, cutting the scheduling floor —
+    2 driver actions per `hop_batch` hops instead of per hop. The
+    trade: within a lazy batch, hop i's frontier subtree is
+    recomputed as an input to hop i+1 (bounded by hop_batch, and the
+    per-hop join is the cheap part next to the round floor). Results
+    are hop-batch-invariant: each in-batch hop anti-joins the lazily
+    grown level set, so a node keeps its first (minimal) distance.
+
     Reference anchor: recovery walks the pending-rotation queue
     transitively until no new work appears (log_watcher.go:163-200)
     — the same converge-until-empty-frontier loop, here over a
@@ -394,19 +409,36 @@ def bfs_levels(edges: DataFrame, src=None,
         .add("dist", "integer")
     levels = spark.createDataFrame([(src, 0)], schema)
     frontier = levels
-    for d in range(1, max_iter + 1):
-        nxt = (
-            frontier.join(bidir, frontier.node == bidir.u)
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(levels, "node", "left_anti")
-            .withColumn("dist", F.lit(d).cast("integer"))
-        )
-        nxt = checkpoint(nxt, eager=True)
-        if nxt.isEmpty():
+    hop_batch = max(1, hop_batch)
+    d = 0
+    while d < max_iter:
+        # one lazy chain of up to hop_batch hops, then ONE eager
+        # checkpoint + ONE isEmpty (the whole round's driver cost)
+        batch_new = None
+        lazy_levels = levels
+        for _ in range(min(hop_batch, max_iter - d)):
+            d += 1
+            nxt = (
+                frontier.join(bidir, frontier.node == bidir.u)
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(lazy_levels, "node", "left_anti")
+                .withColumn("dist", F.lit(d).cast("integer"))
+            )
+            batch_new = nxt if batch_new is None else batch_new.union(nxt)
+            lazy_levels = lazy_levels.union(nxt)
+            frontier = nxt
+        batch_new = checkpoint(batch_new, eager=True)
+        if batch_new.isEmpty():
+            # nothing new anywhere in the batch (the lazily chained
+            # deeper hops are empty a fortiori): the pre-batch level
+            # set is complete
             return levels
-        levels = checkpoint(levels.union(nxt), eager=False)
-        frontier = nxt
+        # rebuild levels/frontier ON TOP OF the materialized batch so
+        # the next round's lineage starts at the checkpoint, not at
+        # the batch's chained join subtree (which lazy_levels carries)
+        levels = checkpoint(levels.union(batch_new), eager=False)
+        frontier = batch_new.where(F.col("dist") == d)
     if not frontier.join(bidir, frontier.node == bidir.u) \
             .select(F.col("v").alias("node")).distinct() \
             .join(levels, "node", "left_anti").isEmpty():
