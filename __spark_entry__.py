@@ -2122,6 +2122,52 @@ def _q_table_profile(spark, sf):
     return table_profile(_t(spark, sf, "events"))
 
 
+def _corpus_conf():
+    """The corpus-pipeline conf used by the query surface: defaults
+    (= the oracle-green individual queries' constants) with paths
+    unset — the lazy composition never touches disk."""
+    from llogtail_spark.corpus_pipeline import CorpusConf
+
+    return CorpusConf(input_path="", workdir="", out_path="")
+
+
+def _corpus_split(spark, sf):
+    """(corpus, benchmark): the deterministic doc_id % 50 eval split
+    of the documents table — the decontaminate_docs convention."""
+    docs = _t(spark, sf, "documents")
+    return (docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0))
+
+
+def _q_corpus_pack_pipeline(spark, sf):
+    """THE composed pipeline (VERDICT r04 #1): exact dedup -> minhash
+    near-dedup -> benchmark decontamination -> quality gate -> exact-
+    quota mixture sample -> sequence packing, as ONE lazy DataFrame
+    chain (the same stage functions run_corpus_pipeline materializes
+    with per-stage manifests). Output = the packed placement table
+    (shard, doc_id, n_tok, tok_start, bin_first, bin_last, crosses)
+    — the byte-deterministic deliverable a training-data writer
+    ships."""
+    from llogtail_spark.corpus_pipeline import corpus_stages
+
+    corpus, bench = _corpus_split(spark, sf)
+    return corpus_stages(corpus, bench, _corpus_conf())["pack"]
+
+
+def _q_corpus_pipeline_funnel(spark, sf):
+    """Stage-by-stage survivor counts of the composed pipeline — the
+    funnel report every corpus build publishes (and, because stage
+    outputs only shrink, the pipeline's cost curve). EAGER: each
+    stage is lineage-cut and counted exactly once
+    (corpus_funnel_counts); the result is dim-sized (6 rows)."""
+    from llogtail_spark.corpus_pipeline import corpus_funnel_counts
+
+    corpus, bench = _corpus_split(spark, sf)
+    rows = corpus_funnel_counts(corpus, bench, _corpus_conf())
+    return spark.createDataFrame(
+        rows, "stage_idx int, stage string, n_docs long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All 148 oracle-paired queries. ORDER IS DELIBERATE (round 4):
     the driver's correctness gate checks the first ~50 entries, so the
@@ -2206,6 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_resume": _q_anti_join_resume,
         "dedup_resolve": _q_dedup_resolve,
         "dedup_verified": _q_dedup_verified,
+        "corpus_pack_pipeline": _q_corpus_pack_pipeline,
+        "corpus_pipeline_funnel": _q_corpus_pipeline_funnel,
         "multimodal_stats": _q_multimodal_stats,
         "asof_join_last_purchase": _q_asof_join_last_purchase,
         "range_join_purchase_window": _q_range_join_purchase_window,
@@ -2301,7 +2349,7 @@ _NORM_BASE_SQL = _NORM_SQL.replace(
 )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(table: str = "documents") -> str:
     """DuckDB twin of minhash_lsh_pairs(hash_mode='portable'):
     identical word hashing, hashed-word shingle folds, affine seeds,
     band folds, and the deterministic representative cap
@@ -2323,7 +2371,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
         WITH norm AS (
-            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM {table}),
         hws AS (
             SELECT doc_id, ws,
                    list_concat(list_transform(ws, w -> {ph.char_fold_hash_sql('w')}),
@@ -2383,12 +2431,12 @@ def _leakage_split_oracle() -> str:
     """
 
 
-def _dedup_resolve_oracle() -> str:
+def _dedup_resolve_oracle(table: str = "documents") -> str:
     """Recursive-CTE connected components over the SAME (replicated)
     LSH pair set: propagate smaller labels along edges to fixpoint,
     take the min per node, left-join every doc (singletons keep
     themselves)."""
-    pairs_sql = _minhash_oracle()
+    pairs_sql = _minhash_oracle(table)
     return f"""
         WITH RECURSIVE lsh_pairs AS ({pairs_sql}),
         edges AS (
@@ -2404,14 +2452,14 @@ def _dedup_resolve_oracle() -> str:
         SELECT d.doc_id,
                coalesce(c.rep, d.doc_id) AS rep,
                CAST(d.doc_id = coalesce(c.rep, d.doc_id) AS INT) AS keep
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        FROM {table} d LEFT JOIN comp c ON d.doc_id = c.id
     """
 
 
-def _dedup_verified_oracle() -> str:
+def _dedup_verified_oracle(table: str = "documents") -> str:
     """LSH candidates (replicated arithmetic) -> exact string-shingle
     jaccard filter -> recursive-CTE components over verified edges."""
-    pairs_sql = _minhash_oracle()
+    pairs_sql = _minhash_oracle(table)
     shingles = (
         "list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1), "
         "i -> array_to_string(list_slice(ws, i, i + 2), ' ')))"
@@ -2421,7 +2469,7 @@ def _dedup_verified_oracle() -> str:
         shin AS (
             SELECT doc_id, {shingles} AS sh
             FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
-                  FROM documents)),
+                  FROM {table})),
         verified AS (
             SELECT p.id_a, p.id_b
             FROM lsh_pairs p
@@ -2442,7 +2490,7 @@ def _dedup_verified_oracle() -> str:
         SELECT d.doc_id,
                coalesce(c.rep, d.doc_id) AS rep,
                CAST(d.doc_id = coalesce(c.rep, d.doc_id) AS INT) AS keep
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        FROM {table} d LEFT JOIN comp c ON d.doc_id = c.id
     """
 
 
@@ -2867,6 +2915,106 @@ def _length_buckets_oracle() -> str:
     """
 
 
+def _corpus_pipeline_cte() -> str:
+    """The composed corpus pipeline as ONE DuckDB CTE chain — each
+    link is the already-green per-stage oracle fragment, re-pointed
+    at the previous stage's CTE (exact dedup -> minhash components ->
+    decontaminate -> quality -> mixture sample -> packing). Shared by
+    the packed-output and funnel oracles."""
+    from llogtail_spark.corpus_pipeline import DEFAULT_TARGETS_BP
+    from llogtail_spark.functions.text import EMAIL_RX, IPV4_RX, PHONE_RX
+    from llogtail_spark.operators.corpus import seq_packing_sql
+    from llogtail_spark.operators.dedup import WS_CLASS
+    from llogtail_spark.operators.sampling import mixture_resample_sql
+
+    labels = _dedup_resolve_oracle(table="exact")
+    samp_keys = mixture_resample_sql("qual", "lang", "doc_id",
+                                     DEFAULT_TARGETS_BP, seed_i=4)
+    packed = seq_packing_sql(128, 8, table="samp")
+    grams5 = ("list_distinct(list_transform("
+              "range(1, greatest(len(ws) - 4, 1) + 1), "
+              "i -> array_to_string(ws[i:i+4], ' ')))")
+    pii = (
+        f"len(regexp_extract_all(coalesce(text, ''), '{EMAIL_RX}')) + "
+        f"len(regexp_extract_all(coalesce(text, ''), '{IPV4_RX}')) + "
+        f"len(regexp_extract_all(coalesce(text, ''), '{PHONE_RX}'))"
+    )
+    return f"""
+        corpus0 AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+        exact AS (
+            SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT d.*, row_number() OVER (
+                    PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn
+                FROM corpus0 d) WHERE rn = 1),
+        labels AS ({labels}),
+        neardup AS (
+            SELECT e.* FROM exact e JOIN labels l
+            ON e.doc_id = l.doc_id AND l.keep = 1),
+        bench_grams AS (
+            SELECT DISTINCT unnest(gs) AS g FROM (
+                SELECT {grams5} AS gs
+                FROM (SELECT string_split({_NORM_SQL}, ' ') AS ws
+                      FROM documents WHERE doc_id % 50 = 0))),
+        contam AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(gs) AS g FROM (
+                    SELECT doc_id, {grams5} AS gs
+                    FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+                          FROM neardup))) c
+            JOIN bench_grams b ON c.g = b.g),
+        clean AS (
+            SELECT n.* FROM neardup n
+            ANTI JOIN contam c ON n.doc_id = c.doc_id),
+        qual AS (
+            SELECT cl.* FROM clean cl JOIN (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           list_filter(string_split_regex(
+                               lower(coalesce(text, '')), '{WS_CLASS}'),
+                               x -> x <> '') AS t,
+                           {pii} AS pii
+                    FROM clean)
+                WHERE len(t) >= 25
+                  AND (CASE WHEN len(t) > 0
+                       THEN floor((len(t) - len(list_distinct(t)))
+                                  * 10000 / len(t))
+                       ELSE 0 END) <= 6000
+                  AND pii <= 0) k ON cl.doc_id = k.doc_id),
+        samp_keys AS ({samp_keys}),
+        samp AS (
+            SELECT q.* FROM qual q
+            SEMI JOIN samp_keys s ON q.doc_id = s.doc_id),
+        packed AS ({packed})"""
+
+
+def _corpus_pipeline_oracle() -> str:
+    return f"""
+        WITH {_corpus_pipeline_cte()}
+        SELECT shard, doc_id, n_tok, tok_start, bin_first, bin_last,
+               crosses
+        FROM packed
+    """
+
+
+def _corpus_funnel_oracle() -> str:
+    from llogtail_spark.corpus_pipeline import CORPUS_STAGES
+
+    # the pack stage counts PLACED docs (n_tok > 0, non-null id), not
+    # the sample stage's survivors — count the packed CTE itself
+    cte_of = {"exact_dedup": "exact", "near_dedup": "neardup",
+              "decontaminate": "clean", "quality": "qual",
+              "sample": "samp", "pack": "packed"}
+    branches = "\n            UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS stage_idx, '{st}' AS stage, "
+        f"(SELECT count(*) FROM {cte_of[st]}) AS n_docs"
+        for i, st in enumerate(CORPUS_STAGES)
+    )
+    return f"""
+        WITH {_corpus_pipeline_cte()}
+        SELECT stage_idx, stage, n_docs FROM ({branches})
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cos = (
         "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
@@ -3280,6 +3428,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh": _minhash_oracle(),
         "dedup_resolve": _dedup_resolve_oracle(),
+        "corpus_pack_pipeline": _corpus_pipeline_oracle(),
+        "corpus_pipeline_funnel": _corpus_funnel_oracle(),
         "dedup_verified": _dedup_verified_oracle(),
         "multimodal_stats": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

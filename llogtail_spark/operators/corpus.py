@@ -2166,7 +2166,8 @@ def seq_packing(df: DataFrame, text_col: str = "text",
     )
 
 
-def seq_packing_sql(seq_len: int = SEQ_LEN, nshards: int = N_SHARDS) -> str:
+def seq_packing_sql(seq_len: int = SEQ_LEN, nshards: int = N_SHARDS,
+                    table: str = "documents") -> str:
     """DuckDB twin of seq_packing: identical tokenize-count, md5
     shard hash, per-shard cumsum window."""
     return f"""
@@ -2178,7 +2179,7 @@ def seq_packing_sql(seq_len: int = SEQ_LEN, nshards: int = N_SHARDS) -> str:
                        x -> x <> '')) AS BIGINT) AS n_tok,
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                         AS BIGINT) AS h
-            FROM documents WHERE doc_id IS NOT NULL),
+            FROM {table} WHERE doc_id IS NOT NULL),
         placed AS (
             SELECT CAST(h % {nshards} AS INTEGER) AS shard,
                    doc_id, n_tok,

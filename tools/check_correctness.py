@@ -50,15 +50,34 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
+def canon_strict(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Dtype-sensitive canonicalization (the check_oracles.py
+    discipline, VERDICT r04 #6): floats round to 6 places but KEEP
+    their float representation, so a Spark DOUBLE next to a DuckDB
+    BIGINT ('6.0' vs '6') fails instead of silently coercing — the
+    presentation-drift class the lenient canon() cannot see."""
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype.kind == "f":
+            pdf[c] = pdf[c].round(6)
+        pdf[c] = pdf[c].map(lambda v: str(v))
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
 def main() -> int:
     import __spark_entry__ as entry
     from llogtail_spark.session import get_spark
 
     argv = sys.argv[1:]
     json_out = None
+    strict = False
+    if "--strict" in argv:
+        strict = True
+        argv.remove("--strict")
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
+    canonize = canon_strict if strict else canon
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark("check-correctness")
@@ -103,7 +122,7 @@ def main() -> int:
                 "oracle_rows": None, "err": f"oracle: {e}"[:500],
             }
             continue
-        g, w = canon(got), canon(want)
+        g, w = canonize(got), canonize(want)
         ok_schema = list(g.columns) == list(w.columns)
         ok_rows = len(g) == len(w)
         ok_vals = ok_schema and ok_rows and g.equals(w)
@@ -129,7 +148,8 @@ def main() -> int:
     print("FAILURES:", failures)
     if json_out:
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+            json.dump({"sf_dir": sf_dir, "strict": strict,
+                       "n_queries": len(report),
                        "failures": failures, "results": report}, f, indent=1)
         print(f"wrote {json_out}")
     return 1 if failures else 0
