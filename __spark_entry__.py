@@ -2128,7 +2128,8 @@ def _corpus_conf():
     unset — the lazy composition never touches disk."""
     from llogtail_spark.corpus_pipeline import CorpusConf
 
-    return CorpusConf(input_path="", workdir="", out_path="")
+    return CorpusConf(input_path="", workdir="", out_path="",
+                      hash_mode="portable")
 
 
 def _corpus_split(spark, sf):

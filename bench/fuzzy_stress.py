@@ -74,18 +74,18 @@ def build(n: int, seed: int = 7):
     return rows, planted
 
 
-def candidates_only(spark, df):
+def candidates_only(spark, df, q=FJ_Q):
     """Count candidate pairs the prefix filter admits (pre-verify) —
     replicates fuzzy_join's candidate subtree."""
     from pyspark.sql import Window as W
 
-    p = FJ_MAXDIST * FJ_Q + 1
+    p = FJ_MAXDIST * q + 1
     docs = df.select(F.col("doc_id").alias("_id"),
                      normalize_text("text").alias("_s")) \
-        .where(F.length("_s") >= FJ_Q)
+        .where(F.length("_s") >= q)
     grams = docs.select("_id", F.explode(F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.length("_s") - FJ_Q + 1),
-        lambda i: F.col("_s").substr(i, F.lit(FJ_Q))))).alias("gram"))
+        F.sequence(F.lit(1), F.length("_s") - q + 1),
+        lambda i: F.col("_s").substr(i, F.lit(q))))).alias("gram"))
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     ranked = (grams.join(freq, "gram")
               .withColumn("rn", F.row_number().over(
@@ -97,18 +97,18 @@ def candidates_only(spark, df):
             .distinct().count())
 
 
-def run(spark, n: int) -> dict:
+def run(spark, n: int, q: int = FJ_Q) -> dict:
     rows, planted = build(n)
     df = spark.createDataFrame(rows, "doc_id long, text string") \
         .repartition(32).cache()
     df.count()
     t0 = time.time()
-    out = fuzzy_join(df).collect()
+    out = fuzzy_join(df, q=q).collect()
     wall = time.time() - t0
     release_fuzzy_caches()
     got = {(r["doc_a"], r["doc_b"]) for r in out}
     missed = [p for p in planted if p not in got]
-    n_cand = candidates_only(spark, df)
+    n_cand = candidates_only(spark, df, q=q)
     total = len(rows)
     all_pairs = total * (total - 1) // 2
     df.unpersist()
@@ -127,11 +127,16 @@ def run(spark, n: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--q", type=int, default=None,
+                    help="q-gram length override (web-scale corpora "
+                         "size q so |alphabet|^q >> gram density)")
     args = ap.parse_args()
+    q = args.q if args.q else FJ_Q
     spark = get_spark()
-    full = run(spark, args.n)
-    half = run(spark, args.n // 2)
+    full = run(spark, args.n, q=q)
+    half = run(spark, args.n // 2, q=q)
     out = {
+        "q": q,
         "full": full,
         "half": half,
         "linearity_ratio": round(full["wall_sec"] / max(half["wall_sec"],

@@ -89,7 +89,11 @@ class CorpusConf:
     id_col: str = "doc_id"
     text_col: str = "text"
     group_col: str = "lang"
-    # near-dup (minhash_lsh_pairs portable mode, MINHASH_CONF)
+    # near-dup (minhash_lsh_pairs). hash_mode: "xxhash64" is the
+    # engine-native production path (JVM hashes, no Arrow transfer);
+    # "portable" replicates in any ANSI engine — the oracle-paired
+    # query entry uses it so DuckDB can verify the pair set
+    hash_mode: str = "xxhash64"
     num_hashes: int = 16
     bands: int = 8
     cap_reps: int = 8
@@ -121,7 +125,9 @@ class CorpusConf:
             scoped = {}
         elif stage == "near_dedup":
             scoped = {"num_hashes": self.num_hashes, "bands": self.bands,
-                      "cap_reps": self.cap_reps, "shingle_n": self.shingle_n}
+                      "cap_reps": self.cap_reps,
+                      "shingle_n": self.shingle_n,
+                      "hash_mode": self.hash_mode}
         elif stage == "decontaminate":
             scoped = {"n": self.contam_n, "min_hits": self.contam_min_hits,
                       "benchmark_path": self.benchmark_path,
@@ -178,7 +184,7 @@ def stage_near_dedup(df: DataFrame, conf: CorpusConf) -> DataFrame:
     pairs = minhash_lsh_pairs(
         df, text_col=conf.text_col, id_col=conf.id_col,
         num_hashes=conf.num_hashes, bands=conf.bands,
-        shingle_n=conf.shingle_n, hash_mode="portable",
+        shingle_n=conf.shingle_n, hash_mode=conf.hash_mode,
         cap_reps=conf.cap_reps,
     )
     labels = resolve_components(pairs, df.select(conf.id_col),
@@ -341,6 +347,7 @@ class CorpusRunResult:
     shards_skipped: list[str]
     funnel: dict[str, int]  # stage -> surviving rows
     metrics: DataFrame | None  # per-shard rollup from the manifest
+    stage_timings: dict[str, float]  # wall sec per recomputed stage
 
 
 def _input_identity(path: str) -> tuple[int, int]:
@@ -397,9 +404,12 @@ def run_corpus_pipeline(
     docs0 = spark.read.parquet(conf.input_path)
     corpus, benchmark, bench_crc = _read_benchmark(spark, docs0, conf)
 
+    import time
+
     stages_run: list[str] = []
     stages_skipped: list[str] = []
     funnel: dict[str, int] = {}
+    stage_timings: dict[str, float] = {}
 
     # identity chain: stage k's input identity is stage k-1's output
     # identity; the head is the raw input's footer identity (with the
@@ -427,6 +437,7 @@ def run_corpus_pipeline(
                 os.remove(_stage_mf_path(conf.stage_manifest_dir, stage))
             except OSError:
                 pass
+        t_stage = time.time()
         if valid:
             stages_skipped.append(stage)
             upstream_df = spark.read.parquet(data_dir)
@@ -508,6 +519,7 @@ def run_corpus_pipeline(
         if failpoint:
             failpoint(stage, "after_commit")
         stages_run.append(stage)
+        stage_timings[stage] = round(time.time() - t_stage, 3)
         funnel[stage] = int(got["rows"])
         chain_rows, chain_crc = int(got["rows"]), int(got["checksum"])
         upstream_df = rb_df
@@ -579,7 +591,7 @@ def run_corpus_pipeline(
     return CorpusRunResult(
         stages_run=stages_run, stages_skipped=stages_skipped,
         shards_committed=committed, shards_skipped=skipped,
-        funnel=funnel, metrics=metrics,
+        funnel=funnel, metrics=metrics, stage_timings=stage_timings,
     )
 
 

@@ -89,10 +89,20 @@ def generate_sequences(
     seed: int = 42,
     min_tok: int = 16,
     max_tok: int = 512,
+    source_weights: list[float] | None = None,
+    dup_fraction: float = 0.0,
 ) -> pa.Table:
-    """Build the sequences table fully vectorized in numpy."""
+    """Build the sequences table fully vectorized in numpy.
+
+    source_weights overrides the default 70/10/10/10 source mix —
+    the adversarial-skew fixture passes ~[0.9, ...] (one noisy log
+    file, log_watcher.go:17's debounce regime). dup_fraction > 0
+    additionally overwrites that fraction of rows with ONE identical
+    token payload (a mass-duplicated message), spread evenly across
+    the table so every partition holds copies of the hot row."""
     rng = np.random.default_rng(seed)
-    src_idx = rng.choice(len(_SOURCES), size=n_rows, p=_SOURCE_WEIGHTS)
+    weights = source_weights if source_weights is not None else _SOURCE_WEIGHTS
+    src_idx = rng.choice(len(_SOURCES), size=n_rows, p=weights)
     sources = np.array(_SOURCES, dtype=object)[src_idx]
 
     # per-source running index -> stable doc_id encoding origin + order,
@@ -132,6 +142,34 @@ def generate_sequences(
     np.cumsum(lengths, out=offsets[1:])
     body[offsets[:-1]] = level_tok
     body[offsets[:-1] + 1] = comp_tok
+
+    if dup_fraction > 0:
+        # every k-th row becomes a copy of row 0's payload (same
+        # source, same tokens): k-th spacing puts hot copies in every
+        # file/partition — the worst placement for a naive dedup
+        k = max(int(round(1.0 / dup_fraction)), 1)
+        hot = np.arange(0, n_rows, k)
+        src0 = sources[0]
+        sources[hot] = src0
+        hot_len = int(lengths[0])
+        hot_body = body[offsets[0]:offsets[0] + hot_len].copy()
+        hot_set = np.zeros(n_rows, dtype=bool)
+        hot_set[hot] = True
+        lengths[hot] = hot_len
+        # vectorized rebuild: target position -> (row, offset-in-row),
+        # value from the hot payload or the old body slice
+        new_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(lengths, out=new_offsets[1:])
+        total_new = int(new_offsets[-1])
+        pos_in_row = np.arange(total_new) - np.repeat(
+            new_offsets[:-1], lengths)
+        rep_hot = np.repeat(hot_set, lengths)
+        src_idx2 = np.minimum(
+            np.repeat(offsets[:-1], lengths) + pos_in_row, len(body) - 1)
+        body = np.where(
+            rep_hot, hot_body[np.minimum(pos_in_row, hot_len - 1)],
+            body[src_idx2]).astype(np.int32)
+        offsets = new_offsets
 
     # 64-bit offsets: a 10M-row fixture holds ~2.6B tokens, past
     # int32 ListArray offsets; parquet's LIST encoding is identical
@@ -173,13 +211,17 @@ def generate_lookup() -> pa.Table:
     )
 
 
-def write_fixture(out_dir: str, n_rows: int, seed: int = 42, n_files: int = 8) -> None:
+def write_fixture(out_dir: str, n_rows: int, seed: int = 42, n_files: int = 8,
+                  source_weights: list[float] | None = None,
+                  dup_fraction: float = 0.0) -> None:
     """Write sequences as n_files parquet files (the partition/resume
     unit — one file plays the role of one watched log file's byte
     range) plus the lookup table."""
     seq_dir = os.path.join(out_dir, "sequences")
     os.makedirs(seq_dir, exist_ok=True)
-    table = generate_sequences(n_rows, seed=seed)
+    table = generate_sequences(n_rows, seed=seed,
+                               source_weights=source_weights,
+                               dup_fraction=dup_fraction)
     per = (n_rows + n_files - 1) // n_files
     for i in range(n_files):
         chunk = table.slice(i * per, per)
