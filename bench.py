@@ -209,6 +209,10 @@ BENCH_QUERIES = [
     "media_frame_digest",
     "source_kl_matrix",
     "table_profile",
+    # round 5: the composed corpus pipeline (lazy chain, portable-hash
+    # near-dedup — the oracle-paired flagship); the funnel twin runs
+    # the same chain eagerly, so timing it here would double-pay
+    "corpus_pack_pipeline",
 ]
 
 

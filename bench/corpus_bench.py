@@ -116,11 +116,17 @@ if __name__ == "__main__":
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--input", default=None,
+                    help="reuse a pre-generated corpus dir (kept on "
+                         "exit) — the corpus_scaling.py worker path")
+    ap.add_argument("--gen-only", action="store_true",
+                    help="generate the fixture into --input and exit")
+    ap.add_argument("--skip-probes", action="store_true")
     args = ap.parse_args()
 
     from bench import host_probe  # subprocess probes (bench.py)
 
-    probe_before = host_probe()
+    probe_before = {} if args.skip_probes else host_probe()
     print(f"host probe (pre-JVM): {probe_before}", file=sys.stderr)
 
     spark = get_spark("corpus-bench", cores=args.cpus,
@@ -130,13 +136,17 @@ if __name__ == "__main__":
                     "cpus": args.cpus}
     try:
         t0 = time.time()
-        inp = os.path.join(tmp, "input")
-        # production parquet: ~100k docs/file
-        n_files = max(args.cpus * 2, args.rows // 100_000)
-        synth_corpus(spark, args.rows).repartition(n_files) \
-            .write.mode("overwrite").parquet(inp)
+        inp = args.input or os.path.join(tmp, "input")
+        if args.input is None or not os.path.isdir(inp) or args.gen_only:
+            # production parquet: ~100k docs/file
+            n_files = max(args.cpus * 2, args.rows // 100_000)
+            synth_corpus(spark, args.rows).repartition(n_files) \
+                .write.mode("overwrite").parquet(inp)
         gen_sec = time.time() - t0
         print(f"fixture: {args.rows} docs in {gen_sec:.1f}s", file=sys.stderr)
+        if args.gen_only:
+            spark.stop()
+            sys.exit(0)
 
         conf = CorpusConf(
             input_path=inp,
@@ -164,7 +174,8 @@ if __name__ == "__main__":
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
-    result["host"] = {"before": probe_before, "after": host_probe()}
+    result["host"] = {"before": probe_before,
+                      "after": {} if args.skip_probes else host_probe()}
     line = json.dumps(result)
     print(line, flush=True)
     if args.out:

@@ -98,12 +98,20 @@ def _corpus_input(spark, path: str, rows: int, skewed: bool) -> None:
         idc = F.col("doc_id")
         text = F.when(F.pmod(idc, F.lit(10)) == 7, F.lit(HOT_TEXT)) \
             .otherwise(F.col("text"))
+        langs = F.array(*[F.lit(x) for x in
+                          ["en", "zh", "es", "de", "fr"]])
         df = df.select(
             "doc_id",
             text.alias("text"),
-            # ~90% of docs land in one language group
+            # ~90% of docs land in one language group; the residual
+            # 10% must still cycle ALL five target langs (id%10==9
+            # implies id%5==4, so reusing the original lang would
+            # leave only en+fr alive and zero the mixture quota)
             F.when(F.pmod(idc, F.lit(10)) < 9, F.lit("en"))
-            .otherwise(F.col("lang")).alias("lang"),
+            .otherwise(F.element_at(
+                langs,
+                (F.pmod(F.floor(idc / 10), F.lit(5)) + 1).cast("int")))
+            .alias("lang"),
             "source",
             F.length(text).alias("n_chars"),
         )

@@ -309,6 +309,10 @@ class StageManifest:
     out_checksum: int
     params_crc: int
     committed_at: str = ""
+    # the stage output's Spark schema (StructType.json()): lets a
+    # resume read a SKIPPED stage's dir without inference — which
+    # raises on a legitimately empty output (zero data files)
+    schema_json: str = ""
 
 
 def _stage_mf_path(manifest_dir: str, stage: str) -> str:
@@ -440,7 +444,12 @@ def run_corpus_pipeline(
         t_stage = time.time()
         if valid:
             stages_skipped.append(stage)
-            upstream_df = spark.read.parquet(data_dir)
+            rd = spark.read
+            if m.schema_json:
+                from pyspark.sql.types import StructType
+
+                rd = rd.schema(StructType.fromJson(json.loads(m.schema_json)))
+            upstream_df = rd.parquet(data_dir)
             funnel[stage] = m.out_rows
             chain_rows, chain_crc = m.out_rows, m.out_checksum
             continue
@@ -490,8 +499,12 @@ def run_corpus_pipeline(
 
         # observe-vs-readback reconciliation BEFORE the manifest
         # commit (pipeline.py job-3 discipline): checksum what landed
-        # in the files, refuse to commit lineage over a partial write
-        rb_df = spark.read.parquet(data_dir)
+        # in the files, refuse to commit lineage over a partial write.
+        # Explicit schema: a legitimately EMPTY stage (e.g. a quality
+        # gate that kills everything, or a mixture whose scarcest
+        # group vanished) writes no data files, and schema inference
+        # would raise instead of reconciling rows=0 against rows=0.
+        rb_df = spark.read.schema(observed.schema).parquet(data_dir)
         if stage == "pack":
             rb_df = _cast_pack(rb_df, conf)
         rb = rb_df.agg(
@@ -515,6 +528,7 @@ def run_corpus_pipeline(
             out_rows=int(got["rows"]), tok_total=int(got["tok_total"]),
             out_checksum=int(got["checksum"]), params_crc=params,
             committed_at=conf.committed_at,
+            schema_json=observed.schema.json(),
         ))
         if failpoint:
             failpoint(stage, "after_commit")
@@ -550,8 +564,9 @@ def run_corpus_pipeline(
         e.name for e in os.scandir(pack_dir) if e.name.startswith("shard="))
     committed: list[str] = []
     skipped: list[str] = []
-    # per-shard stats in ONE column-pruned readback pass
-    shard_stats = {
+    # per-shard stats in ONE column-pruned readback pass (an empty
+    # pack output has no shard dirs and nothing to ship or read)
+    shard_stats = {} if not shard_dirs else {
         str(r["shard"]): r
         for r in spark.read.parquet(pack_dir)
         .groupBy("shard")

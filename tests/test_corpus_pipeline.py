@@ -275,3 +275,21 @@ def test_readback_reconciliation_refuses_partial_stage(
     with pytest.raises(RuntimeError, match="refusing to commit"):
         run_corpus_pipeline(spark, conf, failpoint=fp)
     assert read_stage(conf.stage_manifest_dir, "quality") is None
+
+
+def test_empty_funnel_completes(spark, corpus_input, tmp_path):
+    """A gate that kills the whole corpus must complete with zero-row
+    lineage and zero shards — not crash on an empty stage readback
+    (found by the adversarial-skew bench: a mixture whose scarcest
+    target group vanished empties the sample stage)."""
+    conf = _conf(corpus_input, str(tmp_path))
+    conf.min_toks = 10**6  # nothing survives quality
+    res = run_corpus_pipeline(spark, conf)
+    assert res.stages_run == list(CORPUS_STAGES)
+    assert res.funnel["quality"] == 0
+    assert res.funnel["pack"] == 0
+    assert res.shards_committed == []
+    # resume is a clean no-op on the empty chain too
+    res2 = run_corpus_pipeline(spark, conf)
+    assert res2.stages_run == []
+    assert res2.stages_skipped == list(CORPUS_STAGES)
