@@ -890,6 +890,17 @@ def fuzzy_join(df: DataFrame, text_col: str = "text",
     than q characters are out of scope (no q-grams; at web scale
     short strings go through the exact-dedup hash path instead).
 
+    Recall-guarantee boundary (measured at the 1.2M-string stress,
+    BENCH/fuzzy_stress_*_r05.json): the zero-false-negative proof
+    below needs |G| > max_dist*q, i.e. normalized length >=
+    q*(max_dist+1) — below that, max_dist edits can touch EVERY
+    q-gram of the shorter string and the pair legitimately shares no
+    gram (q=5, d=2 missed 162 of 13,254 sub-15-char planted pairs;
+    q=4 on the same corpus missed zero). Size q to the corpus: large
+    enough that |alphabet|^q >> corpus gram density (candidate count
+    stays linear), small enough that q*(max_dist+1) <= the shortest
+    in-scope document.
+
     Why no false negatives: one edit changes at most q distinct
     q-grams, so ed(a,b) <= d implies |G(a) \\ G(b)| <= d*q; under any
     global total order on grams (here: ascending document frequency,
