@@ -2169,14 +2169,177 @@ def _q_corpus_pipeline_funnel(spark, sf):
         rows, "stage_idx int, stage string, n_docs long")
 
 
+# Driver-gate ordering (round 5): the driver's correctness gate checks
+# the first ~50 queries() entries, so the 41 queries with no
+# driver-green row in CORRECTNESS_r01-r04 (incl. the two new composed-
+# pipeline queries) come first, then everything else ordered by the
+# round it last had a driver artifact (oldest first) — over rounds the
+# window sweeps the whole surface. The full 150 are certified every
+# round by tools/check_correctness.py --strict -> CORRECTNESS_full_rNN.
+_R05_ORDER = [
+    "conversion_latency",
+    "global_ordinals",
+    "mad_outliers",
+    "time_weighted_avg",
+    "cdc_chunking",
+    "corpus_pack_pipeline",
+    "corpus_pipeline_funnel",
+    "pareto_front_orders",
+    "triangle_counts",
+    "priority_sample_docs",
+    "seq_packing_docs",
+    "hll_distinct_tokens",
+    "dup_token_spans",
+    "fuzzy_join_heads",
+    "priority_sample_per_source",
+    "bfs_levels_parts",
+    "dsir_weights_en",
+    "hilbert_shards",
+    "quality_classifier",
+    "kmv_set_ops",
+    "journey_paths",
+    "weighted_median",
+    "benford_digits",
+    "kn_bigram_lm",
+    "rrf_fuse",
+    "hll_sliding_dau",
+    "cm_join_size",
+    "trend_slope",
+    "doc_perplexity",
+    "categorical_mi",
+    "unpivot_event_matrix",
+    "copurchase_lift",
+    "fk_audit",
+    "hist_quantiles",
+    "rank_normalize",
+    "event_trigrams",
+    "ohlc_bars",
+    "decayed_scores",
+    "media_frame_digest",
+    "source_kl_matrix",
+    "table_profile",
+    "sample_deterministic",
+    "mixture_by_lang",
+    "length_buckets",
+    "embedding_topk",
+    "embedding_near_dup",
+    "minhash_lsh",
+    "simhash",
+    "ann_lsh",
+    "ann_ivf",
+    "pipeline_route_fanout",
+    "pipeline_route_overlap",
+    "parse_grok_events",
+    "parse_grok_documents",
+    "enrich_broadcast_revenue",
+    "agg_pricing_summary",
+    "rollup_counts",
+    "cube_counts",
+    "json_extract_events",
+    "events_by_day",
+    "window_tumbling_counts",
+    "set_ops_nations",
+    "pivot_event_counts",
+    "median_value_by_type",
+    "grouping_sets_counts",
+    "topk_per_group",
+    "global_topk_orders",
+    "anti_join_resume",
+    "dedup_resolve",
+    "dedup_verified",
+    "multimodal_stats",
+    "asof_join_last_purchase",
+    "range_join_purchase_window",
+    "semi_join_active",
+    "window_first_event",
+    "dedup_debounce",
+    "sessionize",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_normalize",
+    "text_redact_pii",
+    "sequence_packing",
+    "dedup_exact_docs",
+    "dup_cluster_histogram",
+    "window_moving_avg",
+    "ntile_quartiles",
+    "above_mean_events",
+    "schema_evolution_union",
+    "fuzzy_source_pairs",
+    "ngram_top_bigrams",
+    "text_repetition",
+    "quality_filter_docs",
+    "boilerplate_strip",
+    "token_budget_select",
+    "corpus_shuffle_shards",
+    "vocab_coverage",
+    "source_overlap",
+    "span_dedup",
+    "length_quantiles",
+    "dedup_novelty",
+    "oov_rate",
+    "bpe_merges",
+    "corpus_profile",
+    "bm25_topk",
+    "unigram_surprisal",
+    "corpus_diff",
+    "cohort_retention",
+    "funnel_counts",
+    "context_chunks",
+    "token_fertility",
+    "char_diversity",
+    "mixture_resample",
+    "temperature_mixture",
+    "embedding_near_dup_p90",
+    "decontaminate_docs",
+    "stratified_sample_events",
+    "leakage_safe_split",
+    "semantic_dedup",
+    "kmeans_assign",
+    "kmv_distinct",
+    "rate_spikes",
+    "interarrival_stats",
+    "containment_pairs",
+    "countmin_freq",
+    "active_users_7d",
+    "source_entropy",
+    "token_pmi",
+    "tfidf_topterms",
+    "salted_event_rollup",
+    "skew_join_salted",
+    "log_templates",
+    "zorder_shards",
+    "k_anonymity",
+    "inverted_index",
+    "pagerank",
+    "scd2_intervals",
+    "markov_transitions",
+    "bloom_prune_join",
+    "star_join_q3",
+    "heavy_hitters",
+    "gram_matrix",
+    "range_frame_sum",
+    "locf_impute",
+    "dedup_keep_best",
+    "null_safe_join",
+    "user_type_profile",
+    "event_type_drift",
+    "incremental_mv_merge",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 148 oracle-paired queries. ORDER IS DELIBERATE (round 4):
-    the driver's correctness gate checks the first ~50 entries, so the
-    50 queries with no driver-green row in CORRECTNESS_r01-r03 come
-    first; positions 51-55 are the five the judge already re-verified
-    at sf0.01+sf0.1 (r03 verdict); the 59 with historical driver
-    artifacts follow. The full surface is certified every round by
-    tools/check_correctness.py -> CORRECTNESS_full_rNN.json."""
+    """All 150 oracle-paired queries, driver-gate-ordered (see
+    _R05_ORDER)."""
+    base = _queries_unordered()
+    out = {k: base[k] for k in _R05_ORDER if k in base}
+    out.update({k: v for k, v in base.items() if k not in out})
+    return out
+
+
+def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "length_quantiles": _q_length_quantiles,
         "dedup_novelty": _q_dedup_novelty,
