@@ -130,7 +130,20 @@ if __name__ == "__main__":
     print(f"host probe (pre-JVM): {probe_before}", file=sys.stderr)
 
     spark = get_spark("corpus-bench", cores=args.cpus,
-                      shuffle_partitions=max(2 * args.cpus, 32))
+                      shuffle_partitions=max(2 * args.cpus, 64),
+                      extra_conf={
+                          # data-sized (not cluster-sized) shuffle
+                          # partitions — see corpus_pipeline.py header.
+                          # Measured on the 3.2M scaling profile:
+                          # parallelism-first coalescing left exactly
+                          # `cores` tasks per stage (zero slack, 2->8
+                          # cores gave 2.3x); data-sized 8 MB targets
+                          # restored 2.7x+ and cut T8 139->100 s.
+                          "spark.sql.adaptive.coalescePartitions."
+                          "parallelismFirst": "false",
+                          "spark.sql.adaptive."
+                          "advisoryPartitionSizeInBytes": "8m",
+                      })
     tmp = tempfile.mkdtemp(prefix="corpus-bench-")
     result: dict = {"metric": "corpus_docs_per_sec", "rows": args.rows,
                     "cpus": args.cpus}

@@ -42,6 +42,17 @@ stage manifest then reads identity from the table snapshot id instead
 of parquet footers. Stage outputs carry only the SURVIVING corpus, so
 each subsequent stage scans strictly less data — the funnel is also
 the cost curve.
+
+Two-cluster-size scaling conf (measured, round 5): the stage chain is
+shuffle-fed end-to-end, so AQE's parallelism-first coalescing (which
+targets total/defaultParallelism partitions) leaves ZERO task slack at
+the larger cluster — every stage ran exactly `cores` tasks and one
+straggler idled the rest (2->8 cores gave 2.3x, not 4x). Set
+  spark.sql.adaptive.coalescePartitions.parallelismFirst=false
+  spark.sql.adaptive.advisoryPartitionSizeInBytes=16m..64m
+so partition counts follow DATA SIZE, not cluster size (the benches
+set exactly this; see bench/corpus_scaling.py). Stage outputs write
+32 MB row groups for the same reason (stage_block_bytes).
 """
 
 from __future__ import annotations
@@ -115,6 +126,12 @@ class CorpusConf:
     nshards: int = 8
     committed_at: str = ""
     validate_on_start: bool = True
+    # parquet row-group size for STAGE outputs: stage files are read
+    # back by the next stage, and splits cannot cross row groups, so
+    # one-row-group files cap the next stage's scan parallelism at
+    # the file count. 32 MB keeps slack (~4 splits/file) at bench
+    # scale and is a sane row-group size at cluster scale too.
+    stage_block_bytes: int = 32 * 1024 * 1024
 
     def params_crc(self, stage: str) -> int:
         """Stage-scoped params fingerprint: changing a knob invalidates
@@ -487,7 +504,8 @@ def run_corpus_pipeline(
         ).drop("_ck")
         tmp_dir = os.path.join(conf.stages_dir, f"_tmp_{stage}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        writer = observed.write.mode("overwrite")
+        writer = observed.write.mode("overwrite") \
+            .option("parquet.block.size", str(conf.stage_block_bytes))
         if stage == "pack":
             writer = writer.partitionBy("shard")
         writer.parquet(tmp_dir)

@@ -410,16 +410,20 @@ def _resolve_components_driver(
             ea, eb = key // nv, key % nv
     moved = np.nonzero(lab != np.arange(nv))[0]
 
-    def _py(v):  # numpy scalar -> python; object-dtype (str) is already python
-        return v.item() if hasattr(v, "item") else v
+    # broadcast-back table built as ONE pandas frame (Arrow path):
+    # the previous per-tuple Python list serialized row-at-a-time and
+    # was the serial hot spot once the driver path handled multi-
+    # million-edge graphs (round-5 scaling profile)
+    import pandas as pd
 
-    mapping = [(_py(ids[i]), _py(ids[lab[i]])) for i in moved]
     spark = nodes.sparkSession
     id_type = nodes.schema[id_col].dataType
     schema = T.StructType(
         [T.StructField("_nid", id_type), T.StructField("_rep", id_type)]
     )
-    lab = spark.createDataFrame(mapping, schema)
+    lab = spark.createDataFrame(
+        pd.DataFrame({"_nid": ids[moved], "_rep": ids[lab[moved]]}),
+        schema)
     return (
         nodes.select(F.col(id_col))
         .join(F.broadcast(lab), F.col(id_col) == F.col("_nid"), "left")
@@ -438,7 +442,7 @@ def resolve_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
-    driver_edge_threshold: int = 2_000_000,
+    driver_edge_threshold: int = 8_000_000,
 ) -> DataFrame:
     """Candidate pairs -> connected components -> keep-list: what turns
     a pair-lister into a deduplication PIPELINE (the batch analog of
@@ -451,10 +455,16 @@ def resolve_components(
       collect the edge list once and run union-find with path
       compression on the driver, then broadcast the (node -> min-id)
       table back. Zero iterative shuffles; the distributed loop's
-      ~0.5s/round scheduling floor (VERDICT r02 #6) disappears. 2M
-      edges is ~32 MB on the driver — bounded, and the single count
-      that gates the branch materializes the candidate generation it
-      would have paid anyway.
+      ~0.5s/round scheduling floor (VERDICT r02 #6) disappears. 8M
+      pairs is ~128 MB of driver arrays — bounded, and the single
+      count that gates the branch materializes the candidate
+      generation it would have paid anyway. (Threshold raised 2M->8M
+      in round 5: the Arrow-built broadcast-back table removed the
+      per-tuple serialization that set the old crossover; measured on
+      a 3.88M-pair boilerplate-cluster graph the driver path beats
+      the distributed rounds 57s vs 70s end-to-end at 8 cores AND is
+      level-independent, so two-cluster-size scaling no longer pays
+      the rounds' scheduling floor at the small level.)
     - larger graphs: min-label propagation to fixpoint — each round,
       every node takes the minimum label among itself and its
       neighbors; one equi-join + one map-side-combinable min-agg per
