@@ -209,10 +209,11 @@ BENCH_QUERIES = [
     "media_frame_digest",
     "source_kl_matrix",
     "table_profile",
-    # round 5: the composed corpus pipeline (lazy chain, portable-hash
-    # near-dedup — the oracle-paired flagship); the funnel twin runs
-    # the same chain eagerly, so timing it here would double-pay
+    # round 5: the composed corpus pipeline — the lazy packed-output
+    # chain (portable-hash near-dedup, the oracle-paired flagship) and
+    # its eager per-stage funnel twin
     "corpus_pack_pipeline",
+    "corpus_pipeline_funnel",
 ]
 
 

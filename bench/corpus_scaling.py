@@ -41,7 +41,7 @@ def run_level(cores: int, rows: int, inp: str) -> float:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=3_200_000)
+    ap.add_argument("--rows", type=int, default=12_800_000)
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--pairs", type=int, default=3)
     ap.add_argument("--out", default=None)
