@@ -293,3 +293,37 @@ def test_empty_funnel_completes(spark, corpus_input, tmp_path):
     res2 = run_corpus_pipeline(spark, conf)
     assert res2.stages_run == []
     assert res2.stages_skipped == list(CORPUS_STAGES)
+
+
+def test_cli_corpus_conf_roundtrip(spark, corpus_input, tmp_path):
+    """The --corpus-conf CLI surface: conf JSON -> full run report ->
+    resume no-op, matching the library API (in-process main() — the
+    CLI builds its own session via getOrCreate, which resolves to the
+    test session)."""
+    import json as _json
+
+    from llogtail_spark import cli
+
+    cj = tmp_path / "corpus.json"
+    cj.write_text(_json.dumps({
+        "input_path": corpus_input,
+        "workdir": str(tmp_path / "wd"),
+        "out_path": str(tmp_path / "out"),
+        "committed_at": "cli-test",
+    }))
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli.main(["--corpus-conf", str(cj)]) == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["stages_run"] == list(CORPUS_STAGES)
+    assert rep["shards_committed"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli.main(["--corpus-conf", str(cj)]) == 0
+    rep2 = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep2["stages_skipped"] == list(CORPUS_STAGES)
+    assert rep2["shards_committed"] == []
+    assert rep2["funnel"] == rep["funnel"]
