@@ -2169,64 +2169,15 @@ def _q_corpus_pipeline_funnel(spark, sf):
         rows, "stage_idx int, stage string, n_docs long")
 
 
-# Driver-gate ordering (round 5): the driver's correctness gate checks
-# the first ~50 queries() entries, so the 41 queries with no
-# driver-green row in CORRECTNESS_r01-r04 (incl. the two new composed-
-# pipeline queries) come first, then everything else ordered by the
-# round it last had a driver artifact (oldest first) — over rounds the
-# window sweeps the whole surface. The full 150 are certified every
-# round by tools/check_correctness.py --strict -> CORRECTNESS_full_rNN.
-_R05_ORDER = [
-    "conversion_latency",
-    "global_ordinals",
-    "mad_outliers",
-    "time_weighted_avg",
-    "cdc_chunking",
-    "corpus_pack_pipeline",
-    "corpus_pipeline_funnel",
-    "pareto_front_orders",
-    "triangle_counts",
-    "priority_sample_docs",
-    "seq_packing_docs",
-    "hll_distinct_tokens",
-    "dup_token_spans",
-    "fuzzy_join_heads",
-    "priority_sample_per_source",
-    "bfs_levels_parts",
-    "dsir_weights_en",
-    "hilbert_shards",
-    "quality_classifier",
-    "kmv_set_ops",
-    "journey_paths",
-    "weighted_median",
-    "benford_digits",
-    "kn_bigram_lm",
-    "rrf_fuse",
-    "hll_sliding_dau",
-    "cm_join_size",
-    "trend_slope",
-    "doc_perplexity",
-    "categorical_mi",
-    "unpivot_event_matrix",
-    "copurchase_lift",
-    "fk_audit",
-    "hist_quantiles",
-    "rank_normalize",
-    "event_trigrams",
-    "ohlc_bars",
-    "decayed_scores",
-    "media_frame_digest",
-    "source_kl_matrix",
-    "table_profile",
-    "sample_deterministic",
-    "mixture_by_lang",
-    "length_buckets",
-    "embedding_topk",
-    "embedding_near_dup",
-    "minhash_lsh",
-    "simhash",
-    "ann_lsh",
-    "ann_ivf",
+# Driver-gate ordering (round 6, VERDICT r05 #6): the driver's
+# correctness gate checks the first ~50 queries() entries, so the 50
+# entries whose most recent driver-green row is OLDEST (round 3) come
+# first, then the round-4 block, then the round-5 block (incl. the two
+# composed-pipeline queries, driver-green in CORRECTNESS_r05) — over
+# rounds the window sweeps the whole surface. The full 150 are
+# certified every round by tools/check_correctness.py --strict ->
+# CORRECTNESS_full_rNN.
+_R06_ORDER = [
     "pipeline_route_fanout",
     "pipeline_route_overlap",
     "parse_grok_events",
@@ -2327,14 +2278,64 @@ _R05_ORDER = [
     "user_type_profile",
     "event_type_drift",
     "incremental_mv_merge",
+    "conversion_latency",
+    "global_ordinals",
+    "mad_outliers",
+    "time_weighted_avg",
+    "cdc_chunking",
+    "corpus_pack_pipeline",
+    "corpus_pipeline_funnel",
+    "pareto_front_orders",
+    "triangle_counts",
+    "priority_sample_docs",
+    "seq_packing_docs",
+    "hll_distinct_tokens",
+    "dup_token_spans",
+    "fuzzy_join_heads",
+    "priority_sample_per_source",
+    "bfs_levels_parts",
+    "dsir_weights_en",
+    "hilbert_shards",
+    "quality_classifier",
+    "kmv_set_ops",
+    "journey_paths",
+    "weighted_median",
+    "benford_digits",
+    "kn_bigram_lm",
+    "rrf_fuse",
+    "hll_sliding_dau",
+    "cm_join_size",
+    "trend_slope",
+    "doc_perplexity",
+    "categorical_mi",
+    "unpivot_event_matrix",
+    "copurchase_lift",
+    "fk_audit",
+    "hist_quantiles",
+    "rank_normalize",
+    "event_trigrams",
+    "ohlc_bars",
+    "decayed_scores",
+    "media_frame_digest",
+    "source_kl_matrix",
+    "table_profile",
+    "sample_deterministic",
+    "mixture_by_lang",
+    "length_buckets",
+    "embedding_topk",
+    "embedding_near_dup",
+    "minhash_lsh",
+    "simhash",
+    "ann_lsh",
+    "ann_ivf",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All 150 oracle-paired queries, driver-gate-ordered (see
-    _R05_ORDER)."""
+    _R06_ORDER)."""
     base = _queries_unordered()
-    out = {k: base[k] for k in _R05_ORDER if k in base}
+    out = {k: base[k] for k in _R06_ORDER if k in base}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 

@@ -126,6 +126,12 @@ class CorpusConf:
     nshards: int = 8
     committed_at: str = ""
     validate_on_start: bool = True
+    # ship parallelism (the pipeline.py ship_workers discipline):
+    # per-shard copies out of the pack stage dir are independent
+    # filesystem ops, so >1 ships them from a thread pool; the
+    # manifest commits stay ordered after ALL pending copies land,
+    # preserving push-then-checkpoint. 1 = the serial loop.
+    ship_workers: int = 8
     # parquet row-group size for STAGE outputs: stage files are read
     # back by the next stage, and splits cannot cross row groups, so
     # one-row-group files cap the next stage's scan parallelism at
@@ -433,10 +439,18 @@ def run_corpus_pipeline(
     stage_timings: dict[str, float] = {}
 
     # identity chain: stage k's input identity is stage k-1's output
-    # identity; the head is the raw input's footer identity (with the
-    # benchmark identity folded into decontaminate's params so a
-    # changed eval set reprocesses from there)
+    # identity; the head is the raw input's footer identity PLUS the
+    # corpus/benchmark split identity (ADVICE r05 #1: with no external
+    # benchmark the doc_id % benchmark_mod split defines the corpus
+    # BEFORE exact_dedup, so a changed mod — or switching between
+    # split and external modes — must invalidate the WHOLE chain, not
+    # just decontaminate; an external benchmark's CONTENT still folds
+    # only into decontaminate's params, since it doesn't change the
+    # corpus side)
     chain_rows, chain_crc = in_rows, in_crc
+    chain_crc ^= zlib.crc32(
+        b"benchmark:external" if conf.benchmark_path is not None
+        else f"benchmark:split:{conf.benchmark_mod}".encode())
     upstream_df = corpus
     for stage in CORPUS_STAGES:
         params = conf.params_crc(stage)
@@ -580,6 +594,18 @@ def run_corpus_pipeline(
             mf.invalidate(conf.manifest_dir, e.sink, e.part)
     shard_dirs = sorted(
         e.name for e in os.scandir(pack_dir) if e.name.startswith("shard="))
+    # ADVICE r05 #2: a shard present in out_path but absent from the
+    # CURRENT pack output (nshards reduced, shard emptied on
+    # recompute) is a stale product — read_packed would return its
+    # phantom rows. Remove it and its manifest entry.
+    cur_shards = set(shard_dirs)
+    if os.path.isdir(conf.out_path):
+        for e in os.scandir(conf.out_path):
+            if e.name.startswith("shard=") and e.name not in cur_shards:
+                shutil.rmtree(os.path.join(conf.out_path, e.name),
+                              ignore_errors=True)
+                mf.invalidate(conf.manifest_dir, "packed",
+                              e.name.split("=", 1)[1])
     committed: list[str] = []
     skipped: list[str] = []
     # per-shard stats in ONE column-pruned readback pass (an empty
@@ -595,16 +621,35 @@ def run_corpus_pipeline(
         )
         .collect()
     }
+    # copy phase: pending shards ship concurrently (VERDICT r05 #2 —
+    # the pipeline.py ship_workers discipline; copies of distinct
+    # shard dirs are independent, and a crash mid-copy commits
+    # nothing, so the re-run re-copies idempotently). Commits follow
+    # in the serial loop below, preserving push-then-checkpoint and
+    # the per-shard failpoint semantics.
+    pending = [sd for sd in shard_dirs if sd.split("=", 1)[1] not in done]
+
+    def _copy_shard(sd: str) -> None:
+        src = os.path.join(pack_dir, sd)
+        dst = os.path.join(conf.out_path, sd)
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+
+    if pending:
+        os.makedirs(conf.out_path, exist_ok=True)
+        if conf.ship_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(conf.ship_workers) as ex:
+                list(ex.map(_copy_shard, pending))
+        else:
+            for sd in pending:
+                _copy_shard(sd)
     for sd in shard_dirs:
         part = sd.split("=", 1)[1]
         if part in done:
             skipped.append(part)
             continue
-        src = os.path.join(pack_dir, sd)
-        dst = os.path.join(conf.out_path, sd)
-        shutil.rmtree(dst, ignore_errors=True)
-        os.makedirs(conf.out_path, exist_ok=True)
-        shutil.copytree(src, dst)
         if failpoint:
             failpoint(f"ship:{part}", "before_commit")
         s = shard_stats.get(part)

@@ -435,6 +435,35 @@ def _resolve_components_driver(
     )
 
 
+def _contract_edges_once(und: DataFrame) -> DataFrame:
+    """One hash-to-min contraction pass over a normalized (src < dst)
+    edge set: every edge (s, d) is replaced by (m(d), d) and
+    (m(d), s), where m(d) = min src over d's edges — each node's
+    neighborhood collapses onto its minimum neighbor (the large-star
+    step of Kiveris et al.'s MapReduce connectivity). Connectivity is
+    EXACTLY preserved (s—m—d re-connects every replaced edge; m is in
+    the same component by construction), components are unchanged,
+    and the src < dst invariant survives (m(d) <= s < d).
+
+    Why it shrinks: LSH candidate graphs are representative stars —
+    a duplicate cluster of k members holds ~cap_reps * k pairs, all
+    of which re-key onto the cluster's minimum representative here,
+    so distinct() collapses them toward k edges (the spanning star).
+    Cost: one groupBy + one join on the SAME key (exchange reuse) +
+    one distinct over narrow (id, id) rows — all combinable,
+    level-scaling shuffles, ZERO driver actions."""
+    ms = und.groupBy("dst").agg(F.min("src").alias("_ms"))
+    joined = und.join(ms, "dst")
+    return (
+        joined.select(F.col("_ms").alias("src"), F.col("dst"))
+        .union(
+            joined.filter(F.col("src") != F.col("_ms"))
+            .select(F.col("_ms").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+
+
 def resolve_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -443,6 +472,7 @@ def resolve_components(
     b_col: str = "id_b",
     max_iter: int = 50,
     driver_edge_threshold: int = 8_000_000,
+    contraction_passes: int = 2,
 ) -> DataFrame:
     """Candidate pairs -> connected components -> keep-list: what turns
     a pair-lister into a deduplication PIPELINE (the batch analog of
@@ -492,6 +522,31 @@ def resolve_components(
     n_edges = edges.count()  # materializes the checkpoint either way
     if n_edges <= 2 * driver_edge_threshold:  # edges carry both directions
         return _resolve_components_driver(edges, nodes, id_col)
+
+    # Above the driver gate: CONTRACT the edge set before resolving
+    # (round-6 scaling fix — the distributed min-label rounds below
+    # pay a LEVEL-INDEPENDENT driver-action floor per round, which a
+    # two-cluster-size efficiency measurement punishes; at 12.8M docs
+    # the 15.5M-pair candidate graph paid it for every round). Each
+    # hash-to-min pass collapses representative-star clusters from
+    # ~cap_reps*k pairs toward their k-edge spanning star with zero
+    # per-round driver work beyond ONE count, typically re-entering
+    # the level-independent-but-small driver union-find gate.
+    # Components (and thus rep/keep labels) are provably unchanged.
+    und = edges.filter(F.col("src") < F.col("dst"))
+    for _ in range(max(0, contraction_passes)):
+        und = checkpoint(_contract_edges_once(und), eager=False)
+        n_und = und.count()
+        if n_und <= driver_edge_threshold:
+            return _resolve_components_driver(und, nodes, id_col)
+    # still too large: fall back to the distributed rounds, but over
+    # the CONTRACTED graph — fewer edges per round and star-shaped
+    # components (diameter ~2), so the loop converges in ~2 rounds
+    edges = checkpoint(
+        und.union(und.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))),
+        eager=False,
+    )
     labels = nodes.select(F.col(id_col).alias("id")).withColumn("rep", F.col("id"))
 
     # per round: ONE action. The convergence count itself materializes

@@ -247,6 +247,73 @@ def test_params_change_invalidates_only_downstream(
                          != F.floor(F.col("tok_start") / 64)).count() == 0
 
 
+def test_parallel_ship_equals_serial(spark, corpus_input, tmp_path, golden):
+    """ship_workers > 1 (the default, VERDICT r05 #2) must produce the
+    byte-identical shipped product and manifest as the serial loop."""
+    _, _, want = golden
+    c1 = _conf(corpus_input, str(tmp_path / "serial"))
+    c1.ship_workers = 1
+    r1 = run_corpus_pipeline(spark, c1)
+    c8 = _conf(corpus_input, str(tmp_path / "par"))
+    c8.ship_workers = 8
+    r8 = run_corpus_pipeline(spark, c8)
+    assert sorted(r1.shards_committed) == sorted(r8.shards_committed)
+    assert _packed_rows(read_packed(spark, c1)) == want
+    assert _packed_rows(read_packed(spark, c8)) == want
+    m1 = {(r["shard"], r["row_count"], r["tok_total"], r["checksum"])
+          for r in r1.metrics.collect()}
+    m8 = {(r["shard"], r["row_count"], r["tok_total"], r["checksum"])
+          for r in r8.metrics.collect()}
+    assert m1 == m8
+
+
+def test_nshards_reduction_removes_stale_shards(
+        spark, corpus_input, tmp_path):
+    """ADVICE r05 #2: recompute with fewer shards must delete the
+    out_path shard dirs the new pack no longer produces — read_packed
+    must never return phantom rows from a prior ship."""
+    conf = _conf(corpus_input, str(tmp_path))
+    conf.nshards = 8
+    run_corpus_pipeline(spark, conf)
+    conf2 = _conf(corpus_input, str(tmp_path))
+    conf2.nshards = 2
+    res = run_corpus_pipeline(spark, conf2)
+    assert res.stages_run == ["pack"]
+    on_disk = sorted(e.name for e in os.scandir(conf2.out_path)
+                     if e.name.startswith("shard="))
+    assert on_disk == ["shard=0", "shard=1"]
+    # the shipped product equals the fresh 2-shard lazy composition
+    docs = spark.read.parquet(corpus_input)
+    lazy = corpus_stages(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0), conf2)
+    assert _packed_rows(read_packed(spark, conf2)) == _packed_rows(lazy["pack"])
+    # and the manifest holds no entry for a removed shard
+    from llogtail_spark import manifest as mf
+    parts = {e.part for e in mf.read_all(conf2.manifest_dir)
+             if e.sink == "packed"}
+    assert parts == {"0", "1"}
+
+
+def test_benchmark_mod_change_invalidates_whole_chain(
+        spark, corpus_input, tmp_path):
+    """ADVICE r05 #1: benchmark_mod defines the corpus/eval split at
+    the HEAD of the chain, so changing it must recompute every stage
+    (not just decontaminate) — otherwise eval-split docs computed
+    under the old split would leak through skipped dedup stages."""
+    conf = _conf(corpus_input, str(tmp_path))
+    run_corpus_pipeline(spark, conf)
+    conf2 = _conf(corpus_input, str(tmp_path))
+    conf2.benchmark_mod = 25
+    res = run_corpus_pipeline(spark, conf2)
+    assert res.stages_run == list(CORPUS_STAGES)
+    docs = spark.read.parquet(corpus_input)
+    lazy = corpus_stages(
+        docs.filter(F.col("doc_id") % 25 != 0),
+        docs.filter(F.col("doc_id") % 25 == 0), conf2)
+    assert _packed_rows(read_packed(spark, conf2)) == _packed_rows(lazy["pack"])
+
+
 def test_readback_reconciliation_refuses_partial_stage(
         spark, corpus_input, tmp_path):
     """Corrupt a stage's staged files between write and readback: the

@@ -196,16 +196,106 @@ def test_resolve_components_gate_boundary(spark, monkeypatch):
         pairs, nodes, driver_edge_threshold=25).collect()))
     assert calls == [1], "threshold=25 (50 <= 2*25) must take the driver path"
 
+    # contraction_passes=0 pins the PURE distributed min-label path
+    # (with passes > 0 an above-gate graph may legitimately contract
+    # back under the gate — covered by the contraction tests below)
     above_gate = sorted(map(tuple, D.resolve_components(
-        pairs, nodes, driver_edge_threshold=24).collect()))
+        pairs, nodes, driver_edge_threshold=24,
+        contraction_passes=0).collect()))
     assert calls == [1], "threshold=24 (50 > 2*24) must take the distributed path"
 
-    assert at_gate == above_gate
+    # and the default (contraction enabled) above-gate route must
+    # produce the same bytes whichever sub-path it lands on
+    contracted = sorted(map(tuple, D.resolve_components(
+        pairs, nodes, driver_edge_threshold=24).collect()))
+
+    assert at_gate == above_gate == contracted
     # sanity: singletons kept, every component keeps exactly one
     reps = {}
     for doc, rep, keep in above_gate:
         reps.setdefault(rep, []).append(keep)
     assert all(sum(v) == 1 for v in reps.values())
+
+
+def test_contract_edges_once_preserves_components(spark):
+    """One hash-to-min pass over a representative-star pair set (the
+    LSH shape: every member paired with the first R reps) must shrink
+    the edge count toward the spanning star while keeping components
+    byte-identical — the round-6 scaling fix's core invariant."""
+    from llogtail_spark.operators import dedup as D
+
+    # two clusters ({0..9} with reps 0..2, {100..109} with reps
+    # 100..102) + an unrelated pair (500, 501)
+    rows = []
+    for base in (0, 100):
+        for rep in range(base, base + 3):
+            rows += [(rep, m) for m in range(rep + 1, base + 10)]
+    rows.append((500, 501))
+    und = spark.createDataFrame(rows, "src long, dst long")
+    out = D._contract_edges_once(und).collect()
+    assert len(out) < len(rows)                      # it actually shrinks
+    assert all(r["src"] < r["dst"] for r in out)     # invariant survives
+    # components unchanged: every node still reaches its cluster min
+    import collections
+    adj = collections.defaultdict(set)
+    for r in out:
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+
+    def comp(seed):
+        seen, todo = set(), [seed]
+        while todo:
+            n = todo.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            todo += list(adj[n])
+        return seen
+
+    assert comp(0) == set(range(0, 10))
+    assert comp(100) == set(range(100, 110))
+    assert comp(500) == {500, 501}
+
+
+def test_resolve_components_contraction_path(spark, monkeypatch):
+    """Above the gate, the contraction passes must re-enter the
+    driver union-find path on a star-cluster graph and produce output
+    identical to the pure distributed path and to the driver ground
+    truth."""
+    from llogtail_spark.operators import dedup as D
+
+    calls = []
+    orig = D._resolve_components_driver
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(D, "_resolve_components_driver", spy)
+
+    # rep-star cluster of 40 nodes x 8 reps (~290 pairs) + singletons
+    rows = [(rep, m) for rep in range(8) for m in range(rep + 1, 40)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+
+    truth = sorted(map(tuple, D.resolve_components(
+        pairs, nodes, driver_edge_threshold=1_000_000).collect()))
+    assert calls == [1]
+
+    # gate at 100 < 292 pairs: must contract (~39 spanning edges)
+    # and re-enter the driver path rather than looping
+    via_contraction = sorted(map(tuple, D.resolve_components(
+        pairs, nodes, driver_edge_threshold=100).collect()))
+    assert calls == [1, 1], "contraction must re-enter the driver path"
+
+    distributed = sorted(map(tuple, D.resolve_components(
+        pairs, nodes, driver_edge_threshold=100,
+        contraction_passes=0).collect()))
+    assert calls == [1, 1]
+
+    assert truth == via_contraction == distributed
+    kept = [doc for doc, rep, keep in truth if keep == 1]
+    assert 0 in kept and len(kept) == 1 + (60 - 40)
 
 
 def test_dedup_pipeline_end_to_end(spark, corpus):
