@@ -1037,7 +1037,12 @@ def fuzzy_join(df: DataFrame, text_col: str = "text",
     # checkpoint (survives executor loss — the ckpt.py knob, same
     # discipline as pagerank/triangle_counts, VERDICT r04 #8); the
     # local/test default stays a lazy MEMORY_AND_DISK persist released
-    # via release_fuzzy_caches().
+    # via release_fuzzy_caches(). Checkpoint FILES are not tracked by
+    # the release registry (ADVICE r05 #3): long-lived sessions that
+    # call fuzzy_join repeatedly under a checkpoint dir should set
+    # spark.cleaner.referenceTracking.cleanCheckpoints=true so the
+    # ContextCleaner deletes each relation's checkpoint files when the
+    # DataFrame is garbage-collected.
     if checkpoint_is_reliable(ranked):
         ranked = checkpoint(ranked, eager=False)
     else:
