@@ -274,13 +274,30 @@ def corpus_stages(docs: DataFrame, benchmark: DataFrame,
     """The LAZY composition: every stage's output frame, keyed by
     stage name (the last is the packed placement table). Shared by
     the resumable runner's per-stage transforms and the oracle-paired
-    query entry, so materialized == lazy == DuckDB oracle."""
+    query entry, so materialized == lazy == DuckDB oracle.
+
+    Each doc-stage output is lineage-cut (lazy — ckpt.py knob:
+    localCheckpoint, or reliable checkpoint when a checkpoint dir is
+    set). Round-6 measurement: the chain prefix otherwise executes
+    ~3x per run — resolve_components' gate count materializes the
+    minhash subtree, mixture_resample's dim-sized quota collect
+    re-derives dedup->decontaminate->quality, and the final action
+    re-derives everything again (each stage's output also feeds 2-3
+    consumers WITHIN one plan: the near-dup semi-join probe, the
+    decontaminate anti-join probe, the benchmark split). The cuts are
+    per-invocation (fresh RDD lineage every call — nothing survives
+    across runs); values are unchanged."""
+    from llogtail_spark.operators.ckpt import checkpoint
+
     out: dict[str, DataFrame] = {}
-    df = out["exact_dedup"] = stage_exact_dedup(docs, conf)
-    df = out["near_dedup"] = stage_near_dedup(df, conf)
-    df = out["decontaminate"] = stage_decontaminate(df, benchmark, conf)
-    df = out["quality"] = stage_quality(df, conf)
-    df = out["sample"] = stage_sample(df, conf)
+    df = out["exact_dedup"] = checkpoint(stage_exact_dedup(docs, conf),
+                                         eager=False)
+    df = out["near_dedup"] = checkpoint(stage_near_dedup(df, conf),
+                                        eager=False)
+    df = out["decontaminate"] = checkpoint(
+        stage_decontaminate(df, benchmark, conf), eager=False)
+    df = out["quality"] = checkpoint(stage_quality(df, conf), eager=False)
+    df = out["sample"] = checkpoint(stage_sample(df, conf), eager=False)
     out["pack"] = stage_pack(df, conf)
     return out
 

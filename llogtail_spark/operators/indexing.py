@@ -344,7 +344,7 @@ def triangle_counts(edges: DataFrame,
 BFS_MAX_ITER = 20
 
 
-BFS_HOP_BATCH = 3
+BFS_HOP_BATCH = 4
 
 
 def bfs_levels(edges: DataFrame, src=None,
@@ -404,7 +404,13 @@ def bfs_levels(edges: DataFrame, src=None,
         eager=False,
     )
     if src is None:
-        src = edges.agg(F.min("u")).collect()[0][0]  # driver scalar
+        # min over bidir.u == min over edges.u (a u<v list's global
+        # minimum appears in u, and bidir only adds reversed copies).
+        # Computing it FROM bidir makes this driver scalar's job also
+        # materialize the lazy adjacency checkpoint — round 6: the old
+        # edges.agg(min) re-derived the whole edge-construction
+        # subtree once more on top of the round-1 materialization.
+        src = bidir.agg(F.min("u")).collect()[0][0]  # driver scalar
     schema = edges.select(F.col("u").alias("node")).schema \
         .add("dist", "integer")
     levels = spark.createDataFrame([(src, 0)], schema)
@@ -413,7 +419,9 @@ def bfs_levels(edges: DataFrame, src=None,
     d = 0
     while d < max_iter:
         # one lazy chain of up to hop_batch hops, then ONE eager
-        # checkpoint + ONE isEmpty (the whole round's driver cost)
+        # checkpoint + ONE per-hop count (the whole round's driver
+        # cost)
+        d0 = d
         batch_new = None
         lazy_levels = levels
         for _ in range(min(hop_batch, max_iter - d)):
@@ -429,11 +437,24 @@ def bfs_levels(edges: DataFrame, src=None,
             lazy_levels = lazy_levels.union(nxt)
             frontier = nxt
         batch_new = checkpoint(batch_new, eager=True)
-        if batch_new.isEmpty():
-            # nothing new anywhere in the batch (the lazily chained
-            # deeper hops are empty a fortiori): the pre-batch level
+        # round 6: per-hop counts of the materialized batch replace
+        # the bare isEmpty — an EMPTY IN-BATCH HOP proves completion
+        # (hop j+1 chains from hop j's frontier, so once one hop adds
+        # nothing, every deeper hop is empty and the level set is
+        # final), which saves the old terminal round whose only job
+        # was to discover emptiness. Same one-driver-action cost as
+        # isEmpty, on checkpointed (never recomputed) data.
+        hop_counts = {
+            r["dist"]: r["n"]
+            for r in batch_new.groupBy("dist")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if not hop_counts:
+            # nothing new anywhere in the batch: the pre-batch level
             # set is complete
             return levels
+        if min(hop_counts.get(j, 0) for j in range(d0 + 1, d + 1)) == 0:
+            return levels.union(batch_new)
         # rebuild levels/frontier ON TOP OF the materialized batch so
         # the next round's lineage starts at the checkpoint, not at
         # the batch's chained join subtree (which lazy_levels carries)

@@ -503,6 +503,23 @@ def test_bfs_levels_raises_past_max_iter(spark):
         bfs_levels(edges, max_iter=2)
 
 
+def test_bfs_levels_hop_batch_invariance(spark):
+    """Distances are hop_batch-invariant, including the round-6
+    early-return path (an empty in-batch hop proves completion): a
+    diameter-3 graph under hop_batch=4 returns after ONE round and
+    must equal the per-hop (hop_batch=1) result."""
+    from llogtail_spark.operators.indexing import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (2, 6)],
+        "u long, v long",
+    )
+    want = sorted(map(tuple, bfs_levels(edges, hop_batch=1).collect()))
+    for hb in (2, 3, 4, 5):
+        got = sorted(map(tuple, bfs_levels(edges, hop_batch=hb).collect()))
+        assert got == want, hb
+
+
 def test_bfs_levels_layout_invariance(spark):
     import random
 
