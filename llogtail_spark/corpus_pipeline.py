@@ -198,6 +198,13 @@ def stage_exact_dedup(df: DataFrame, conf: CorpusConf) -> DataFrame:
     return exact_dedup(df, key=conf.text_col, id_col=conf.id_col)
 
 
+# a dropped set below this many rows ships as a BROADCAST anti-join
+# (a few hundred MB of ids at the cap — the guide's broadcast comfort
+# zone); above it, or when the distributed resolve path leaves the
+# count unknown, the corpus-shuffling semi-join stands
+NEAR_DEDUP_ANTI_BROADCAST_MAX = 30_000_000
+
+
 def stage_near_dedup(df: DataFrame, conf: CorpusConf) -> DataFrame:
     from llogtail_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -210,8 +217,23 @@ def stage_near_dedup(df: DataFrame, conf: CorpusConf) -> DataFrame:
         shingle_n=conf.shingle_n, hash_mode=conf.hash_mode,
         cap_reps=conf.cap_reps,
     )
+    stats: dict = {}
     labels = resolve_components(pairs, df.select(conf.id_col),
-                                id_col=conf.id_col)
+                                id_col=conf.id_col, stats_out=stats)
+    n_dropped = stats.get("n_dropped")
+    if n_dropped is not None and n_dropped <= NEAR_DEDUP_ANTI_BROADCAST_MAX:
+        # round 6 (guide §3.1/§2.3): the semi-join against the KEPT
+        # set shuffles the surviving corpus — document text included —
+        # while the complement (the DROPPED set, which the driver
+        # resolve just computed and handed back for free) is
+        # dup-mass-sized. Anti-join against a broadcast of the dropped
+        # ids moves ZERO corpus bytes. Equal to the semi-join for all
+        # non-null ids (labels covers every node, keep = NOT dropped);
+        # the explicit isNotNull matches the semi-join's null-key drop
+        # semantics.
+        return df.join(F.broadcast(stats["dropped"]), conf.id_col,
+                       "left_anti") \
+            .where(F.col(conf.id_col).isNotNull())
     keep = labels.filter(F.col("keep") == 1).select(conf.id_col)
     return df.join(keep, conf.id_col, "semi")
 

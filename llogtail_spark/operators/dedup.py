@@ -359,7 +359,8 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def _resolve_components_driver(
-    edges: DataFrame, nodes: DataFrame, id_col: str
+    edges: DataFrame, nodes: DataFrame, id_col: str,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Small-graph path for resolve_components: vectorized min-label
     propagation with pointer jumping AND graph contraction over the
@@ -419,6 +420,8 @@ def _resolve_components_driver(
             key = np.unique(lo * nv + hi)
             ea, eb = key // nv, key % nv
     moved = np.nonzero(lab != np.arange(nv))[0]
+    if stats_out is not None:
+        stats_out["n_dropped"] = int(len(moved))
     if _timing:
         print(f"[resolve-timing] driver-numpy nv={nv} moved={len(moved)}: "
               f"{_time.time() - _t0:.2f}s", file=_sys.stderr, flush=True)
@@ -437,6 +440,11 @@ def _resolve_components_driver(
     lab = spark.createDataFrame(
         pd.DataFrame({"_nid": ids[moved], "_rep": ids[lab[moved]]}),
         schema)
+    if stats_out is not None:
+        # the moved-node table IS the dropped set (every lab row has
+        # rep != id): hand it to callers that want a broadcast
+        # anti-join without re-deriving it from the labels join
+        stats_out["dropped"] = lab.select(F.col("_nid").alias(id_col))
     return (
         nodes.select(F.col(id_col))
         .join(F.broadcast(lab), F.col(id_col) == F.col("_nid"), "left")
@@ -486,6 +494,7 @@ def resolve_components(
     max_iter: int = 50,
     driver_edge_threshold: int = 8_000_000,
     contraction_passes: int = 2,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs -> connected components -> keep-list: what turns
     a pair-lister into a deduplication PIPELINE (the batch analog of
@@ -522,6 +531,13 @@ def resolve_components(
 
     Output: (id_col, rep, keep) — keep=1 iff the row is its component's
     minimum id (the deterministic survivor).
+
+    stats_out: optional dict the DRIVER path fills with
+    {"n_dropped": <count of keep=0 nodes>} — already known on the
+    driver at zero extra cost, so callers can pick a broadcast
+    anti-join against the (usually small) dropped set instead of a
+    corpus-shuffling semi-join (stage_near_dedup). The distributed
+    path leaves it unset (the count is not known without a job).
     """
     from llogtail_spark.operators.ckpt import checkpoint
 
@@ -548,7 +564,7 @@ def resolve_components(
     n_edges = edges.count()  # materializes the checkpoint either way
     t = _lap(f"gate-count n_edges={n_edges}", t)
     if n_edges <= 2 * driver_edge_threshold:  # edges carry both directions
-        out = _resolve_components_driver(edges, nodes, id_col)
+        out = _resolve_components_driver(edges, nodes, id_col, stats_out)
         _lap("driver-union-find", t)
         return out
 
@@ -568,7 +584,7 @@ def resolve_components(
         n_und = und.count()
         t = _lap(f"contraction-pass-{_pass} n_und={n_und}", t)
         if n_und <= driver_edge_threshold:
-            out = _resolve_components_driver(und, nodes, id_col)
+            out = _resolve_components_driver(und, nodes, id_col, stats_out)
             _lap("driver-union-find", t)
             return out
     # still too large: fall back to the distributed rounds, but over
