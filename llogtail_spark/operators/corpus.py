@@ -2299,8 +2299,8 @@ def dup_token_spans(df: DataFrame, text_col: str = "text",
     # the scan+fingerprint subtree (the O(n*k) per-doc HOF folds — by
     # far the heaviest part of the query) once per consumer. A LAZY
     # lineage cut materializes it once per invocation instead
-    # (measured 2.8 s -> 1.5 s at sf0.1; nothing survives across
-    # runs — fresh RDD lineage every call).
+    # (same-window A/B at sf0.1/local[32]: 3.49 s -> 2.39 s; nothing
+    # survives across runs — fresh RDD lineage every call).
     from llogtail_spark.operators.ckpt import checkpoint
 
     occ = checkpoint(occ, eager=False)
