@@ -155,9 +155,11 @@ SHOWCASE = [
      "is ONE partial+final aggregation exchange over <=256 shards."),
     ("pagerank",
      "Integer PageRank: the adjacency (edges + outdeg) materializes "
-     "ONCE via lazy localCheckpoint — every power iteration joins "
-     "the checkpointed RDD (0 parquet rescans in the executed plan) "
-     "and folds with a combinable integer sum."),
+     "ONCE via lazy localCheckpoint; every power iteration probes it "
+     "with a BROADCAST of the node-dim rank vector (round 6 — the "
+     "SortMergeJoin per round re-exchanged+sorted the checkpointed "
+     "adjacency; broadcast_ranks=False restores the shuffle join for "
+     "web-scale node sets) and folds with a combinable integer sum."),
     ("scd2_intervals",
      "SCD-2 intervals: change-detect lag and closing lead share ONE "
      "user_id exchange + sort (the filter between them preserves "
