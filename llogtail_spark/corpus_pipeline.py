@@ -333,7 +333,11 @@ def corpus_funnel_counts(docs: DataFrame, benchmark: DataFrame,
     sf0.001), so each stage output is lineage-cut (ckpt.py knob:
     localCheckpoint, or reliable checkpoint when a checkpoint dir is
     set) and the count runs on the materialized table. EAGER by
-    construction, like bfs_levels."""
+    construction, like bfs_levels. (Round 6 probed and REJECTED
+    riding the counts on ``observe()`` metrics with lazy cuts:
+    CollectMetrics accumulators do not propagate through an RDD
+    lineage cut materialized by a downstream action — every
+    observation read back 0.)"""
     from llogtail_spark.operators.ckpt import checkpoint
 
     rows: list[tuple[int, str, int]] = []
