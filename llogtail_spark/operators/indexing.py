@@ -338,6 +338,13 @@ def triangle_counts(edges: DataFrame,
         eager=True,
     )
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    # the closing probe joins on (b, c) packed into ONE collision-free
+    # BIGINT (same id < 2^31 precondition as the okey pack above): a
+    # single-long join key lets the broadcast build a long-keyed hash
+    # relation instead of hashing a two-column row per probe — measured
+    # 2.9s -> 0.95s for the 41M-wedge probe on the sf0.1 co-purchase
+    # graph (r06); the un-broadcast fallback shuffles one long instead
+    # of two columns
     wedges = w1.join(
         w2,
         (F.col("w1.x") == F.col("w2.x")) & (F.col("w1.ky") < F.col("w2.ky")),
@@ -345,11 +352,15 @@ def triangle_counts(edges: DataFrame,
         F.col("w1.x").alias("a"),
         F.col("w1.y").alias("b"),
         F.col("w2.y").alias("c"),
+        (F.col("w1.y").cast("long") * F.lit(2**31) + F.col("w2.y"))
+        .alias("bc"),
     )
     closing = maybe_bc(
-        oriented.select(F.col("x").alias("b"), F.col("y").alias("c"))
+        oriented.select(
+            (F.col("x").cast("long") * F.lit(2**31) + F.col("y")).alias("bc")
+        )
     )
-    tri = wedges.join(closing, ["b", "c"], "inner")
+    tri = wedges.join(closing, ["bc"], "inner")
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
