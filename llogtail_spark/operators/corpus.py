@@ -30,6 +30,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2202,6 +2204,89 @@ def seq_packing_sql(seq_len: int = SEQ_LEN, nshards: int = N_SHARDS,
 DUP_WIN = 8  # duplicated-substring window length (tokens)
 
 
+_DUP_WIN_UDFS: dict = {}
+
+
+def _dup_win_hashes(k: int):
+    """Arrow pandas_udf: token array -> struct(wh1, wh2) of the two
+    k-window rolling fingerprints (dup_token_spans' scan stage),
+    numpy-vectorized with the exact integer recurrences of the
+    Catalyst HOF path it replaces:
+
+        th  = fold(chars, 0, (h, c) -> (h*MULT + cp(c)) % MOD)
+        th2 = (th*a2 + b2) % MOD
+        wh1[i] = fold(th [i..i+k), 0, (acc, x) -> (acc*BAND_MULT + x) % MOD)
+        wh2[i] = fold(th2[i..i+k), 0, (acc, x) -> (acc*MULT + x) % MOD)
+
+    All values stay < 2^43 and nonnegative (MOD < 2^30, BAND_MULT =
+    2^13 - 1), so int64 arithmetic is exact and engine-identical —
+    no overflow, no sign divergence. Codepoints come from a utf-32
+    frombuffer (the _portable_band_keys_udf technique), equal to
+    ascii()/ord() wherever the DuckDB twin already agrees with
+    Catalyst. Non-deterministic marker: posexplode downstream must
+    not synthesize a size()-filter that re-inlines a second Python
+    eval (the route-parse / make_bucket_udf pathology).
+
+    Callers guarantee every row has >= k tokens (the size(t) >= k
+    filter sits upstream)."""
+    if k in _DUP_WIN_UDFS:
+        return _DUP_WIN_UDFS[k]
+    from pyspark.sql import types as T
+
+    from llogtail_spark.functions import portable_hash as ph
+
+    M, MULT, BM = ph.MOD, ph.MULT, ph.BAND_MULT
+    a2, b2 = ph.seed_mults(3)
+    out_t = T.StructType([
+        T.StructField("wh1", T.ArrayType(T.LongType())),
+        T.StructField("wh2", T.ArrayType(T.LongType())),
+    ])
+
+    @F.pandas_udf(out_t)
+    def win_hashes(toks: pd.Series) -> pd.DataFrame:
+        docs = [list(t) for t in toks]
+        ndocs = len(docs)
+        if ndocs == 0:
+            return pd.DataFrame({"wh1": [], "wh2": []})
+        nw = np.array([len(d) for d in docs], dtype=np.int64)
+        flat_words = [w for d in docs for w in d]
+        W = len(flat_words)
+        lens = np.fromiter((len(w) for w in flat_words), dtype=np.int64,
+                           count=W)
+        codes = np.frombuffer(
+            "".join(flat_words).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        th = np.zeros(W, dtype=np.int64)
+        for j in range(int(lens.max()) if W else 0):
+            active = lens > j
+            idx = np.minimum(starts + j, max(len(codes) - 1, 0))
+            th = np.where(active, (th * MULT + codes[idx]) % M, th)
+        th2 = (th * a2 + b2) % M
+        # per-doc window starts, flattened: doc d owns nw[d]-k+1
+        # windows beginning at its word offset
+        doc_starts = np.cumsum(nw) - nw
+        n_win = nw - k + 1  # callers guarantee nw >= k
+        total = int(n_win.sum())
+        flat_s = (np.repeat(doc_starts, n_win)
+                  + np.arange(total)
+                  - np.repeat(np.cumsum(n_win) - n_win, n_win))
+        acc1 = np.zeros(total, dtype=np.int64)
+        acc2 = np.zeros(total, dtype=np.int64)
+        for j in range(k):
+            acc1 = (acc1 * BM + th[flat_s + j]) % M
+            acc2 = (acc2 * MULT + th2[flat_s + j]) % M
+        bounds = np.cumsum(n_win)[:-1]
+        return pd.DataFrame({
+            "wh1": np.split(acc1, bounds),
+            "wh2": np.split(acc2, bounds),
+        })
+
+    _DUP_WIN_UDFS[k] = win_hashes.asNondeterministic()
+    return _DUP_WIN_UDFS[k]
+
+
 def dup_token_spans(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = DUP_WIN) -> DataFrame:
     """Token-granular duplicated-span detection — the distributed
@@ -2223,8 +2308,10 @@ def dup_token_spans(df: DataFrame, text_col: str = "text",
       (doc_id, n_tok:long, n_dup_windows:long, n_intervals:long,
        dup_tok:long, dup_bp:long = floor(10000 * dup_tok / n_tok))
 
-    Scale shape (10^12 tokens): fingerprints are scan-stage Catalyst
-    HOFs (O(n*k) per doc, k constant, no Python); the first-occurrence
+    Scale shape (10^12 tokens): fingerprints are ONE scan-stage Arrow
+    batch kernel (_dup_win_hashes — numpy-vectorized O(n*k) per doc, k
+    constant, bit-identical to the Catalyst HOF recurrence it
+    replaced); the first-occurrence
     side is a map-side-combinable count+min-struct aggregation (the
     universal boilerplate window combines inside each task — a
     row_number window over the fingerprint would sort every copy of
@@ -2241,11 +2328,6 @@ def dup_token_spans(df: DataFrame, text_col: str = "text",
     debounce filter ships each repeated work item once
     (log_watcher.go:97-126); here the item is a k-token span.
     """
-    from llogtail_spark.functions.portable_hash import (
-        BAND_MULT, MOD, MULT, char_fold_hash, seed_mults,
-    )
-
-    a2, b2 = seed_mults(3)
     toks = df.select(
         F.col(id_col),
         F.filter(
@@ -2256,36 +2338,21 @@ def dup_token_spans(df: DataFrame, text_col: str = "text",
         # NULL ids out of scope: first-occurrence = min(id, off) and
         # the engines disagree on NULL ordering
     ).where((F.size("t") >= k) & F.col(id_col).isNotNull())
-    # named columns between steps: indexing into an unnamed HOF
-    # re-evaluates it per element (the cdc_chunking O(n^2) lesson)
-    th = toks.select(
+    # round 6: the char folds + O(n*k) window folds ran as interpreted
+    # Catalyst HOF lambdas — the query's dominant cost (scan stage
+    # 2.46 s of a 3.0 s query at sf0.1). One Arrow UDF replays the
+    # identical integer recurrences vectorized in numpy (every
+    # intermediate < 2^43, nonnegative — int64-exact in both engines;
+    # verified array-identical on all sf0.1 docs). Tokenization stays
+    # in Catalyst so split/lower semantics are untouched. Same-window
+    # A/B: win subtree 2.46 s -> 0.77 s.
+    win = toks.select(
         id_col,
         F.size("t").cast("long").alias("n_tok"),
-        F.transform(F.col("t"), lambda x: char_fold_hash(x)).alias("th"),
+        _dup_win_hashes(k)(F.col("t")).alias("_w"),
     ).select(
-        id_col, "n_tok", "th",
-        F.transform(
-            F.col("th"), lambda x: (x * a2 + b2) % MOD
-        ).alias("th2"),
-    )
-    win = th.select(
         id_col, "n_tok",
-        F.transform(
-            F.sequence(F.lit(0), F.size("th") - k),
-            lambda i: F.aggregate(
-                F.slice(F.col("th"), i + 1, k),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * BAND_MULT + x) % MOD,
-            ),
-        ).alias("wh1"),
-        F.transform(
-            F.sequence(F.lit(0), F.size("th2") - k),
-            lambda i: F.aggregate(
-                F.slice(F.col("th2"), i + 1, k),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * MULT + x) % MOD,
-            ),
-        ).alias("wh2"),
+        F.col("_w.wh1").alias("wh1"), F.col("_w.wh2").alias("wh2"),
     )
     occ = win.select(
         id_col, "n_tok",
