@@ -1284,3 +1284,53 @@ def test_source_kl_matrix_identical_and_divergent(spark):
     assert out[("c", "a")]["kl_num_e8"] > 8 * out[("c", "a")]["n_a"]
     # asymmetry: narrow d diverges from a differently than a from d
     assert out[("d", "a")]["kl_num_e8"] != out[("a", "d")]["kl_num_e8"]
+
+
+def test_dup_win_hashes_matches_hof_fold(spark):
+    """r06: the Arrow fingerprint kernel must reproduce the Catalyst
+    char-fold + k-window rolling-fold recurrences EXACTLY (integer
+    arithmetic, so equality is bitwise). Random token arrays over a
+    mixed vocabulary (ascii, punctuation, accented BMP chars, long
+    words), lengths from the k boundary up."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from llogtail_spark.functions.portable_hash import (
+        BAND_MULT, MOD, MULT, char_fold_hash, seed_mults,
+    )
+    from llogtail_spark.operators.corpus import _dup_win_hashes
+
+    k = 8
+    a2, b2 = seed_mults(3)
+    rng = np.random.default_rng(23)
+    vocab = ["foo", "BAR", "baz,", "q-x", "the", "a!", "zz9", "..",
+             "&", "café", "naïve", "x" * 40, "0"]
+    rows = [
+        (i, [vocab[j] for j in rng.integers(0, len(vocab),
+                                            int(rng.integers(k, 40)))])
+        for i in range(60)
+    ] + [(900, [vocab[0]] * k)]  # exactly one window
+    df = spark.createDataFrame(rows, "doc_id int, t array<string>")
+
+    th = F.transform(F.col("t"), lambda x: char_fold_hash(x))
+    th2 = F.transform(th, lambda x: (x * a2 + b2) % MOD)
+
+    def fold(arr, mult):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(arr) - k),
+            lambda i: F.aggregate(
+                F.slice(arr, i + 1, k), F.lit(0).cast("long"),
+                lambda acc, x: (acc * mult + x) % MOD,
+            ),
+        )
+
+    got = df.select(
+        "doc_id",
+        _dup_win_hashes(k)(F.col("t")).alias("w"),
+        fold(th, BAND_MULT).alias("e1"),
+        fold(th2, MULT).alias("e2"),
+    ).collect()
+    assert len(got) == 61
+    for r in got:
+        assert list(r["w"]["wh1"]) == list(r["e1"]), r["doc_id"]
+        assert list(r["w"]["wh2"]) == list(r["e2"]), r["doc_id"]

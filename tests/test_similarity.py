@@ -405,3 +405,44 @@ def test_kmeans_profile_plan_single_eval(spark, emb_np):
     assert plan.count("ArrowEvalPython") == 1
     for node in ("Join", "CartesianProduct", "BatchEvalPython"):
         assert node not in plan
+
+
+def test_pair_cos_arrow_bit_identical_to_hof_fold(spark):
+    """r06: the Arrow rerank kernel must reproduce the dot/(norm*norm)
+    HOF fold BIT-for-bit — it claims to replay the identical
+    left-fold double-addition order (sequential over dims), so exact
+    == comparison, not approx. Random float32 vectors across dims and
+    magnitudes, including near-orthogonal and near-parallel pairs."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from llogtail_spark.operators.similarity import (
+        dot, norm, pair_cos_arrow,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    rid = 0
+    for dim in (2, 16, 64, 65):
+        for scale in (1e-3, 1.0, 1e3):
+            for _ in range(8):
+                a = (rng.standard_normal(dim) * scale).astype(np.float32)
+                b = (rng.standard_normal(dim) * scale).astype(np.float32)
+                rows.append((rid, a.tolist(), b.tolist()))
+                rid += 1
+                # near-parallel pair (floor boundaries live near 1.0)
+                rows.append((rid, a.tolist(),
+                             (a + rng.standard_normal(dim).astype(
+                                 np.float32) * 1e-4).tolist()))
+                rid += 1
+    df = spark.createDataFrame(
+        rows, "id int, va array<float>, vb array<float>")
+    got = df.select(
+        "id",
+        pair_cos_arrow(F.col("va"), F.col("vb")).alias("arrow"),
+        (dot(F.col("va"), F.col("vb"))
+         / (norm(F.col("va")) * norm(F.col("vb")))).alias("hof"),
+    ).collect()
+    assert len(got) == rid
+    for r in got:
+        assert r["arrow"] == r["hof"], (r["id"], r["arrow"], r["hof"])
